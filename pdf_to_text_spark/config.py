@@ -1,0 +1,78 @@
+"""Pinned constants and SparkSession factory.
+
+Every threshold that participates in a golden contract lives here so the
+goldens stay stable (SURVEY.md §2.9.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+# ── block segmentation / chunking (reference semantics) ─────────────────────
+# Reference: /root/reference/src/main.ts:166 (MAX_BLOCKS_PER_REQUEST = 10;
+# the comment says 5, the code says 10 — code wins, SURVEY.md §2 #8).
+MAX_BLOCKS_PER_CHUNK = 10
+# Chunk-internal block delimiter (src/main.ts:177 `blockGroup.join("\n\n")`).
+CHUNK_BLOCK_DELIM = "\n\n"
+# Block start prefix (src/main.ts:79) and end regex (src/main.ts:94).
+BLOCK_START_PREFIX = "sucursal"
+BLOCK_END_REGEX = r"\* total importe en la sucursal:\s*\d+(\.\d+)?"
+
+# ── CSV serialization quirks (src/main.ts:39-56) ────────────────────────────
+CSV_HEADER = "SucursalName,EAN,CantidadVendida,Importe"
+
+# ── HTML boilerplate stripper (SURVEY.md §2.9 — pinned spec, graft-mandated) ─
+HTML_LINK_RATIO_MAX = 0.33   # block is content iff link_text_ratio < this
+HTML_MIN_CONTENT_WORDS = 10  # ... and words >= this
+HTML_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td th article section blockquote pre "
+    "figcaption dd dt main aside header footer nav table tr ul ol".split()
+)
+HTML_DROP_TAGS = frozenset("script style noscript template svg iframe".split())
+
+# ── scale layout ─────────────────────────────────────────────────────────────
+# url-hash bucket count for partition layout. At 100 TB / ~10^12 docs this
+# would be sized to keep each bucket's input < a few GB (e.g. 2^14 buckets);
+# in the sandbox it is kept small so local runs don't create tiny tasks.
+N_BUCKETS = int(os.environ.get("PTS_N_BUCKETS", "32"))
+# salt modulus for skew-flattening repartition of mega-documents
+SKEW_SALT = int(os.environ.get("PTS_SKEW_SALT", "8"))
+# Arrow batch budget: rows are megabyte-scale, so cap batch *bytes*, not rows.
+ARROW_MAX_BATCH_BYTES = int(os.environ.get("PTS_ARROW_MAX_BATCH_BYTES", str(32 << 20)))
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("PTS_ARROW_MAX_RECORDS", "64"))
+
+
+def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
+                shuffle_partitions: int | None = None, extra: dict | None = None):
+    """SparkSession tuned for the extraction workload.
+
+    local[*] in the sandbox; the same configs are what you'd pass to
+    spark-submit on a real cluster (AQE, Arrow, byte-capped batches).
+    """
+    from pyspark.sql import SparkSession
+
+    master = master or os.environ.get("PTS_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("PTS_SHUFFLE_PARTITIONS", str(max(32, cores))))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # megabyte-scale binary rows: keep Arrow batches small (SURVEY.md §4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.files.maxPartitionBytes", str(64 << 20))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("PTS_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,197 @@
+"""Block segmentation, chunking, record extraction, CSV/JSON serialization.
+
+Pure-Python re-statements of the reference's downstream dataflow:
+
+  * segment_blocks   — src/main.ts:70-109  (extractBlocksFromPDFText)
+  * chunk_blocks     — src/main.ts:116-124 (splitBlocksForOpenAI), size 10
+                       per src/main.ts:166
+  * parse_records    — deterministic stand-in for the LLM field-extraction
+                       stage (src/main.ts:169-234): same output schema
+                       {SucursalName, EAN, CantidadVendida, Importe}, but a
+                       regex parser so the pipeline is reproducible. The
+                       enrichment stage is pluggable (SURVEY.md §2 #9).
+  * extract_json_fenced — src/main.ts:25-36 (extractJsonFromResponse)
+  * records_to_csv   — src/main.ts:39-56 with every quirk preserved:
+                       `parseInt(...)||0` / `parseFloat(...)||0` coercions,
+                       `.toFixed(2)`, quotes NOT escaped, no trailing newline
+  * records_to_pretty_json — JSON.stringify(data, null, 2) equivalent
+                       (src/main.ts:242)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+from ..config import (
+    BLOCK_END_REGEX,
+    BLOCK_START_PREFIX,
+    CHUNK_BLOCK_DELIM,
+    CSV_HEADER,
+    MAX_BLOCKS_PER_CHUNK,
+)
+
+__all__ = [
+    "segment_blocks",
+    "chunk_blocks",
+    "parse_records",
+    "extract_json_fenced",
+    "records_to_csv",
+    "records_to_pretty_json",
+]
+
+_END_RE = re.compile(BLOCK_END_REGEX, re.IGNORECASE)
+
+
+def segment_blocks(full_text: str) -> list[str]:
+    """Stateful line scan — byte-for-byte the reference's semantics.
+
+    Edge rules (SURVEY.md §2.3, src/main.ts:70-109):
+      (a) start match is a lowercase *prefix* test, not word-boundary;
+      (b) a start-line while capturing flushes the previous block;
+      (c) the end-line is included in its block;
+      (d) the end regex requires a number with optional decimals;
+      (e) preamble before the first start-line is dropped;
+      (f) a trailing unterminated block is kept;
+      (g) empty input → [].
+    """
+    blocks: list[str] = []
+    current: list[str] = []
+    capturing = False
+    for line in full_text.split("\n"):
+        if line.lower().startswith(BLOCK_START_PREFIX):
+            if current:
+                blocks.append("\n".join(current))
+            current = [line]
+            capturing = True
+            continue
+        if capturing:
+            current.append(line)
+            if _END_RE.search(line):
+                blocks.append("\n".join(current))
+                current = []
+                capturing = False
+    if capturing and current:
+        blocks.append("\n".join(current))
+    return blocks
+
+
+def chunk_blocks(blocks: list[str], max_per_chunk: int = MAX_BLOCKS_PER_CHUNK) -> list[list[str]]:
+    """Order-preserving fixed-size grouping (src/main.ts:116-124)."""
+    return [blocks[i : i + max_per_chunk] for i in range(0, len(blocks), max_per_chunk)]
+
+
+# ── deterministic field extraction (LLM stand-in) ───────────────────────────
+
+_SALE_RE = re.compile(
+    r"EAN\s+(\d+)\s+cantidad\s+(\S+)\s+importe\s+(\S+)", re.IGNORECASE
+)
+
+
+def parse_records(block: str) -> list[dict]:
+    """One Sucursal block → sale records, reference output schema.
+
+    SucursalName = first line of the block (the 'Sucursal …' line); one
+    record per 'EAN … cantidad … importe …' line. Values are kept as raw
+    strings — the CSV stage owns the ``||0`` coercions exactly as the
+    reference does (src/main.ts:44-45).
+    """
+    lines = block.split("\n")
+    name = lines[0].strip() if lines else ""
+    out = []
+    for line in lines[1:]:
+        m = _SALE_RE.search(line)
+        if m:
+            out.append(
+                {
+                    "SucursalName": name,
+                    "EAN": m.group(1),
+                    "CantidadVendida": m.group(2),
+                    "Importe": m.group(3),
+                }
+            )
+    return out
+
+
+_FENCE_RE = re.compile(r"```json([\s\S]+?)```")
+
+
+def extract_json_fenced(response_text: str) -> str:
+    """src/main.ts:25-36 — fenced-JSON extraction with whole-text fallback.
+
+    Returns the validated JSON string; raises ValueError on invalid JSON
+    (callers route to a metrics counter instead of aborting, #10/#18).
+    """
+    m = _FENCE_RE.search(response_text)
+    candidate = m.group(1).strip() if m else response_text.strip()
+    json.loads(candidate)  # validate
+    return candidate
+
+
+# ── CSV / JSON serialization quirks ─────────────────────────────────────────
+
+
+def _js_parse_int(v) -> int:
+    """JS `parseInt(x, 10) || 0`: leading-prefix integer parse, 0 fallback.
+
+    NOTE `parseInt("0", 10) || 0` is still 0, and NaN||0 → 0, so the
+    fallback is indistinguishable — a plain 0-default covers both.
+    """
+    s = str(v).strip() if v is not None else ""
+    m = re.match(r"^[+-]?\d+", s)
+    return int(m.group(0)) if m else 0
+
+
+def _js_parse_float(v) -> float:
+    """JS `parseFloat(x) || 0` — leading-prefix float parse, 0 fallback."""
+    s = str(v).strip() if v is not None else ""
+    m = re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    if not m:
+        return 0.0
+    f = float(m.group(0))
+    # JS `|| 0` also maps NaN and -0/0 to 0 — float() never yields NaN here
+    return f if f == f and f != 0 else 0.0
+
+
+def _to_fixed_2(f: float) -> str:
+    """JS Number.prototype.toFixed(2): round-half-away-from-zero."""
+    if not math.isfinite(f):
+        return "NaN"
+    sign = "-" if f < 0 else ""
+    scaled = abs(f) * 100
+    # toFixed rounds half away from zero on the decimal value
+    cents = math.floor(scaled + 0.5)
+    return f"{sign}{cents // 100}.{cents % 100:02d}"
+
+
+def records_to_csv(records: list[dict]) -> str:
+    """src/main.ts:39-56 — header + rows, quirks preserved exactly:
+    strings double-quoted with NO escaping of embedded quotes, int/float
+    coercion with ``||0`` fallback, 2-decimal formatting, fields joined
+    ``,``, rows joined ``\\n``, NO trailing newline.
+    """
+    rows = []
+    for r in records:
+        cantidad = _js_parse_int(r.get("CantidadVendida"))
+        importe = _js_parse_float(r.get("Importe"))
+        rows.append(
+            ",".join(
+                [
+                    f'"{r.get("SucursalName", "")}"',
+                    f'"{r.get("EAN", "")}"',
+                    str(cantidad),
+                    _to_fixed_2(importe),
+                ]
+            )
+        )
+    return CSV_HEADER + "\n" + "\n".join(rows)
+
+
+def records_to_pretty_json(records: list[dict]) -> str:
+    """JSON.stringify(allJsonData, null, 2) equivalent (src/main.ts:242).
+
+    json.dumps with indent=2 matches JS for our string/number payloads
+    given separators pinned to (",", ": ") and ensure_ascii=False.
+    """
+    return json.dumps(records, indent=2, ensure_ascii=False, separators=(",", ": "))

@@ -1,0 +1,91 @@
+"""PDF kernel unit tests — golden parity + structural edge cases."""
+
+import pathlib
+
+import pytest
+
+from pdf_to_text_spark.kernels.pdf import PDFParseError, extract_pdf_text
+from tools.make_pdf import FIXTURES, build_pdf, simple_pdf
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.mark.parametrize("name", [n for n in FIXTURES if n != "corrupt"])
+def test_golden_parity(name):
+    """Writer output re-parsed must match the committed golden byte-for-byte."""
+    pdf = (GOLDEN / f"{name}.pdf").read_bytes()
+    want = (GOLDEN / f"{name}.txt").read_bytes()
+    text, n_pages = extract_pdf_text(pdf)
+    assert text.encode("utf-8") == want
+    assert n_pages >= 1
+
+
+def test_corrupt_raises_not_crashes():
+    pdf = (GOLDEN / "corrupt.pdf").read_bytes()
+    with pytest.raises(PDFParseError):
+        extract_pdf_text(pdf)
+
+
+def test_multi_page_newline_join():
+    """Pages merged with '\\n' — reference src/main.ts:152-154."""
+    text, n = extract_pdf_text(simple_pdf([["a"], ["b"], ["c"]]))
+    assert text == "a\nb\nc"
+    assert n == 3
+
+
+def test_tj_kerning_numbers_ignored():
+    text, _ = extract_pdf_text(simple_pdf([["HelloWorld"]], style="tj"))
+    assert text == "HelloWorld"
+
+
+def test_tstar_and_quote_linebreaks():
+    for style in ("tstar", "quote", "dquote", "td"):
+        text, _ = extract_pdf_text(simple_pdf([["x1", "x2", "x3"]], style=style))
+        assert text == "x1\nx2\nx3", style
+
+
+def test_flate_roundtrip():
+    text, _ = extract_pdf_text(simple_pdf([["deflate me " * 50]], compress=True))
+    assert text == "deflate me " * 50
+
+
+def test_string_escapes():
+    text, _ = extract_pdf_text(simple_pdf([["(paren) \\slash", "tab\there"]]))
+    assert text == "(paren) \\slash\ntab\there"
+
+
+def test_not_a_pdf():
+    with pytest.raises(PDFParseError):
+        extract_pdf_text(b"<html>nope</html>")
+    with pytest.raises(PDFParseError):
+        extract_pdf_text(b"")
+
+
+def test_truncated_everywhere():
+    """Any truncation point must raise, never hang or return garbage silently."""
+    good = simple_pdf([["hello truncation world"]])
+    for cut in range(0, len(good), max(1, len(good) // 23)):
+        try:
+            text, _ = extract_pdf_text(good[:cut])
+            # a prefix that still parses must at least be a valid parse
+            assert isinstance(text, str)
+        except PDFParseError:
+            pass
+
+
+def test_hex_string_show():
+    stream = b"BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj ET"
+    text, _ = extract_pdf_text(build_pdf([stream]))
+    assert text == "Hello"
+
+
+def test_octal_escape():
+    stream = b"BT /F1 12 Tf 72 720 Td (\\110i) Tj ET"
+    text, _ = extract_pdf_text(build_pdf([stream]))
+    assert text == "Hi"
+
+
+def test_positive_td_does_not_break_line():
+    stream = b"BT /F1 12 Tf 72 720 Td (a) Tj 0 5 Td (b) Tj 0 -5 Td (c) Tj ET"
+    text, _ = extract_pdf_text(build_pdf([stream]))
+    assert text == "ab\nc"

@@ -1,0 +1,59 @@
+"""Frozen golden-file oracle (SURVEY.md §5.1).
+
+Drives the pure-Python kernels over the committed fixture inputs in
+tests/golden/ and writes `<name>.txt` golden outputs. Generated ONCE and
+committed; the pytest suite asserts the Spark pipeline's extracted_text is
+byte-identical per url (BASELINE.json:14). Re-running must be a no-op
+unless the kernels' pinned semantics deliberately change (which is a
+contract change and must be called out in the commit).
+
+Usage: python -m tools.oracle_extract [--check] [golden_dir]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+from pdf_to_text_spark.kernels.html import HTMLParseFailed, extract_html_text
+from pdf_to_text_spark.kernels.pdf import PDFParseError, extract_pdf_text
+
+
+def extract_any(data: bytes, content_type: str) -> tuple[str, int, int]:
+    """(text, n_pages, parse_failed) — the kernel dispatch the Spark UDF mirrors."""
+    try:
+        if content_type == "application/pdf":
+            text, n_pages = extract_pdf_text(data)
+            return text, n_pages, 0
+        text = extract_html_text(data)
+        return text, 1, 0
+    except (PDFParseError, HTMLParseFailed):
+        return "", 0, 1
+
+
+def main(argv: list[str]) -> int:
+    check = "--check" in argv
+    args = [a for a in argv if not a.startswith("--")]
+    golden = pathlib.Path(args[0] if args else "tests/golden")
+    rc = 0
+    for src in sorted(golden.iterdir()):
+        if src.suffix not in (".pdf", ".html"):
+            continue
+        ctype = "application/pdf" if src.suffix == ".pdf" else "text/html"
+        text, n_pages, failed = extract_any(src.read_bytes(), ctype)
+        out = src.with_suffix(".txt")
+        payload = text.encode("utf-8")
+        if check:
+            if not out.exists() or out.read_bytes() != payload:
+                print(f"MISMATCH {out.name}")
+                rc = 1
+            else:
+                print(f"ok {out.name} (pages={n_pages} failed={failed})")
+        else:
+            out.write_bytes(payload)
+            print(f"wrote {out.name} (pages={n_pages} chars={len(text)} failed={failed})")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
