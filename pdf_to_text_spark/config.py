@@ -42,6 +42,27 @@ ARROW_MAX_BATCH_BYTES = int(os.environ.get("PTS_ARROW_MAX_BATCH_BYTES", str(32 <
 ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("PTS_ARROW_MAX_RECORDS", "64"))
 
 
+def package_zip(out_dir: str | None = None) -> str:
+    """Zip pdf_to_text_spark + tools into an engine.zip for --py-files.
+
+    Mirrors the north-rule launch mode (`spark-submit --py-files
+    dist/engine.zip`); build_spark ships it via addPyFile so executor
+    Python workers can import the kernels wherever the job is driven from.
+    """
+    import pathlib
+    import tempfile
+    import zipfile
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    out_dir = out_dir or tempfile.mkdtemp(prefix="pts_pyfiles_")
+    zip_path = str(pathlib.Path(out_dir) / "engine.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for pkg in ("pdf_to_text_spark", "tools"):
+            for p in sorted((repo / pkg).rglob("*.py")):
+                zf.write(p, p.relative_to(repo))
+    return zip_path
+
+
 def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
                 shuffle_partitions: int | None = None, extra: dict | None = None):
     """SparkSession tuned for the extraction workload.
@@ -75,4 +96,8 @@ def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Ship the engine to executor Python workers (spark-submit --py-files
+    # equivalent) so jobs work no matter where the driver script lives.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

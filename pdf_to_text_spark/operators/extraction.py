@@ -1,0 +1,99 @@
+"""The extraction pipeline: pages → extracted text + metrics.
+
+Spark-first restatement of the reference's /upload dataflow
+(src/main.ts:133-263): scan → validity dispatch → dedup-by-url →
+salted repartition → Arrow-batched extraction kernel → metrics rollup.
+Everything before and after the one mapInPandas stage is built-in
+Catalyst expressions (pushdown/pruning-friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.udfs import EXTRACT_SCHEMA, extract_batches
+from ..plans.layout import salted_repartition, with_bucket
+
+PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def dedup_latest_by_url(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl per url (Common-Crawl inputs repeat urls).
+
+    row_number over (url ORDER BY warc_ts DESC) == 1 — SURVEY.md §2.1.
+    At scale this is a single hash-shuffle on url; AQE handles stragglers.
+    """
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_extraction(
+    pages: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """pages → extracted (url, warc_ts, lang, content_type, extracted_text,
+    n_pages, n_chars, parse_status, parse_failed, bucket, partition_id).
+
+    Column-prunes to the 5 input columns before the UDF so the parquet
+    scan reads nothing else; salted repartition balances mega-PDF skew.
+    """
+    df = pages.select(*PAGES_COLS)
+    if dedup:
+        df = dedup_latest_by_url(df)
+    df = with_bucket(df)
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+    extracted = df.select(*PAGES_COLS).mapInPandas(
+        extract_batches, schema=EXTRACT_SCHEMA
+    )
+    # bucket is recomputed (cheap, deterministic) rather than shipped
+    # through the Python worker; partition_id is the lineage of the task
+    # that actually ran the kernel.
+    return with_bucket(extracted).withColumn("partition_id", F.spark_partition_id())
+
+
+def metrics_rollup(extracted: DataFrame) -> DataFrame:
+    """Per-bucket extraction metrics (north_star: pages, chars, failures).
+
+    Partial aggregation happens map-side (built-in hash agg), so the
+    shuffle carries one row per (partition, bucket).
+    """
+    return extracted.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_pages").alias("pages"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("parse_failed").alias("parse_failures"),
+        F.sum(F.when(F.col("parse_status") == "passthrough", 1).otherwise(0)).alias(
+            "passthrough_docs"
+        ),
+        F.sum(F.when(F.col("parse_status") == "empty", 1).otherwise(0)).alias("empty_docs"),
+        F.countDistinct("partition_id").alias("n_tasks"),
+    )
+
+
+def content_type_dispatch(pages: DataFrame) -> DataFrame:
+    """Pure-projection content-type classification (SURVEY §2 #2/#16).
+
+    Built-in expressions only — exercises pushdown/codegen, used by the
+    driver oracle checks as a SQL-expressible stand-in for the UDF path.
+    """
+    is_pdf = F.col("url").endswith(".pdf") & (
+        F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-")
+    )
+    return pages.select(
+        "url",
+        F.when(F.col("html").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.when(is_pdf, "application/pdf").otherwise("text/html"))
+        .alias("content_type"),
+        F.when(F.col("html").isNull() & F.col("text").isNull(), 1)
+        .otherwise(0)
+        .alias("is_empty"),
+    )

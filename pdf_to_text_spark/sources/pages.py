@@ -1,0 +1,113 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table (FIXTURES.md §1).
+
+Shape fixed by BASELINE.json input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Generation is seed-pinned and row-indexed (row i's payload is a pure
+function of i), so any scale regenerates identically and two runs agree
+byte-for-byte. The generator itself runs DISTRIBUTED — `spark.range(n)`
+partitions the id space and a mapInPandas builds payload bytes on
+executors, so even the 100k-row bench table never materializes on the
+driver. Skew knob: 1% of PDF rows are 50-page "mega" docs whose urls are
+crafted to land in 2 url-hash buckets (FIXTURES.md §1), which the salted
+repartition in plans/layout.py must flatten.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+
+SEED = 42
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+LANGS = ["en", "es", "de", "fr", "zh"]
+# weights ~40/16/14/16/14 via a 50-slot cycle
+_LANG_CYCLE = (["en"] * 20 + ["es"] * 8 + ["de"] * 7 + ["fr"] * 8 + ["zh"] * 7)
+
+MEGA_EVERY = 100      # 1% mega PDFs
+NULL_EVERY = 200      # 0.5% null html
+DUP_EVERY = 50        # 2% duplicated urls (differing warc_ts)
+PASSTHROUGH_EVERY = 40  # 2.5% rows arrive with pre-extracted `text`
+
+
+def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, str]:
+    """Pure function i → (url, warc_ts, html, text, lang)."""
+    from tools.make_html import article_page
+    from tools.make_pdf import simple_pdf, sucursal_report_pdf
+
+    is_pdf = i % 3 == 0  # ~33% PDFs
+    is_mega = is_pdf and i % MEGA_EVERY == 0
+    lang = _LANG_CYCLE[i % len(_LANG_CYCLE)]
+    source = f"src{i % 20}"
+    ext = "pdf" if is_pdf else "html"
+    # mega docs share a tiny url keyspace prefix so they hash-skew together
+    if is_mega:
+        url = f"https://example.org/mega/{(i // MEGA_EVERY) % 2}/{i:08d}.pdf"
+    else:
+        url = f"https://example.org/{source}/{i:08d}.{ext}"
+    ts = EPOCH + dt.timedelta(seconds=37 * i)
+
+    if i % NULL_EVERY == 7:
+        return url, ts, None, None, lang
+    if i % PASSTHROUGH_EVERY == 13:
+        return url, ts, None, f"pre-extracted text for row {i} " * 8, lang
+
+    if is_pdf:
+        if is_mega:
+            html = simple_pdf(
+                [[f"doc {i} page {p} line {j} content" for j in range(45)] for p in range(50)],
+                compress=True,
+            )
+        elif i % 9 == 0:
+            html = sucursal_report_pdf(5 + i % 11, compress=i % 2 == 0)
+        else:
+            html = simple_pdf(
+                [
+                    [f"doc {i} page {p} line {j} body text" for j in range(10 + i % 15)]
+                    for p in range(1 + i % 4)
+                ],
+                style=["td", "tstar", "quote", "tj"][i % 4],
+                compress=i % 2 == 1,
+            )
+        if i % 90 == 33:  # some corrupt PDFs → parse_failed path
+            html = html[: len(html) // 2]
+    else:
+        html = article_page(i, n_paras=3 + i % 6, para_words=25 + i % 40).encode()
+    return url, ts, html, None, lang
+
+
+def build_pages_pdf(ids: list[int]) -> pd.DataFrame:
+    rows = []
+    for i in ids:
+        url, ts, html, text, lang = _row_payload(i)
+        rows.append((url, ts, html, text, lang))
+        if i % DUP_EVERY == 21:  # duplicate url, +1 day, same payload
+            rows.append((url, ts + dt.timedelta(days=1), html, text, lang))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_df(spark, n_rows: int, num_partitions: int | None = None):
+    """Distributed synthesis: spark.range over the id space → mapInPandas."""
+    num_partitions = num_partitions or max(8, n_rows // 2000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].tolist()
+            # yield in byte-capped slices to keep Arrow batches bounded
+            step = 64
+            for s in range(0, len(ids), step):
+                yield build_pages_pdf(ids[s : s + step])
+
+    return (
+        spark.range(0, n_rows, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def write_pages(spark, n_rows: int, path: str, num_partitions: int | None = None) -> None:
+    pages_df(spark, n_rows, num_partitions).write.mode("overwrite").parquet(path)

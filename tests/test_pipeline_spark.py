@@ -1,0 +1,190 @@
+"""End-to-end Spark pipeline tests — the golden contract on DataFrames.
+
+SURVEY.md §7.2: synthetic pages table → extraction → byte-identical
+`extracted_text` per url vs the frozen oracle; plus the downstream
+blocks/chunks/records/CSV dataflow and the metrics rollup.
+"""
+
+import datetime as dt
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.kernels.blocks import (
+    chunk_blocks,
+    parse_records,
+    records_to_csv,
+    records_to_pretty_json,
+    segment_blocks,
+)
+from pdf_to_text_spark.operators.extraction import (
+    content_type_dispatch,
+    dedup_latest_by_url,
+    metrics_rollup,
+    run_extraction,
+)
+from pdf_to_text_spark.operators.records import (
+    blocks_df,
+    chunks_df,
+    csv_documents,
+    json_documents,
+    records_df,
+    with_chunk_id,
+)
+from pdf_to_text_spark.sources.pages import PAGES_SCHEMA, build_pages_pdf, pages_df
+from tools.oracle_extract import extract_any
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+N_TEST_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, N_TEST_ROWS, num_partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def extracted(pages):
+    return run_extraction(pages, num_partitions=8).cache()
+
+
+def test_pages_shape(pages):
+    rows = pages.count()
+    assert rows > N_TEST_ROWS  # dup urls add rows
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_extraction_byte_identical_vs_oracle(pages, extracted):
+    """THE golden invariant: per-url byte-identical text vs the frozen oracle."""
+    inputs = {
+        r["url"]: (r["html"], r["text"])
+        for r in dedup_latest_by_url(pages).collect()
+    }
+    got = {r["url"]: r for r in extracted.collect()}
+    assert set(got) == set(inputs)
+    checked_pdf = checked_html = 0
+    for url, (html, text) in inputs.items():
+        row = got[url]
+        if html is None:
+            want = text if text is not None else ""
+        else:
+            is_pdf = url.endswith(".pdf") and bytes(html[:5]) == b"%PDF-"
+            want, _, failed = extract_any(bytes(html), "application/pdf" if is_pdf else "text/html")
+            if is_pdf:
+                checked_pdf += 1
+            else:
+                checked_html += 1
+            assert row["parse_failed"] == failed, url
+        assert row["extracted_text"].encode() == want.encode(), f"byte mismatch for {url}"
+    assert checked_pdf > 20 and checked_html > 50
+
+
+def test_golden_fixture_files_through_spark(spark):
+    """The committed golden corpus itself, pushed through the Spark path."""
+    rows = []
+    for src in sorted(GOLDEN.iterdir()):
+        if src.suffix in (".pdf", ".html"):
+            url = f"https://golden/{src.stem}{'.pdf' if src.suffix == '.pdf' else '.html'}"
+            rows.append((url, dt.datetime(2024, 1, 1), src.read_bytes(), None, "en"))
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {r["url"]: r["extracted_text"] for r in run_extraction(df, dedup=False).collect()}
+    for src in sorted(GOLDEN.iterdir()):
+        if src.suffix in (".pdf", ".html"):
+            url = f"https://golden/{src.stem}{src.suffix}"
+            want = src.with_suffix(".txt").read_bytes()
+            assert out[url].encode() == want, src.name
+
+
+def test_dedup_keeps_latest(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1), b"old", None, "en"),
+            ("u1", dt.datetime(2024, 1, 2), b"new", None, "en"),
+            ("u2", dt.datetime(2024, 1, 1), b"only", None, "en"),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    out = {r["url"]: bytes(r["html"]) for r in dedup_latest_by_url(df).collect()}
+    assert out == {"u1": b"new", "u2": b"only"}
+
+
+def test_parse_status_accounting(extracted, pages):
+    stats = {r["parse_status"]: r["cnt"] for r in
+             extracted.groupBy("parse_status").agg(F.count("*").alias("cnt")).collect()}
+    assert stats.get("parse_failed", 0) >= 1   # corrupt PDFs present
+    assert stats.get("passthrough", 0) >= 1    # pre-extracted text rows
+    assert stats.get("empty", 0) >= 1          # null html+text rows
+    assert stats["ok"] > 100
+
+
+def test_metrics_rollup(extracted):
+    m = metrics_rollup(extracted)
+    total = m.agg(
+        F.sum("docs").alias("docs"), F.sum("parse_failures").alias("fails")
+    ).collect()[0]
+    assert total["docs"] == extracted.count()
+    assert total["fails"] >= 1
+    assert m.count() <= 32  # one row per bucket
+
+
+def test_content_type_dispatch(pages):
+    out = content_type_dispatch(pages)
+    kinds = {r["content_type"] for r in out.collect()}
+    assert kinds == {"application/pdf", "text/html", None}
+
+
+def test_blocks_chunks_records_csv_match_kernel(spark):
+    """Downstream dataflow vs the pure-Python kernel on the sucursal fixture."""
+    pdf = (GOLDEN / "sucursal_report.pdf").read_bytes()
+    text, _, _ = extract_any(pdf, "application/pdf")
+    url = "https://golden/sucursal_report.pdf"
+    df = spark.createDataFrame(
+        [(url, dt.datetime(2024, 1, 1), pdf, None, "es")], schema=PAGES_SCHEMA
+    )
+    extracted = run_extraction(df, dedup=False)
+
+    # blocks
+    want_blocks = segment_blocks(text)
+    blocks = blocks_df(extracted)
+    got_blocks = [r["block"] for r in blocks.orderBy("block_pos").collect()]
+    assert got_blocks == want_blocks
+    assert len(want_blocks) == 26  # 25 terminated + 1 trailing unterminated
+
+    # chunks: 26 blocks → 10/10/6
+    bc = with_chunk_id(blocks)
+    chunks = {r["chunk_id"]: r for r in chunks_df(bc).collect()}
+    want_chunks = chunk_blocks(want_blocks)
+    assert [chunks[i]["n_blocks"] for i in sorted(chunks)] == [len(c) for c in want_chunks]
+    for i, wc in enumerate(want_chunks):
+        assert chunks[i]["chunk_text"] == "\n\n".join(wc)
+
+    # records
+    recs = records_df(bc)
+    want_recs = [r for b in want_blocks for r in parse_records(b)]
+    got_recs = [
+        {k: r[k] for k in ("SucursalName", "EAN", "CantidadVendida", "Importe")}
+        for r in recs.orderBy("chunk_id", "block_pos", "record_pos").collect()
+    ]
+    assert got_recs == want_recs
+    assert len(want_recs) > 25
+
+    # csv document — byte-identical to the kernel serializer
+    got_csv = csv_documents(recs).collect()[0]["csv"]
+    assert got_csv == records_to_csv(want_recs)
+    assert not got_csv.endswith("\n")
+
+    # json document — byte-identical pretty format
+    got_json = json_documents(recs).collect()[0]["json"]
+    assert got_json == records_to_pretty_json(want_recs)
+
+
+def test_local1_equals_local4(spark, pages):
+    """Partition-count independence: same results at different parallelism."""
+    a = run_extraction(pages, num_partitions=1)
+    b = run_extraction(pages, num_partitions=13)
+    ha = a.select("url", "extracted_text", "parse_status").exceptAll(
+        b.select("url", "extracted_text", "parse_status")
+    )
+    assert ha.count() == 0
+    assert a.count() == b.count()
