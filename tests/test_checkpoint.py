@@ -1,0 +1,71 @@
+"""Checkpoint/resume semantics (SURVEY.md §5.6): kill mid-run, rerun,
+assert no duplicate urls and snapshot growth = remaining waves only."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.plans.checkpoint import ManifestTable, run_resumable_extraction
+from pdf_to_text_spark.sources.pages import pages_df
+
+N_ROWS = 120
+
+
+@pytest.fixture()
+def pages(spark):
+    return pages_df(spark, N_ROWS, num_partitions=4).cache()
+
+
+def test_kill_and_resume_no_duplicates(spark, pages, tmp_path):
+    table = str(tmp_path / "extracted")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable_extraction(
+            spark, pages, table, buckets_per_commit=8, fail_after_commits=2
+        )
+    mt = ManifestTable(table)
+    n_after_crash = len(mt.snapshots())
+    assert n_after_crash == 2
+    committed_before = mt.committed_buckets()
+
+    # resume: must process ONLY the remaining buckets
+    mt2 = run_resumable_extraction(spark, pages, table, buckets_per_commit=8)
+    snaps = mt2.snapshots()
+    assert len(snaps) == n_after_crash + (32 - len(committed_before) + 7) // 8
+    # later snapshots never recommit earlier buckets
+    for s in snaps[n_after_crash:]:
+        assert not (set(s["buckets"]) & committed_before)
+
+    out = mt2.read(spark)
+    dupes = out.groupBy("url").count().where(F.col("count") > 1).count()
+    assert dupes == 0
+    # full coverage: every deduped input url present exactly once
+    want = pages.select("url").distinct().count()
+    assert out.count() == want
+
+
+def test_orphan_files_invisible(spark, pages, tmp_path):
+    """Snapshot isolation: uncommitted attempt files must not be read."""
+    table = str(tmp_path / "extracted")
+    mt = run_resumable_extraction(spark, pages, table, buckets_per_commit=16)
+    n = mt.read(spark).count()
+    # simulate a killed attempt leaving orphan parquet behind
+    orphan_dir = mt.data_dir / "attempt-orphan"
+    pages.limit(5).write.mode("overwrite").parquet(str(orphan_dir))
+    assert mt.read(spark).count() == n  # unchanged
+
+
+def test_metrics_lineage(spark, pages, tmp_path):
+    table = str(tmp_path / "extracted")
+    mt = run_resumable_extraction(spark, pages, table, buckets_per_commit=16)
+    m = mt.metrics(spark)
+    assert {"snapshot_id", "bucket", "docs", "parse_failures", "n_tasks"} <= set(m.columns)
+    total_docs = m.agg(F.sum("docs")).collect()[0][0]
+    assert total_docs == mt.read(spark).count()
+
+
+def test_rerun_is_noop(spark, pages, tmp_path):
+    table = str(tmp_path / "extracted")
+    run_resumable_extraction(spark, pages, table, buckets_per_commit=16)
+    mt = ManifestTable(table)
+    n_snaps = len(mt.snapshots())
+    run_resumable_extraction(spark, pages, table, buckets_per_commit=16)
+    assert len(ManifestTable(table).snapshots()) == n_snaps  # nothing to do
