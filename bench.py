@@ -1,0 +1,114 @@
+"""Headline benchmark — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the extraction
+pipeline over a deterministic synthetic pages table (cached on first
+build under .benchdata/). Every query is forced with a noop-sink write so
+all columns materialize but nothing collects to the driver.
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <float>,
+         "extraction_docs_per_sec": <float>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("PTS_BENCH_PAGES", "2000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    repo = pathlib.Path(__file__).resolve().parent
+    sys.path.insert(0, str(repo))
+
+    from pdf_to_text_spark.config import build_spark
+    from pdf_to_text_spark.operators import dedup, relational, similarity, text_analysis
+    from pdf_to_text_spark.operators.extraction import html_roundtrip_extract, run_extraction
+    from pdf_to_text_spark.sources.pages import write_pages
+
+    spark = build_spark(
+        "pts-bench", master=f"local[{cpus}]", shuffle_partitions=max(32, 2 * cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic bench pages table, built once and reused across runs
+    pages_path = repo / ".benchdata" / f"pages_{n_pages}"
+    if not (pages_path / "_SUCCESS").exists():
+        write_pages(spark, n_pages, str(pages_path), num_partitions=max(16, cpus))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pages = spark.read.parquet(str(pages_path))
+    docs_1k = docs.where(docs.doc_id < 1000)
+
+    def q_extract_pages():
+        return run_extraction(pages, num_partitions=4 * cpus)
+
+    headline = {
+        "extract_pages": q_extract_pages,
+        "extract_html_roundtrip": lambda: html_roundtrip_extract(docs),
+        "pricing_summary": lambda: relational.pricing_summary(lineitem),
+        "top_nation_revenue": lambda: relational.top_nation_revenue(orders, customer, nation),
+        "latest_event_per_user": lambda: relational.latest_event_per_user(events),
+        "word_chunk_reassembly": lambda: relational.word_chunk_reassembly(docs),
+        "token_quality_langid": lambda: text_analysis.quality_score(docs)
+        .join(text_analysis.language_id(docs), "doc_id")
+        .join(text_analysis.token_counts(docs), "doc_id"),
+        "fingerprint_dedup_exact": lambda: dedup.dedup_exact_groups(docs),
+        "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(docs, threshold=0.2),
+        "simhash_near_pairs": lambda: dedup.simhash_near_pairs(docs, max_hamming=8),
+        "ngram_jaccard_1k": lambda: dedup.ngram_jaccard_pairs(docs_1k, threshold=0.02),
+        "knn_brute_force": lambda: similarity.brute_force_topk(
+            emb, similarity.queries_from_corpus(emb, 16), k=10
+        ),
+        "knn_lsh": lambda: similarity.lsh_topk(
+            emb, similarity.queries_from_corpus(emb, 16), dim=64, k=10
+        ),
+    }
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name, fn in headline.items():
+        t0 = time.perf_counter()
+        _force(fn())
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # extraction throughput in docs/sec (the north-star metric)
+    n_extracted = pages.count()
+    extras["extraction_docs_per_sec"] = round(n_extracted / times["extract_pages"], 2)
+    extras["extraction_docs"] = n_extracted
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,286 @@
+"""Deduplication operators for a web-scale corpus.
+
+Five dedup families, each with the scale-path layout a 100 TB run needs:
+
+  * exact            — md5(normalized text) groupBy; one shuffle keyed by
+                       fingerprint, map-side partial agg
+  * minhash_lsh      — signature (pandas UDF, vectorized) → explode LSH
+                       bands → bucket-join candidates → signature-estimate
+                       verify; pair space is per-bucket, never global
+  * simhash          — 64-bit simhash, hamming≤k via the 4-band exact-match
+                       pigeonhole trick (any pair at distance ≤3 shares at
+                       least one of 4 16-bit bands verbatim)
+  * ngram_jaccard    — exact n-gram Jaccard via shingle explode +
+                       self-join (SQL-expressible; the verify step for the
+                       probabilistic families, and an oracle-checkable
+                       operator in its own right)
+  * embedding cosine — near-dup via cosine ≥ τ over an embedding column;
+                       JVM-side dot products (F.aggregate/zip_with)
+
+At bench scale (sf0.1: 5k docs) all run comfortably; at 100 TB exact and
+minhash_lsh are the production paths (linear shuffles), ngram_jaccard is
+the sampled audit, embedding-cosine runs behind the LSH bucketing in
+similarity.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ── exact dedup ──────────────────────────────────────────────────────────────
+
+
+def dedup_exact_groups(documents: DataFrame) -> DataFrame:
+    """Fingerprint → group size + representative (min doc_id)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
+    return (
+        documents.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Keep one row per distinct normalized text (the representative)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
+    with_fp = documents.withColumn("fingerprint", F.md5(norm.cast("binary")))
+    reps = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return with_fp.join(reps, ["fingerprint", "doc_id"]).drop("fingerprint")
+
+
+# ── MinHash + LSH ────────────────────────────────────────────────────────────
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def minhash_signatures(documents: DataFrame, n_perm: int = 64, n_bands: int = 16) -> DataFrame:
+    """doc_id → minhash signature + LSH band keys (Arrow-batched)."""
+
+    def gen(batches):
+        from ..kernels.textstats import minhash_bands, minhash_signature
+
+        for b in batches:
+            sigs, bands = [], []
+            for t in b["text"]:
+                s = minhash_signature(t or "", n_perm=n_perm)
+                sigs.append([int(x) - (1 << 63) for x in s.tolist()])  # store as signed
+                bands.append(minhash_bands(s, n_bands=n_bands))
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "sig": sigs, "bands": bands}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(gen, schema=_SIG_SCHEMA)
+
+
+def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    The self-join is keyed on (band_index, band_hash) — each bucket is
+    tiny, so the pair blow-up is local, never corpus²."""
+    bands = signatures.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame, threshold: float = 0.5, n_perm: int = 64, n_bands: int = 16
+) -> DataFrame:
+    """Candidate pairs verified by the signature Jaccard estimate
+    (fraction of equal minhash positions) ≥ threshold."""
+    sigs = minhash_signatures(documents, n_perm, n_bands)
+    pairs = minhash_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ── SimHash ──────────────────────────────────────────────────────────────────
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    def gen(batches):
+        from ..kernels.textstats import simhash64
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "simhash": [simhash64(t or "") - (1 << 63) for t in b["text"]],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k pairs via the pigeonhole band join (Manku et al., WWW'07):
+    split 64 bits into 4 bands of 16; distance ≤3 ⇒ ≥1 band equal."""
+    sigs = simhash_signatures(documents)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ── exact n-gram Jaccard (SQL-expressible; also the verify oracle) ──────────
+
+
+def ngram_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, built from built-ins only:
+    split → sliding transform → distinct explode."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " ")), " "
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    ).where(F.length("shingle") > 0)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over word n-grams: |A∩B| / (|A|+|B|−|A∩B|).
+
+    shingle self-join → per-pair common count → join per-doc totals.
+    At 100 TB you run this on LSH candidates only; standalone it is the
+    audit/oracle path."""
+    sh = ngram_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ── embedding-cosine near-dup ────────────────────────────────────────────────
+
+
+def cosine_sim_col(a: str, b: str):
+    """cosine(a, b) with JVM higher-order functions — no Python."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ τ.
+
+    Brute-force pair space at test scale; the LSH-bucketed variant in
+    similarity.py is the 100 TB path. Float32 inputs are cast to double
+    BEFORE the dot product so both engines accumulate in f64."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = cosine_sim_col("va", "vb")
+    return (
+        pairs.withColumn("cosine", F.round(sim, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

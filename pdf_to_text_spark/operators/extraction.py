@@ -79,6 +79,57 @@ def metrics_rollup(extracted: DataFrame) -> DataFrame:
     )
 
 
+def wrap_documents_as_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang) → pages rows whose html wraps the text
+    in realistic boilerplate (nav/header/footer link farms + one article).
+
+    Used by the flagship round-trip check: the extraction pipeline must
+    strip the boilerplate and recover `text` byte-identically, which gives
+    the extractor a DuckDB-checkable oracle (SELECT doc_id, text)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    def gen(batches):
+        nav = "".join(f'<a href="/s/{i}">section link {i}</a> | ' for i in range(8))
+        for b in batches:
+            htmls = [
+                (
+                    "<!DOCTYPE html><html><head><title>d</title>"
+                    "<style>p{margin:0}</style><script>var x=1;</script></head>"
+                    f"<body><nav><div>{nav}</div></nav>"
+                    f"<article><p>{t}</p></article>"
+                    '<footer><div><a href="/a">about</a> <a href="/b">legal</a>'
+                    " &copy; 2024</div></footer></body></html>"
+                ).encode()
+                for t in b["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": [f"https://corpus/{d:012d}.html" for d in b["doc_id"]],
+                    "warc_ts": _dt.datetime(2024, 1, 1),
+                    "html": htmls,
+                    "text": None,
+                    "lang": b["lang"],
+                }
+            )
+
+    return documents.select("doc_id", "text", "lang").mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def html_roundtrip_extract(documents: DataFrame) -> DataFrame:
+    """Flagship: wrap corpus text in boilerplate HTML, extract, return
+    (doc_id, extracted_text). Oracle: SELECT doc_id, text FROM documents."""
+    pages = wrap_documents_as_pages(documents)
+    extracted = run_extraction(pages, dedup=False)
+    return extracted.select(
+        F.regexp_extract("url", r"/(\d+)\.html$", 1).try_cast("long").alias("doc_id"),
+        "extracted_text",
+    )
+
+
 def content_type_dispatch(pages: DataFrame) -> DataFrame:
     """Pure-projection content-type classification (SURVEY §2 #2/#16).
 

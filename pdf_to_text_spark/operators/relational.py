@@ -1,0 +1,149 @@
+"""Relational operator surface (SURVEY.md §2.1) over the driver tables.
+
+The reference pipeline needs exactly: projection/filter dispatch, explode,
+one window (row_number chunking), ordered collect_list reassembly,
+metrics-style rollups, dedup windows, and equi-joins. Each is expressed
+here over the driver's TPC-H-ish tables so the DuckDB oracle can check it
+(documents stands in for pages.text — FIXTURES.md §6), plus TPC-H-style
+headline aggregation/join queries that pin the scale idioms: broadcast
+for small dims, map-side partial aggs, AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: big scan → map-side partial agg → tiny shuffle.
+
+    The workhorse pattern for the metrics rollup at 100 TB: the shuffle
+    carries (#groups × #partitions) rows, not the data.
+    """
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_nation_revenue(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Join chain with explicit broadcast of the small dims.
+
+    customer⋈nation is broadcast (25 rows / 1.5k rows — never shuffle
+    these); orders⋈customer shuffles on custkey only.
+    """
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Dedup-by-key window — same shape as dedup_latest_by_url (§2.1)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def word_chunk_reassembly(documents: DataFrame, chunk_size: int = 10) -> DataFrame:
+    """The chunk-id window + ordered reassembly pattern (§2 #8) over
+    documents.text: words → posexplode → chunk_id → ordered collect_list.
+
+    Deliberately the same plan shape as records.chunks_df so the DuckDB
+    oracle pins the semantics of the production operator.
+    """
+    words = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    chunked = words.withColumn("chunk_id", (F.col("pos") / chunk_size).cast("int"))
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
+def corpus_rollup(documents: DataFrame) -> DataFrame:
+    """Metrics-rollup shape over documents (lang × source grouping sets)."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def doc_embedding_join(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Equi-join shape (golden-compare / enrichment join, §2.1).
+
+    documents ⋈ embeddings on doc_id=vec_id — 1:1 keys, sort-merge or
+    broadcast depending on sizes; AQE decides.
+    """
+    return (
+        documents.join(embeddings, documents.doc_id == embeddings.vec_id)
+        .select("doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim"))
+    )
+
+
+def source_dispatch(documents: DataFrame) -> DataFrame:
+    """when/otherwise dispatch projection (§2 #2/#16 content-type shape)."""
+    return documents.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 100, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+        .alias("size_class"),
+        F.when(F.col("lang") == "en", "latin")
+        .when(F.col("lang").isin("es", "de", "fr"), "latin")
+        .otherwise("other")
+        .alias("script_class"),
+    )
+
+
+def high_value_order_lines(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Filter-pushdown + semi-join shape: lines of high-priority orders.
+
+    The filter on orders happens BEFORE the join (Catalyst pushes it);
+    left_semi avoids materializing order columns at all.
+    """
+    hp = orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    return (
+        lineitem.join(hp.select("o_orderkey"), lineitem.l_orderkey == hp.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

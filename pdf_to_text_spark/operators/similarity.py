@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths (SURVEY training-data ops):
+
+  * brute_force_topk — exact cosine top-k: query×corpus join, JVM-side
+    dot products, per-query window row_number. The correctness baseline
+    and the small-corpus path.
+  * lsh_topk         — random-hyperplane LSH (SimHash for vectors,
+    Charikar '02): 16 deterministic hyperplanes → bucket signature;
+    candidates = same bucket (multi-probe: hamming-1 neighbors too),
+    then exact rerank inside buckets. The 100 TB path: the join is keyed
+    on the bucket, so pair space is bucket-local; probes trade recall
+    for fan-out.
+
+At a real 100 TB deployment the corpus side is bucketed+sorted on the
+signature at write time, so the probe join prunes files; in the sandbox
+the same plan shape runs over parquet.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import cosine_sim_col
+
+N_PLANES = 8
+N_TABLES = 4
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries: (query_id, qv array<double|float>). Ties broken by vec_id so
+    results are total-order deterministic (and oracle-comparable).
+    """
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv"))
+    joined = q.crossJoin(corpus)
+    sim = cosine_sim_col("qv", "v")
+    scored = joined.select(
+        "query_id", "vec_id", F.round(sim, 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def queries_from_corpus(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
+    """Deterministic query set: the n lowest vec_ids, as (query_id, qv)."""
+    return (
+        embeddings.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+
+# ── random-hyperplane LSH ────────────────────────────────────────────────────
+
+
+def _planes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    rng = np.random.RandomState(0xA11CE + 7919 * table)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """id → (table, bucket) rows: n_tables independent n_planes-bit
+    hyperplane signatures per vector (vectorized numpy batches).
+
+    Standard multi-table construction (Indyk-Motwani / Charikar): each
+    table is an independent chance to co-bucket true neighbors, so recall
+    ≈ 1-(1-p^r)^T instead of p^r."""
+    all_planes = np.stack([_planes(dim, n_planes, t) for t in range(n_tables)])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def gen(batches):
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            ids = np.repeat(np.asarray(b[id_col]), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            # (T, n, planes) → bucket per (vec, table)
+            bits = np.einsum("nd,tpd->ntp", M, all_planes) > 0
+            buckets = (bits * weights).sum(axis=2).reshape(-1)  # row-major: vec-major
+            yield pd.DataFrame({id_col: ids, "table": tables, "bucket": buckets})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, table int, bucket long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """ANN top-k: multi-table bucket-join candidates, exact cosine rerank.
+
+    The candidate join is keyed on (table, bucket) — pair space stays
+    bucket-local, never corpus². Rerank is exact cosine, JVM-side."""
+    corpus_sig = lsh_signatures(embeddings, dim, n_planes, n_tables)
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(corpus_sig, "vec_id")
+
+    q_sig = lsh_signatures(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
+        dim,
+        n_planes,
+        n_tables,
+    ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv")).join(
+        q_sig, "query_id"
+    )
+
+    cand = (
+        q.join(corpus, ["table", "bucket"])
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    sim = cosine_sim_col("qv", "v")
+    scored = cand.select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

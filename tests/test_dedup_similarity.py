@@ -1,0 +1,121 @@
+"""Dedup + similarity operator semantics on crafted corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden all day long"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, BASE + " extra", "en", "src0", len(BASE) + 6),          # near-dup of 0
+        (2, BASE.replace("dog", "wolf"), "en", "src0", len(BASE)),  # near-dup of 0
+        (3, "completely different text about spark shuffle partitions and "
+            "arrow batches flowing through executors with vectorized kernels",
+         "en", "src1", 120),
+        (4, BASE.upper(), "en", "src1", len(BASE)),                 # exact dup after norm
+        (5, "", "en", "src2", 0),                                   # empty
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_catches_case_difference(docs):
+    groups = dedup.dedup_exact_groups(docs)
+    big = groups.where(F.col("group_size") > 1).collect()
+    assert len(big) == 1
+    assert big[0]["group_size"] == 2 and big[0]["rep_doc_id"] == 0  # 0 and 4
+    kept = dedup.dedup_exact(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 4 not in ids and 0 in ids and len(ids) == 5
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs
+    assert not any(3 in p for p in pairs)  # the unrelated doc pairs with nothing
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert (0, 4) in pairs and pairs[(0, 4)] == 0  # normalization-identical
+    assert (0, 1) in pairs
+    assert not any(3 in (a, b) for (a, b) in pairs)
+
+
+def test_ngram_jaccard_exact_math(docs, spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    assert pairs[(0, 4)] == 1.0  # identical after normalization
+    assert 0.5 < pairs[(0, 1)] < 1.0
+    # exact value check vs the kernel shingle sets
+    from pdf_to_text_spark.kernels.textstats import normalize_text
+
+    def shingles(t, n=3):
+        w = normalize_text(t).split()
+        return {" ".join(w[i : i + n]) for i in range(max(1, len(w) - n + 1))}
+
+    s0, s1 = shingles(BASE), shingles(BASE + " extra")
+    want = round(len(s0 & s1) / len(s0 | s1), 4)
+    assert pairs[(0, 1)] == want
+
+
+def test_embedding_near_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.04, 0.0, 0.0], 0),   # ~cos 0.999
+        (2, [0.0, 1.0, 0.0, 0.0], 1),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),     # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in
+             dedup.embedding_near_pairs(emb, threshold=0.95).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.99
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(200):
+        center = rng.RandomState if False else None
+        base = np.zeros(16)
+        base[i % 4] = 1.0
+        v = base + 0.1 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v], i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_self_is_top1(embeddings):
+    q = similarity.queries_from_corpus(embeddings, 4)
+    top = similarity.brute_force_topk(embeddings, q, k=3)
+    rows = top.where(F.col("rank") == 1).collect()
+    assert all(r["query_id"] == r["vec_id"] for r in rows)  # self-match first
+    assert all(r["cosine"] == 1.0 for r in rows)
+
+
+def test_lsh_topk_recall_vs_brute_force(embeddings):
+    q = similarity.queries_from_corpus(embeddings, 4)
+    brute = similarity.brute_force_topk(embeddings, q, k=5)
+    approx = similarity.lsh_topk(embeddings, q, dim=16, k=5)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # and the clusters are real: top-5 of each query share the query's label
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    for qid, vid in b:
+        assert labels[vid] == labels[qid]

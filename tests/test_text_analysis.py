@@ -1,0 +1,116 @@
+"""Text-analysis operator semantics + multimodal plumbing + streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_spark.operators import multimodal, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The cat is on the mat and it is very happy today.", "en", "s", 49),
+        (1, "de la que el en los se las por un momento", "es", "s", 41),
+        (2, "der die und den von zu das mit sich auf dem weg", "de", "s", 47),
+        (3, "le et les des une dans est pour qui par exemple", "fr", "s", 47),
+        (4, "xyzzy plugh qwerty", "und", "s", 18),
+        (5, "a1b2 c3! d4? e5.", "en", "s", 16),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_token_counts(docs):
+    out = {r["doc_id"]: r for r in text_analysis.token_counts(docs).collect()}
+    assert out[0]["ws_tokens"] == 12
+    assert out[5]["ws_tokens"] == 4
+    # bpe: a1b2 → a,1,b,2 ; c3! → c,3,! ; d4? → d,4,? ; e5. → e,5,.
+    assert out[5]["bpe_tokens"] == 13
+
+
+def test_quality_stats_and_score(docs):
+    stats = {r["doc_id"]: r for r in text_analysis.quality_stats(docs).collect()}
+    assert stats[5]["digit_chars"] == 5 and stats[5]["punct_chars"] == 3
+    assert stats[0]["stop_hits"] >= 4
+    scores = {r["doc_id"]: r["quality"] for r in text_analysis.quality_score(docs).collect()}
+    assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in text_analysis.language_id(docs).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprints_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, World!", "en", "s", 13), (1, "hello   world", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = [r["fingerprint"] for r in text_analysis.fingerprints(df).collect()]
+    assert fps[0] == fps[1]  # case/punct/ws-insensitive
+
+
+def test_winnow_fingerprints(docs):
+    out = text_analysis.winnow_fingerprints(docs).collect()
+    assert all(r["n_grams"] == len(r["winnow"]) for r in out)
+    assert all(r["n_grams"] > 0 for r in out)
+
+
+# ── multimodal plumbing ──────────────────────────────────────────────────────
+
+
+def test_media_features_plumbing(spark):
+    media = multimodal.synth_media_df(spark, 60)
+    feats = multimodal.media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["decode_status"], 0)
+        by_status[r["decode_status"]] += 1
+    assert by_status["null_payload"] >= 1
+    ok = [r for r in rows if r["decode_status"] == "ok"]
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in ok)
+    assert all(-1.0 <= x < 1.0 for r in ok for x in r["feature"])
+    # determinism: same payload → same hash/feature
+    feats2 = {r["media_id"]: (r["content_hash"], r["feature"]) for r in
+              multimodal.media_features(media).collect()}
+    for r in ok:
+        assert feats2[r["media_id"]] == (r["content_hash"], r["feature"])
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media_df(spark, 30)
+    plan = multimodal.frame_sample_plan(media, every_n=10)
+    rows = plan.groupBy("media_id").agg(F.count("*").alias("n"),
+                                        F.max("frame_idx").alias("mx")).collect()
+    metas = {r["media_id"]: r["meta"]["n_frames"] for r in
+             media.where(F.col("kind") == "video").collect()}
+    for r in rows:
+        n_frames = metas[r["media_id"]]
+        assert r["n"] == (n_frames - 1) // 10 + 1
+        assert r["mx"] <= n_frames - 1
+
+
+# ── streaming ────────────────────────────────────────────────────────────────
+
+
+def test_streaming_extraction_available_now(spark, tmp_path):
+    from pdf_to_text_spark.sources.pages import pages_df
+    from pdf_to_text_spark.streaming.extract_stream import run_available_now
+
+    src = str(tmp_path / "pages_stream")
+    pages_df(spark, 60, num_partitions=2).write.parquet(src)
+    out = str(tmp_path / "extracted_stream")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(spark, src, out, ckpt)
+    got = spark.read.parquet(out)
+    want = pages_df(spark, 60, num_partitions=2).count()
+    assert got.count() == want
+    # exactly-once on rerun with same checkpoint: no new rows
+    run_available_now(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == want
+    statuses = {r["parse_status"] for r in got.select("parse_status").distinct().collect()}
+    assert "ok" in statuses
