@@ -39,7 +39,7 @@ N_BUCKETS = int(os.environ.get("PTS_N_BUCKETS", "32"))
 SKEW_SALT = int(os.environ.get("PTS_SKEW_SALT", "8"))
 # Arrow batch budget: rows are megabyte-scale, so cap batch *bytes*, not rows.
 ARROW_MAX_BATCH_BYTES = int(os.environ.get("PTS_ARROW_MAX_BATCH_BYTES", str(32 << 20)))
-ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("PTS_ARROW_MAX_RECORDS", "64"))
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("PTS_ARROW_MAX_RECORDS", "256"))
 
 
 def package_zip(out_dir: str | None = None) -> str:

@@ -106,16 +106,23 @@ def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash (Charikar '02) over word unigrams+bigrams."""
+    """64-bit SimHash (Charikar '02) over word unigrams+bigrams.
+
+    Vectorized: all feature hashes land in one uint64 array, bits are
+    unpacked with a single broadcasted shift — no per-feature Python work
+    beyond the stable hash itself.
+    """
     words = normalize_text(text).split()
     if not words:
         return 0
     feats = words + [" ".join(p) for p in zip(words, words[1:])]
-    acc = np.zeros(64, dtype=np.int64)
-    bits = np.arange(64, dtype=np.uint64)
-    for f in feats:
-        h = _stable_u64(f.encode(), seed=7)
-        acc += np.where((np.uint64(h) >> bits) & np.uint64(1), 1, -1)
+    hs = np.fromiter(
+        (_stable_u64(f.encode(), seed=7) for f in feats),
+        dtype=np.uint64,
+        count=len(feats),
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = 2 * bits.astype(np.int64).sum(axis=0) - len(feats)  # (+1/-1 votes)
     out = 0
     for i in range(64):
         if acc[i] > 0:

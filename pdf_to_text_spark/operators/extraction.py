@@ -38,26 +38,42 @@ def run_extraction(
     *,
     num_partitions: int | None = None,
     dedup: bool = True,
+    shuffle_payloads: bool = False,
 ) -> DataFrame:
     """pages → extracted (url, warc_ts, lang, content_type, extracted_text,
     n_pages, n_chars, parse_status, parse_failed, bucket, partition_id).
 
-    Column-prunes to the 5 input columns before the UDF so the parquet
-    scan reads nothing else; salted repartition balances mega-PDF skew.
+    Scale-critical ordering: NEVER shuffle raw payloads. The kernel maps
+    directly over the size-bounded scan splits (maxPartitionBytes already
+    caps task input, which is what actually balances megabyte-PDF skew at
+    the scan), and the dedup window runs AFTER extraction on the derived
+    rows — extracted text is ~100-1000× smaller than PDF bytes, so the
+    row_number shuffle moves kilobytes per doc instead of megabytes.
+    Extracting a duplicated url twice costs ~2% redundant kernel CPU
+    (FIXTURES dup rate) vs two full-corpus payload shuffles — at 100 TB
+    that trade is not close.
+
+    `shuffle_payloads=True` restores the pre-shuffle layout (bucket +
+    salted repartition before the kernel) for inputs that arrive so
+    skewed that scan splits can't balance them (e.g. one giant file of
+    mega-PDFs with tiny row groups).
     """
     df = pages.select(*PAGES_COLS)
+    if shuffle_payloads:
+        df = with_bucket(df)
+        df = salted_repartition(df, num_partitions or 64).select(*PAGES_COLS)
+    extracted = df.mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
+    extracted = extracted.withColumn("partition_id", F.spark_partition_id())
     if dedup:
-        df = dedup_latest_by_url(df)
-    df = with_bucket(df)
-    if num_partitions:
-        df = salted_repartition(df, num_partitions)
-    extracted = df.select(*PAGES_COLS).mapInPandas(
-        extract_batches, schema=EXTRACT_SCHEMA
-    )
+        w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+        extracted = (
+            extracted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     # bucket is recomputed (cheap, deterministic) rather than shipped
-    # through the Python worker; partition_id is the lineage of the task
-    # that actually ran the kernel.
-    return with_bucket(extracted).withColumn("partition_id", F.spark_partition_id())
+    # through the Python worker.
+    return with_bucket(extracted)
 
 
 def metrics_rollup(extracted: DataFrame) -> DataFrame:

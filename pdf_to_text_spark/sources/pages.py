@@ -55,17 +55,27 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
         return url, ts, None, f"pre-extracted text for row {i} " * 8, lang
 
     if is_pdf:
+        from tools.make_html import _sentence
+
         if is_mega:
+            # genuinely megabyte-scale: 100 pages, uncompressed streams
+            # (~1 MB; the skew knob of FIXTURES.md §1)
             html = simple_pdf(
-                [[f"doc {i} page {p} line {j} content" for j in range(45)] for p in range(50)],
-                compress=True,
+                [
+                    [_sentence(i * 7919 + p * 131 + j, 10) for j in range(80)]
+                    for p in range(100)
+                ],
+                compress=False,
             )
         elif i % 9 == 0:
             html = sucursal_report_pdf(5 + i % 11, compress=i % 2 == 0)
         else:
             html = simple_pdf(
                 [
-                    [f"doc {i} page {p} line {j} body text" for j in range(10 + i % 15)]
+                    [
+                        _sentence(i * 2741 + p * 53 + j, 8)
+                        for j in range(20 + i % 20)
+                    ]
                     for p in range(1 + i % 4)
                 ],
                 style=["td", "tstar", "quote", "tj"][i % 4],

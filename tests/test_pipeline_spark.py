@@ -180,9 +180,10 @@ def test_blocks_chunks_records_csv_match_kernel(spark):
 
 
 def test_local1_equals_local4(spark, pages):
-    """Partition-count independence: same results at different parallelism."""
-    a = run_extraction(pages, num_partitions=1)
-    b = run_extraction(pages, num_partitions=13)
+    """Layout independence: scan-split mapping and the salted-repartition
+    path must produce identical results."""
+    a = run_extraction(pages, shuffle_payloads=True, num_partitions=13)
+    b = run_extraction(pages)
     ha = a.select("url", "extracted_text", "parse_status").exceptAll(
         b.select("url", "extracted_text", "parse_status")
     )

@@ -1,0 +1,120 @@
+"""Physical-plan quality gates (the 100 TB checklist, SURVEY.md §4).
+
+These tests pin the plan shapes that matter at scale:
+  * the extraction scan reads ONLY the 5 input columns (column pruning);
+  * no Exchange (shuffle) of raw payloads before the extraction kernel;
+  * small dims broadcast in the join chain;
+  * filters are pushed into the parquet scan;
+  * the chunk operator needs no window Exchange (posexplode ordinals).
+Plans regress silently; grepping .explain output is how we notice.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages(spark, tmp_path_factory):
+    from pdf_to_text_spark.sources.pages import write_pages
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    write_pages(spark, 100, path, num_partitions=2)
+    return spark.read.parquet(path)
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_extraction_scan_prunes_columns(pages):
+    from pdf_to_text_spark.operators.extraction import run_extraction
+
+    plan = _plan(run_extraction(pages.withColumn("extra", F.lit(1))))
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m, plan
+    read = m.group(1)
+    assert "extra" not in read
+    for col in ("url", "warc_ts", "html", "text", "lang"):
+        assert col in read
+
+
+def test_no_payload_shuffle_before_kernel(pages):
+    from pdf_to_text_spark.operators.extraction import run_extraction
+
+    plan = _plan(run_extraction(pages))
+    # physical ops in order; the kernel must come straight off the scan
+    kernel_pos = plan.find("MapInPandas")
+    first_exchange = plan.find("Exchange")
+    assert kernel_pos != -1
+    # any Exchange must be AFTER the kernel (dedup window on derived rows)
+    assert first_exchange == -1 or first_exchange > 0
+    # stronger: the subtree between Scan and MapInPandas has no Exchange
+    scan_to_kernel = plan[plan.find("Scan parquet") : kernel_pos]
+    assert "Exchange" not in scan_to_kernel
+
+
+def test_salted_path_shuffles_by_bucket_and_salt(pages):
+    from pdf_to_text_spark.operators.extraction import run_extraction
+
+    plan = _plan(run_extraction(pages, shuffle_payloads=True, num_partitions=8))
+    assert "hashpartitioning" in plan and "xxhash64" in plan
+
+
+def test_broadcast_join_for_small_dims(spark):
+    from pdf_to_text_spark.operators.relational import top_nation_revenue
+    from pdf_to_text_spark.sources.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    plan = _plan(
+        top_nation_revenue(
+            load(spark, "orders", sf), load(spark, "customer", sf), load(spark, "nation", sf)
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pdf_to_text_spark.sources.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    df = load(spark, "orders", sf).where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*o_orderpriority.*\]", plan), plan
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert "o_totalprice" not in m.group(1)  # pruned
+
+
+def test_chunk_assembly_single_aggregate_no_window(spark):
+    """chunks_df must be explode → project → ONE hash aggregate pair —
+    no Window operator (the ordinal comes from posexplode for free)."""
+    import datetime as dt
+
+    from pdf_to_text_spark.operators.extraction import run_extraction
+    from pdf_to_text_spark.operators.records import blocks_df, chunks_df, with_chunk_id
+    from pdf_to_text_spark.sources.pages import PAGES_SCHEMA
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), b"%PDF-x", None, "en")], schema=PAGES_SCHEMA
+    )
+    plan = _plan(chunks_df(with_chunk_id(blocks_df(run_extraction(df, dedup=False)))))
+    assert "Window" not in plan
+    assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_relational_agg_plan_shape(spark):
+    """Q1 shape: filter pushed to parquet, map-side partial aggregation,
+    shuffle carries only the grouped partials (AQE wraps codegen, so we
+    assert the load-bearing plan features rather than the codegen label)."""
+    from pdf_to_text_spark.operators.relational import pricing_summary
+    from pdf_to_text_spark.sources.catalog import load
+
+    plan = _plan(pricing_summary(load(spark, "lineitem", "/root/testdata/sf0.001")))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.index("partial_sum") < plan.index("hashpartitioning")
