@@ -130,6 +130,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_media_features(spark, sf):
         return multimodal.media_features(multimodal.synth_media_df(spark, 60))
 
+    def q_llm_record_ingest(spark, sf):
+        from pdf_to_text_spark.operators.records import records_from_llm_responses
+
+        rows = [
+            ("u1", 0, 'ok ```json [{"SucursalName":"A","EAN":"111",'
+                      '"CantidadVendida":"2","Importe":"3.50"},'
+                      '{"SucursalName":"B","EAN":"222",'
+                      '"CantidadVendida":"5","Importe":"9.90"}] ```'),
+            ("u1", 1, '[{"SucursalName":"C","EAN":"333",'
+                      '"CantidadVendida":"x","Importe":"y"}]'),
+            ("u2", 0, "no json here at all"),
+        ]
+        df = spark.createDataFrame(rows, "url string, chunk_id int, response string")
+        return records_from_llm_responses(df)
+
+    def q_csv_serialization(spark, sf):
+        """CSV quirks (§2 #12) through the JVM path on crafted records."""
+        from pdf_to_text_spark.operators.records import csv_documents
+
+        # values stay off round-half boundaries: Java's %.2f rounds the
+        # shortest-repr digits half-up while C printf rounds the exact
+        # binary expansion — identical except exactly at .xx5 (that edge
+        # is pinned by the pytest kernel contract instead)
+        rows = [
+            ("d1", 0, 0, 0, 'He said "hi"', "E1", "7", "49.9"),
+            ("d1", 0, 0, 1, "Plain", "E2", "xx", "junk"),
+            ("d1", 0, 1, 0, "Trunc", "E3", "3.9", "12.344"),
+            ("d2", 0, 0, 0, "Neg", "E4", "-5", "-1.01"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url string, chunk_id int, block_pos int, record_pos int, "
+            "SucursalName string, EAN string, CantidadVendida string, Importe string",
+        )
+        return csv_documents(df)
+
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extraction_pdf_e2e": q_extraction_pdf_e2e,
@@ -155,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
+        "llm_record_ingest": q_llm_record_ingest,
+        "csv_serialization": q_csv_serialization,
     }
 
 
@@ -346,6 +384,57 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "llm_record_ingest": r"""
+            WITH resp(url, chunk_id, response) AS (VALUES
+              ('u1', 0, 'ok ```json [{"SucursalName":"A","EAN":"111",' ||
+                        '"CantidadVendida":"2","Importe":"3.50"},' ||
+                        '{"SucursalName":"B","EAN":"222",' ||
+                        '"CantidadVendida":"5","Importe":"9.90"}] ```'),
+              ('u1', 1, '[{"SucursalName":"C","EAN":"333",' ||
+                        '"CantidadVendida":"x","Importe":"y"}]'),
+              ('u2', 0, 'no json here at all')),
+            ext AS (SELECT url, chunk_id,
+              trim(CASE WHEN regexp_extract(response, '```json([\s\S]+?)```', 1) <> ''
+                   THEN regexp_extract(response, '```json([\s\S]+?)```', 1)
+                   ELSE response END) AS cand FROM resp),
+            parsed AS (SELECT url, chunk_id,
+              CASE WHEN json_valid(cand) THEN json_transform(cand,
+                '[{"SucursalName":"VARCHAR","EAN":"VARCHAR",
+                   "CantidadVendida":"VARCHAR","Importe":"VARCHAR"}]') END AS recs
+              FROM ext),
+            good AS (SELECT url, chunk_id,
+                unnest(range(len(recs)))::int AS record_pos, 1 AS parse_ok,
+                unnest(recs) AS rec
+              FROM parsed WHERE recs IS NOT NULL)
+            SELECT url, chunk_id, record_pos, parse_ok,
+                   rec.SucursalName AS SucursalName, rec.EAN AS EAN,
+                   rec.CantidadVendida AS CantidadVendida, rec.Importe AS Importe
+            FROM good
+            UNION ALL
+            SELECT url, chunk_id, NULL::int, 0, NULL, NULL, NULL, NULL
+            FROM parsed WHERE recs IS NULL
+        """,
+        "csv_serialization": r"""
+            WITH recs(url, chunk_id, block_pos, record_pos,
+                      SucursalName, EAN, CantidadVendida, Importe) AS (VALUES
+              ('d1', 0, 0, 0, 'He said "hi"', 'E1', '7', '49.9'),
+              ('d1', 0, 0, 1, 'Plain', 'E2', 'xx', 'junk'),
+              ('d1', 0, 1, 0, 'Trunc', 'E3', '3.9', '12.344'),
+              ('d2', 0, 0, 0, 'Neg', 'E4', '-5', '-1.01')),
+            lines AS (SELECT url, chunk_id, block_pos, record_pos,
+              '"' || SucursalName || '","' || EAN || '",' ||
+              coalesce(try_cast(regexp_extract(CantidadVendida,
+                  '^\s*([+-]?[0-9]+)', 1) AS BIGINT), 0) || ',' ||
+              printf('%.2f', coalesce(try_cast(regexp_extract(Importe,
+                  '^\s*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)',
+                  1) AS DOUBLE), 0.0)) AS line
+              FROM recs)
+            SELECT url,
+                   'SucursalName,EAN,CantidadVendida,Importe' || chr(10) ||
+                   string_agg(line, chr(10)
+                     ORDER BY chunk_id, block_pos, record_pos) AS csv
+            FROM lines GROUP BY url
         """,
         # extraction_pdf_e2e, winnow_fingerprints, minhash_dedup_pairs,
         # simhash_near_pairs, knn_lsh, media_features: non-SQL-expressible

