@@ -204,8 +204,10 @@ def main() -> int:
         "instructions (32-core sandbox; no real cluster). On a real cluster the",
         "same job is `spark-submit --py-files dist/engine.zip --master <N|4N>`.",
     ]
-    (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
-    print(f"wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)
+    # LAST_RUN.md, not BASELINE.md: the committed BENCH/BASELINE.md is the
+    # curated multi-window report; each run appends its raw data here.
+    (bench_dir / "LAST_RUN.md").write_text("\n".join(lines) + "\n")
+    print(f"wrote {bench_dir / 'LAST_RUN.md'}", file=sys.stderr)
     return 0
 
 
