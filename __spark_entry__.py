@@ -15,15 +15,38 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the engine importable on this session's Python workers.
+
+    The driver builds its own SparkSession; ship engine.zip to it once
+    (same mechanism as spark-submit --py-files). Safe to call repeatedly."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from pdf_to_text_spark.config import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already registered, or local sys.path suffices
+    _SHIPPED.add(key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -54,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extraction.html_roundtrip_extract(_docs(spark, sf))
 
     def q_extraction_pdf_e2e(spark, sf):
+        _ensure_shipped(spark)
         ex = extraction.run_extraction(pages_df(spark, 120, num_partitions=4))
         return ex.select("url", "content_type", "n_pages", "n_chars", "parse_status")
 
@@ -128,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.lsh_topk(e, similarity.queries_from_corpus(e, 8), dim=64, k=5)
 
     def q_media_features(spark, sf):
+        _ensure_shipped(spark)
         return multimodal.media_features(multimodal.synth_media_df(spark, 60))
 
     def q_llm_record_ingest(spark, sf):

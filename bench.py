@@ -28,7 +28,7 @@ def _force(df) -> int:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("PTS_BENCH_PAGES", "2000"))
+    n_pages = int(os.environ.get("PTS_BENCH_PAGES", "24000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     repo = pathlib.Path(__file__).resolve().parent
@@ -83,6 +83,10 @@ def main() -> int:
             emb, similarity.queries_from_corpus(emb, 16), dim=64, k=10
         ),
     }
+
+    # warm the Python worker pool once (daemon fork + imports) so the
+    # first timed query doesn't absorb interpreter cold-start
+    _force(run_extraction(pages.limit(8 * cpus)))
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
