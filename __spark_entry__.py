@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 _SHIPPED: set[int] = set()
@@ -151,6 +152,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _emb(spark, sf)
         return similarity.lsh_topk(e, similarity.queries_from_corpus(e, 8), dim=64, k=5)
 
+    def q_knn_ivf(spark, sf):
+        e = _emb(spark, sf)
+        return similarity.ivf_topk(
+            e, similarity.queries_from_corpus(e, 8), dim=64, k=5, n_cells=8, n_probe=3
+        )
+
+    def q_point_lookup(spark, sf):
+        """Point-lookup scan (§2 #16, GET /file/:key analogue)."""
+        return _docs(spark, sf).where(F.col("doc_id") == 42).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+
     def q_media_features(spark, sf):
         _ensure_shipped(spark)
         return multimodal.media_features(multimodal.synth_media_df(spark, 60))
@@ -216,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
+        "knn_ivf": q_knn_ivf,
+        "point_lookup": q_point_lookup,
         "llm_record_ingest": q_llm_record_ingest,
         "csv_serialization": q_csv_serialization,
     }
@@ -409,6 +424,9 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "point_lookup": """
+            SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
         """,
         "llm_record_ingest": r"""
             WITH resp(url, chunk_id, response) AS (VALUES

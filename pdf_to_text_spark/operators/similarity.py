@@ -108,6 +108,131 @@ def lsh_signatures(
     )
 
 
+def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
+               n_iters: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: deterministic Lloyd's k-means (fixed seed,
+    fixed iteration count) → (id, cell) assignments.
+
+    Centroid update runs as a Spark aggregation per iteration (sums via
+    posexplode + groupBy — all JVM); only the tiny (n_cells × dim)
+    centroid matrix ever reaches the driver. At 100 TB the assignment is
+    one broadcast-join-free map per iteration, and the final cell id is
+    the partition key for the ANN probe path."""
+    import numpy as np
+
+    e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    rng = np.random.RandomState(0xCE11)
+    centroids = rng.standard_normal((n_cells, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    for _ in range(n_iters):
+        assigned = _assign_cells(e, centroids)
+        # per-cell vector sums, computed distributed; only n_cells rows return
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        counts = {}
+        acc = {}
+        for r in sums:
+            acc[(r["cell"], r["i"])] = r["s"]
+            counts[r["cell"]] = r["n"]
+        for c in range(n_cells):
+            if counts.get(c):
+                vec = np.array([acc.get((c, i), 0.0) for i in range(dim)]) / counts[c]
+                norm = np.linalg.norm(vec)
+                if norm > 0:
+                    new[c] = vec / norm
+        centroids = new
+
+    return _assign_cells(e, centroids).select(id_col, "cell")
+
+
+def _assign_cells(e: DataFrame, centroids) -> DataFrame:
+    """argmax-dot-product cell assignment as a pure-JVM expression."""
+    sims = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_s{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_sims = e.select("*", *sims)
+    best = F.lit(0)
+    best_sim = F.col("_s0")
+    for i in range(1, len(centroids)):
+        cond = F.col(f"_s{i}") > best_sim
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_sim = F.when(cond, F.col(f"_s{i}")).otherwise(best_sim)
+    return with_sims.withColumn("cell", best).drop(*[f"_s{i}" for i in range(len(centroids))])
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF ANN: probe the n_probe nearest cells per query, exact rerank
+    inside them. The probe join is keyed on cell — corpus² never forms."""
+    import numpy as np
+
+    # train the quantizer on the corpus (deterministic)
+    assigned = ivf_assign(embeddings, dim, n_cells)
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assigned, "vec_id")
+
+    # re-derive the trained centroids from assignments (cell means)
+    cents = (
+        corpus.select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in cents:
+        by_cell.setdefault(r["cell"], {})[r["i"]] = r["m"]
+    cell_ids = sorted(by_cell)
+    C = np.array([[by_cell[c].get(i, 0.0) for i in range(dim)] for c in cell_ids])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def probes(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in b["qv"]])
+            sims = M @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            qids = np.repeat(np.asarray(b["query_id"]), n_probe)
+            cells = np.asarray([cell_ids[j] for j in top.reshape(-1)])
+            yield pd.DataFrame({"query_id": qids, "cell": cells})
+
+    q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv"))
+    q_probes = q.mapInPandas(probes, schema="query_id long, cell int")
+    cand = (
+        q.join(q_probes, "query_id")
+        .join(corpus, "cell")
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    sim = cosine_sim_col("qv", "v")
+    scored = cand.select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

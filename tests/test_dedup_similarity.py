@@ -107,6 +107,16 @@ def test_brute_force_topk_self_is_top1(embeddings):
     assert all(r["cosine"] == 1.0 for r in rows)
 
 
+def test_ivf_topk_recall_vs_brute_force(embeddings):
+    q = similarity.queries_from_corpus(embeddings, 4)
+    brute = similarity.brute_force_topk(embeddings, q, k=5)
+    ivf = similarity.ivf_topk(embeddings, q, dim=16, k=5, n_cells=8, n_probe=3)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, f"IVF recall too low on clustered data: {recall}"
+
+
 def test_lsh_topk_recall_vs_brute_force(embeddings):
     q = similarity.queries_from_corpus(embeddings, 4)
     brute = similarity.brute_force_topk(embeddings, q, k=5)
