@@ -1,0 +1,53 @@
+"""CLI job entry point — the spark-submit surface.
+
+    spark-submit --py-files dist/engine.zip -m ...  # on a cluster
+    python -m pdf_to_text_spark.run --input <pages parquet> --output <dir>
+
+--resume uses the snapshot-checkpointed path (plans/checkpoint.py): a
+re-run after a crash processes only uncommitted buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_to_text_spark.run")
+    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="snapshot-checkpointed extraction (resumable)")
+    ap.add_argument("--no-dedup", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .config import build_spark
+
+    spark = build_spark("pdf_to_text_spark.run", master=args.master)
+    try:
+        pages = spark.read.parquet(args.input)
+        if args.resume:
+            from .plans.checkpoint import run_resumable_extraction
+
+            mt = run_resumable_extraction(spark, pages, f"{args.output}/extracted")
+            mt.metrics(spark).write.mode("overwrite").parquet(f"{args.output}/metrics")
+            n = mt.read(spark).count()
+            print(f"extracted (resumable): {n} docs, "
+                  f"{len(mt.snapshots())} snapshots", file=sys.stderr)
+        else:
+            from .pipeline import run_reference_pipeline
+
+            out = run_reference_pipeline(pages, dedup=not args.no_dedup)
+            for name in ("extracted", "records", "csv_docs", "json_docs", "metrics"):
+                out[name].write.mode("overwrite").parquet(f"{args.output}/{name}")
+            print("wrote extracted/records/csv_docs/json_docs/metrics "
+                  f"under {args.output}", file=sys.stderr)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
