@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_source_dispatch(spark, sf):
         return relational.source_dispatch(_docs(spark, sf))
 
+    def q_sessionize_events(spark, sf):
+        return relational.sessionize_events(_t(spark, sf, "events"))
+
+    def q_events_hourly_rollup(spark, sf):
+        return relational.events_hourly_rollup(_t(spark, sf, "events"))
+
     def q_high_value_order_lines(spark, sf):
         return relational.high_value_order_lines(
             _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
@@ -214,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "doc_embedding_join": q_doc_embedding_join,
         "source_dispatch": q_source_dispatch,
+        "sessionize_events": q_sessionize_events,
+        "events_hourly_rollup": q_events_hourly_rollup,
         "high_value_order_lines": q_high_value_order_lines,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
@@ -312,6 +320,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lang IN ('es','de','fr') THEN 'latin'
                         ELSE 'other' END AS script_class
             FROM documents
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(boundary) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY 1, 2
         """,
         "high_value_order_lines": """
             SELECT l_returnflag, count(*) AS n_lines,

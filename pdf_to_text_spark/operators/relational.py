@@ -131,6 +131,49 @@ def source_dispatch(documents: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than `gap_minutes`. lag → boundary flag → running sum, then a
+    per-session rollup — two windows over one user-keyed shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic, not epoch casts: TIMESTAMP_NTZ has no epoch
+    # under ANSI and epoch math would be session-timezone-dependent
+    boundary = (F.col("ts") - F.lag("ts").over(w)) > F.expr(
+        f"INTERVAL {gap_minutes} MINUTES"
+    )
+    with_session = events.withColumn(
+        "session_id",
+        F.sum(F.when(boundary, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def events_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-window rollup (batch analogue of the streaming metrics):
+    docs the reference never had — per-hour per-type counters."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
 def high_value_order_lines(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Filter-pushdown + semi-join shape: lines of high-priority orders.
 
