@@ -88,6 +88,13 @@ class _Lexer:
             raise PDFParseError(f"expected {kw!r} at offset {self.pos}")
         self.pos += len(kw)
 
+    def read_int(self) -> int:
+        tok = self.read_token()
+        try:
+            return int(tok)
+        except ValueError:
+            raise PDFParseError(f"expected integer, got {tok[:20]!r}") from None
+
     def read_token(self) -> bytes:
         """Read a bare regular token (keyword or number)."""
         self._skip_ws()
@@ -335,11 +342,13 @@ class PDFDocument:
                 if not isinstance(trailer, dict):
                     raise PDFParseError("trailer is not a dict")
                 return trailer
-            first = int(lx.read_token())
-            count = int(lx.read_token())
+            first = lx.read_int()
+            count = lx.read_int()
+            if count < 0 or count > 10_000_000:
+                raise PDFParseError(f"implausible xref section count {count}")
             for i in range(count):
-                off = int(lx.read_token())
-                _gen = int(lx.read_token())
+                off = lx.read_int()
+                _gen = lx.read_int()
                 kind = lx.read_token()
                 if kind == b"n":
                     # earlier sections in the Prev chain must not override
@@ -360,9 +369,11 @@ class PDFDocument:
         off = self.xref.get(num)
         if off is None:
             raise PDFParseError(f"object {num} not in xref")
+        if off < 0 or off >= len(self.data):
+            raise PDFParseError(f"xref offset {off} out of range")
         lx = _Lexer(self.data, off)
-        got_num = int(lx.read_token())
-        _gen = int(lx.read_token())
+        got_num = lx.read_int()
+        _gen = lx.read_int()
         lx.expect_keyword(b"obj")
         if got_num != num:
             raise PDFParseError(f"xref points to object {got_num}, wanted {num}")

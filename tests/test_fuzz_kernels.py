@@ -1,0 +1,65 @@
+"""Adversarial-input fuzzing: kernels must never hang or crash a task —
+any garbage either parses or raises the typed parse error (SURVEY §2 #18:
+'a bad document must never kill a task')."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_to_text_spark.kernels.html import extract_html_text
+from pdf_to_text_spark.kernels.pdf import PDFParseError, extract_pdf_text
+from tools.make_pdf import simple_pdf
+
+
+@settings(max_examples=300, deadline=2000)
+@given(st.binary(max_size=2048))
+def test_pdf_random_bytes_never_crash(data):
+    try:
+        text, n = extract_pdf_text(data)
+        assert isinstance(text, str) and n >= 1
+    except PDFParseError:
+        pass
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(max_size=512), st.integers(0, 3))
+def test_pdf_mutated_valid_doc(junk, where):
+    """Splice junk into a valid PDF at structural boundaries."""
+    good = simple_pdf([["hello fuzz world", "line two"]])
+    cut = [len(good) // 4, len(good) // 2, 3 * len(good) // 4, len(good) - 20][where]
+    mutated = good[:cut] + junk + good[cut:]
+    try:
+        text, _ = extract_pdf_text(mutated)
+        assert isinstance(text, str)
+    except PDFParseError:
+        pass
+
+
+@settings(max_examples=300, deadline=2000)
+@given(st.text(max_size=2048))
+def test_html_any_text_never_crashes(html):
+    out = extract_html_text(html)
+    assert isinstance(out, str)
+    assert not out.endswith("\n")
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(max_size=2048))
+def test_html_random_bytes_never_crash(data):
+    assert isinstance(extract_html_text(data), str)
+
+
+@settings(max_examples=100, deadline=2000)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>",
+             "<script>", "</script>", "<br>", "some words here ", "&amp;", "<",
+             ">", "<!---->", "<template>", "</template>"]
+        ),
+        max_size=60,
+    )
+)
+def test_html_tag_soup(parts):
+    out = extract_html_text("".join(parts))
+    assert isinstance(out, str)
+    assert "SHOULD" not in out  # nothing hallucinated

@@ -107,6 +107,23 @@ def test_chunk_assembly_single_aggregate_no_window(spark):
     assert "Generate posexplode" in plan or "posexplode" in plan
 
 
+def test_lsh_band_join_is_hash_keyed_not_cartesian(spark):
+    """MinHash/SimHash candidate joins must hash-join on band keys —
+    a cartesian/BNLJ here is corpus² and would be fatal at scale."""
+    from pdf_to_text_spark.operators import dedup
+    from pdf_to_text_spark.sources.catalog import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    for df in (
+        dedup.minhash_candidate_pairs(dedup.minhash_signatures(docs)),
+        dedup.simhash_near_pairs(docs),
+        dedup.ngram_jaccard_pairs(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_relational_agg_plan_shape(spark):
     """Q1 shape: filter pushed to parquet, map-side partial aggregation,
     shuffle carries only the grouped partials (AQE wraps codegen, so we
