@@ -105,6 +105,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_source_dispatch(spark, sf):
         return relational.source_dispatch(_docs(spark, sf))
 
+    def q_corpus_sketches(spark, sf):
+        from pdf_to_text_spark.operators import sketches
+
+        return sketches.corpus_sketches(_docs(spark, sf))
+
+    def q_corpus_percentiles(spark, sf):
+        from pdf_to_text_spark.operators import sketches
+
+        return sketches.corpus_percentiles(_docs(spark, sf))
+
     def q_sessionize_events(spark, sf):
         return relational.sessionize_events(_t(spark, sf, "events"))
 
@@ -220,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "doc_embedding_join": q_doc_embedding_join,
         "source_dispatch": q_source_dispatch,
+        "corpus_sketches": q_corpus_sketches,
+        "corpus_percentiles": q_corpus_percentiles,
         "sessionize_events": q_sessionize_events,
         "events_hourly_rollup": q_events_hourly_rollup,
         "high_value_order_lines": q_high_value_order_lines,
@@ -320,6 +332,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lang IN ('es','de','fr') THEN 'latin'
                         ELSE 'other' END AS script_class
             FROM documents
+        """,
+        "corpus_percentiles": """
+            SELECT lang, count(*) AS docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
         "sessionize_events": """
             WITH flagged AS (

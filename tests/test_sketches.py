@@ -1,0 +1,18 @@
+"""Sketch operators: approximate answers must bracket the exact ones."""
+
+from pdf_to_text_spark.operators.sketches import corpus_percentiles, corpus_sketches
+
+
+def test_sketches_vs_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    approx = {r["lang"]: r for r in corpus_sketches(docs).collect()}
+    exact = {r["lang"]: r for r in corpus_percentiles(docs).collect()}
+    assert set(approx) == set(exact)
+    for lang, a in approx.items():
+        e = exact[lang]
+        assert a["docs"] == e["docs"]
+        # HLL with rsd=0.02 on small counts is near-exact
+        assert abs(a["approx_docs"] - e["docs"]) <= max(2, 0.05 * e["docs"])
+        p50_approx = a["n_chars_p50_p90_p99"][0]
+        assert e["min_chars"] <= p50_approx <= e["max_chars"]
+        assert abs(p50_approx - e["p50"]) <= 0.1 * max(1, e["p50"])
