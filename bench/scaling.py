@@ -117,8 +117,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=48000)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    # defaults = the N→4N pair below this VM's ~16-core saturation point
+    # (the regime that faithfully emulates cluster scale-out; see
+    # BENCH/BASELINE.md). Use --low 8 --high 32 for the saturated regime.
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     args = ap.parse_args()
 
     pages_path = ensure_pages(args.pages)
