@@ -105,6 +105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_source_dispatch(spark, sf):
         return relational.source_dispatch(_docs(spark, sf))
 
+    def q_lang_source_rollup(spark, sf):
+        return relational.lang_source_rollup(_docs(spark, sf))
+
+    def q_lang_pivot(spark, sf):
+        return relational.lang_pivot(_docs(spark, sf))
+
+    def q_set_ops(spark, sf):
+        return relational.set_ops_demo(_docs(spark, sf))
+
     def q_corpus_sketches(spark, sf):
         from pdf_to_text_spark.operators import sketches
 
@@ -230,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "doc_embedding_join": q_doc_embedding_join,
         "source_dispatch": q_source_dispatch,
+        "lang_source_rollup": q_lang_source_rollup,
+        "lang_pivot": q_lang_pivot,
+        "set_ops": q_set_ops,
         "corpus_sketches": q_corpus_sketches,
         "corpus_percentiles": q_corpus_percentiles,
         "sessionize_events": q_sessionize_events,
@@ -332,6 +344,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lang IN ('es','de','fr') THEN 'latin'
                         ELSE 'other' END AS script_class
             FROM documents
+        """,
+        "lang_source_rollup": """
+            SELECT lang, source, count(*) AS docs, sum(n_chars)::bigint AS chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "lang_pivot": """
+            SELECT source,
+                   count(*) FILTER (lang = 'en') AS en,
+                   count(*) FILTER (lang = 'es') AS es,
+                   count(*) FILTER (lang = 'de') AS de,
+                   count(*) FILTER (lang = 'fr') AS fr,
+                   count(*) FILTER (lang = 'zh') AS zh
+            FROM documents GROUP BY source
+        """,
+        "set_ops": """
+            WITH long_docs AS (SELECT doc_id FROM documents WHERE n_chars >= 400),
+            en_docs AS (SELECT doc_id FROM documents WHERE lang = 'en')
+            SELECT doc_id, 'long_not_en' AS tag
+            FROM (SELECT doc_id FROM long_docs EXCEPT ALL SELECT doc_id FROM en_docs)
+            UNION ALL
+            SELECT doc_id, 'long_and_en' AS tag
+            FROM (SELECT doc_id FROM long_docs INTERSECT ALL SELECT doc_id FROM en_docs)
         """,
         "corpus_percentiles": """
             SELECT lang, count(*) AS docs,

@@ -131,6 +131,37 @@ def source_dispatch(documents: DataFrame) -> DataFrame:
     )
 
 
+def lang_source_rollup(documents: DataFrame) -> DataFrame:
+    """Grouping-sets rollup: totals at (lang, source), (lang), and ()."""
+    return documents.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+def lang_pivot(documents: DataFrame) -> DataFrame:
+    """Pivot: one row per source, one doc-count column per language."""
+    langs = ["en", "es", "de", "fr", "zh"]
+    out = (
+        documents.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    # null → 0 so the pivot matches the SQL conditional-count form
+    for lang in langs:
+        out = out.withColumn(lang, F.coalesce(F.col(lang), F.lit(0)))
+    return out
+
+
+def set_ops_demo(documents: DataFrame) -> DataFrame:
+    """Set-operator surface: doc_ids in the 'long doc' set but not the
+    'en' set (EXCEPT), plus the intersection count as a tagged union."""
+    long_docs = documents.where(F.col("n_chars") >= 400).select("doc_id")
+    en_docs = documents.where(F.col("lang") == "en").select("doc_id")
+    only_long = long_docs.exceptAll(en_docs).withColumn("tag", F.lit("long_not_en"))
+    both = long_docs.intersectAll(en_docs).withColumn("tag", F.lit("long_and_en"))
+    return only_long.unionByName(both)
+
+
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than `gap_minutes`. lag → boundary flag → running sum, then a

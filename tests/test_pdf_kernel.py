@@ -85,6 +85,31 @@ def test_octal_escape():
     assert text == "Hi"
 
 
+def test_incremental_update_prev_chain():
+    """PDF incremental update: appended body + xref with /Prev — the
+    newest xref section must win for the updated object, older sections
+    fill the rest (PDFDocument._load_xref Prev walk)."""
+    base = simple_pdf([["original text"]])
+    old_xref_pos = base.rfind(b"\nxref\n") + 1  # not the one in 'startxref'
+    # objects: 1=Catalog 2=Pages 3=Font 4=Page 5=Contents → replace 5
+    stream = b"BT /F1 12 Tf 72 720 Td (updated text) Tj ET"
+    body = b"5 0 obj\n<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream\nendobj\n"
+    buf = bytearray(base)
+    new_obj_pos = len(buf)
+    buf += body
+    new_xref_pos = len(buf)
+    buf += b"xref\n5 1\n%010d 00000 n \n" % new_obj_pos
+    buf += b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        old_xref_pos,
+        new_xref_pos,
+    )
+    text, n = extract_pdf_text(bytes(buf))
+    assert text == "updated text"
+    assert n == 1
+    # sanity: the base alone still reads the original
+    assert extract_pdf_text(base)[0] == "original text"
+
+
 def test_positive_td_does_not_break_line():
     stream = b"BT /F1 12 Tf 72 720 Td (a) Tj 0 5 Td (b) Tj 0 -5 Td (c) Tj ET"
     text, _ = extract_pdf_text(build_pdf([stream]))
