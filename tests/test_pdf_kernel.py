@@ -85,6 +85,41 @@ def test_octal_escape():
     assert text == "Hi"
 
 
+def test_contents_array_multiple_streams():
+    """A page whose /Contents is an ARRAY of streams — decoded streams
+    are concatenated with a newline before text extraction."""
+    base = simple_pdf([["placeholder"]])
+    s1 = b"BT /F1 12 Tf 72 720 Td (part one) Tj ET"
+    s2 = b"BT /F1 12 Tf 72 600 Td (part two) Tj ET"
+    buf = bytearray(base)
+    pos6 = len(buf)
+    buf += b"6 0 obj\n<< /Length %d >>\nstream\n" % len(s1) + s1 + b"\nendstream\nendobj\n"
+    pos7 = len(buf)
+    buf += b"7 0 obj\n<< /Length %d >>\nstream\n" % len(s2) + s2 + b"\nendstream\nendobj\n"
+    pos4 = len(buf)
+    buf += (
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents [6 0 R 7 0 R] >>\nendobj\n"
+    )
+    xref_pos = len(buf)
+    old_xref = base.rfind(b"\nxref\n") + 1
+    buf += b"xref\n4 1\n%010d 00000 n \n6 2\n%010d 00000 n \n%010d 00000 n \n" % (
+        pos4, pos6, pos7,
+    )
+    buf += b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        old_xref, xref_pos,
+    )
+    text, n = extract_pdf_text(bytes(buf))
+    assert text == "part one\npart two"
+    assert n == 1
+
+
+def test_latin1_winansi_text():
+    """WinAnsi upper-range text (é, ñ, ü) survives byte-exactly."""
+    text, _ = extract_pdf_text(simple_pdf([["café señor über", "naïve—dash"]]))
+    assert text == "café señor über\nnaïve—dash".encode("latin-1", "replace").decode("latin-1")
+
+
 def test_incremental_update_prev_chain():
     """PDF incremental update: appended body + xref with /Prev — the
     newest xref section must win for the updated object, older sections

@@ -76,6 +76,36 @@ FIXTURES = {
         "</body></html>"
     ),
     "empty": lambda: "<html><body></body></html>",
+    "table_content": lambda: (
+        "<html><body><table>"
+        + "".join(
+            f"<tr><td>{_sentence(31 + i, 12)}</td><td>{_sentence(37 + i, 14)}</td></tr>"
+            for i in range(4)
+        )
+        + f"</table><p>{_sentence(41, 25)}</p></body></html>"
+    ),
+    "definition_list": lambda: (
+        "<html><body><dl>"
+        f"<dt>term one</dt><dd>{_sentence(43, 18)}</dd>"
+        f"<dt>term two</dt><dd>{_sentence(47, 22)}</dd>"
+        "</dl></body></html>"
+    ),
+    "nested_article": lambda: (
+        "<html><body><article><section>"
+        f"<h2>{_sentence(53, 12)}</h2><p>{_sentence(59, 35)}</p>"
+        f"<blockquote>{_sentence(61, 20)}</blockquote>"
+        f"</section><aside><a href='/r1'>related one</a> <a href='/r2'>related two</a>"
+        f"</aside><pre>code_line(1)\ncode_line(2)</pre>"
+        f"<figure><figcaption>{_sentence(67, 15)}</figcaption></figure>"
+        "</article></body></html>"
+    ),
+    "unicode_text": lambda: (
+        f"<html><body><p>café naïve façade — {_sentence(71, 20)}</p>"
+        f"<p>日本語のテキスト 中文文本 한국어 — {_sentence(73, 15)}</p></body></html>"
+    ),
+    "br_split_paragraph": lambda: (
+        f"<html><body><p>{_sentence(79, 15)}<br><br>{_sentence(83, 15)}</p></body></html>"
+    ),
     "nested_soup": lambda: (
         "<div><div><div><span>tiny</span></div>"
         f"<div><div><p>{_sentence(29, 20)}</p></div></div></div></div>"
