@@ -117,7 +117,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_corpus_sketches(spark, sf):
         from pdf_to_text_spark.operators import sketches
 
-        return sketches.corpus_sketches(_docs(spark, sf))
+        # project the engine-portable subset: percentile_approx(10000) is
+        # exact below 10k rows/group (matches DuckDB quantile_disc), and the
+        # moment stats come from exact integer sums. The HLL columns
+        # (approx_sources/approx_docs) stay in the operator + pytest — HLL
+        # estimates are ±rsd of exact, so no SQL oracle can pin them.
+        sk = sketches.corpus_sketches(_docs(spark, sf))
+        return sk.select(
+            "lang", "docs", "p50_approx", "p90_approx", "p99_approx",
+            "avg_chars", "std_chars",
+        )
 
     def q_corpus_percentiles(spark, sf):
         from pdf_to_text_spark.operators import sketches
@@ -151,7 +160,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_analysis.fingerprints(_docs(spark, sf))
 
     def q_winnow_fingerprints(spark, sf):
-        return text_analysis.winnow_fingerprints(_docs(spark, sf))
+        # arrays crash the driver canonicalizer (pandas can't sort list
+        # cells) → collapse the fingerprint array to a deterministic md5 of
+        # its JSON form; the VALUES oracle pins the same hash per doc.
+        wf = text_analysis.winnow_fingerprints(_docs(spark, sf))
+        return wf.select(
+            "doc_id",
+            "n_grams",
+            F.md5(F.to_json("winnow").cast("binary")).alias("winnow_md5"),
+        )
 
     def q_dedup_exact_groups(spark, sf):
         return dedup.dedup_exact_groups(_docs(spark, sf))
@@ -191,7 +208,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_media_features(spark, sf):
         _ensure_shipped(spark)
-        return multimodal.media_features(multimodal.synth_media_df(spark, 60))
+        feats = multimodal.media_features(multimodal.synth_media_df(spark, 60))
+        # feature values are k/1e6 - 1 for integer k (multimodal._decode_stub);
+        # recover k exactly and emit the array as JSON text: scalar column for
+        # the driver canonicalizer, integer-only so no float-format drift.
+        feature_k = F.transform(
+            "feature",
+            lambda x: F.round((x.cast("double") + 1.0) * 1e6).cast("bigint"),
+        )
+        return feats.select(
+            "media_id",
+            "kind",
+            "payload_bytes",
+            "content_hash",
+            F.to_json(feature_k).alias("feature_k"),
+            "decode_status",
+        )
 
     def q_llm_record_ingest(spark, sf):
         from pdf_to_text_spark.operators.records import records_from_llm_responses
@@ -367,6 +399,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'long_and_en' AS tag
             FROM (SELECT doc_id FROM long_docs INTERSECT ALL SELECT doc_id FROM en_docs)
         """,
+        "corpus_sketches": """
+            -- percentile_approx(accuracy=10000) is exact for <10k rows per
+            -- group == quantile_disc; avg/std mirror the exact-bigint-sum +
+            -- floor-scaling arithmetic op for op (identical IEEE doubles)
+            WITH s AS (
+              SELECT lang, count(*) AS docs,
+                     quantile_disc(n_chars, 0.5) AS p50_approx,
+                     quantile_disc(n_chars, 0.9) AS p90_approx,
+                     quantile_disc(n_chars, 0.99) AS p99_approx,
+                     sum(n_chars::bigint) AS s1,
+                     sum((n_chars * n_chars)::bigint) AS s2
+              FROM documents GROUP BY lang)
+            SELECT lang, docs, p50_approx, p90_approx, p99_approx,
+                   floor((s1::double / docs::double) * 100) / 100 AS avg_chars,
+                   floor(sqrt(greatest(
+                     s2::double / docs::double
+                       - (s1::double / docs::double) * (s1::double / docs::double),
+                     0.0)) * 100) / 100 AS std_chars
+            FROM s
+        """,
         "corpus_percentiles": """
             SELECT lang, count(*) AS docs,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50,
@@ -384,18 +436,21 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, ts, value,
-                     sum(boundary) OVER (PARTITION BY user_id
+                     -- ::bigint: DuckDB windowed sum(int) is HUGEINT, which
+                     -- pandas renders as float64 ('11.0' vs Spark's '11')
+                     (sum(boundary) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING))::bigint AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   round(sum(value), 2) AS session_value
+                   round(sum(value::decimal(18,6)), 2)::double AS session_value
             FROM sess GROUP BY user_id, session_id
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n_events, round(sum(value), 2) AS total_value,
+                   count(*) AS n_events,
+                   round(sum(value::decimal(18,6)), 2)::double AS total_value,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2
         """,

@@ -185,7 +185,13 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # sum as decimal, not double: decimal addition is exact and
+            # order-independent, so Spark's partition-order sum and the
+            # oracle's scan-order sum agree bit-for-bit (round-half on a
+            # double sum flips at the last bit — VERDICT r1 #1)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
         )
     )
 
@@ -199,7 +205,10 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal sum: exact + order-independent (see sessionize_events)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
             F.countDistinct("user_id").alias("users"),
         )
     )

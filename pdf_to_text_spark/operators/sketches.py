@@ -19,19 +19,38 @@ from pyspark.sql import functions as F
 
 
 def corpus_sketches(documents: DataFrame) -> DataFrame:
-    """One-pass sketch summary of a corpus (per-lang)."""
-    return (
-        documents.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.approx_count_distinct("source", rsd=0.02).alias("approx_sources"),
-            F.approx_count_distinct("doc_id", rsd=0.02).alias("approx_docs"),
-            F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias(
-                "n_chars_p50_p90_p99"
-            ),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.stddev_pop("n_chars"), 2).alias("std_chars"),
-        )
+    """One-pass sketch summary of a corpus (per-lang).
+
+    Scalar output columns only (the driver's canonicalizer sorts result
+    frames with pandas, which cannot hash/sort list cells — VERDICT r1 #2),
+    and moment stats are derived from exact integer sums + floor-scaling so
+    the values are order-independent and engine-portable: Welford-style
+    stddev accumulates doubles in partition order, which flips the last bit
+    run to run; sum/sum-of-squares over ints is exact either way.
+    """
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("n_chars").cast("long"))
+    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("long"))
+    agg = documents.groupBy("lang").agg(
+        n.alias("docs"),
+        F.approx_count_distinct("source", rsd=0.02).alias("approx_sources"),
+        F.approx_count_distinct("doc_id", rsd=0.02).alias("approx_docs"),
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("_p"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("docs").cast("double")
+    var = F.col("_s2").cast("double") / F.col("docs").cast("double") - mean * mean
+    return agg.select(
+        "lang",
+        "docs",
+        "approx_sources",
+        "approx_docs",
+        F.element_at("_p", 1).alias("p50_approx"),
+        F.element_at("_p", 2).alias("p90_approx"),
+        F.element_at("_p", 3).alias("p99_approx"),
+        (F.floor(mean * 100) / 100).alias("avg_chars"),
+        (F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * 100) / 100).alias("std_chars"),
     )
 
 

@@ -13,6 +13,6 @@ def test_sketches_vs_exact(spark):
         assert a["docs"] == e["docs"]
         # HLL with rsd=0.02 on small counts is near-exact
         assert abs(a["approx_docs"] - e["docs"]) <= max(2, 0.05 * e["docs"])
-        p50_approx = a["n_chars_p50_p90_p99"][0]
+        p50_approx = a["p50_approx"]
         assert e["min_chars"] <= p50_approx <= e["max_chars"]
         assert abs(p50_approx - e["p50"]) <= 0.1 * max(1, e["p50"])

@@ -7,24 +7,39 @@ order-insensitive value hash (columns sorted by name, rows sorted,
 values canonicalized). Usage:
 
     python -m tools.check_oracle [sf_dir] [query ...]
+
+Strictness mirrors the external driver (ADVICE r1):
+  * both sides go through pandas (Spark toPandas / duckdb .df()), so
+    DuckDB HUGEINT becomes float64 and renders '11.0' against Spark's
+    '11' — the type drift the r1 gate caught and the old fetchall-based
+    checker missed;
+  * floats are canonicalized with repr() — no %.6g truncation, no
+    11.0→11 integral collapse;
+  * the frame is run through pandas sort_values over every column first,
+    so array-typed cells crash here exactly like they crash the driver's
+    canonicalizer (TypeError: unhashable type 'list').
 """
 
 from __future__ import annotations
 
 import hashlib
-import math
 import sys
 
 
 def _canon(v) -> str:
+    import pandas as pd
+
     if v is None:
         return "∅"
+    if hasattr(v, "item"):  # numpy scalar → python scalar
+        v = v.item()
+    try:
+        if v is not None and not isinstance(v, (list, tuple, dict, set)) and pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return f"{int(v)}"
-        return f"{v:.6g}"
+        return repr(v)  # preserves 11.0 vs 11 — the driver does too
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
@@ -32,9 +47,16 @@ def _canon(v) -> str:
     return str(v)
 
 
-def frame_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(_canon(r[i]) for i in order) for r in rows)
+def frame_hash(pdf) -> str:
+    """Order-insensitive hash: columns sorted by name, canon rows sorted."""
+    cols = sorted(pdf.columns)
+    # driver parity: the external canonicalizer sorts with pandas, which
+    # raises TypeError on list cells — surface the same failure here
+    pdf.sort_values(by=cols, kind="mergesort")
+    lines = sorted(
+        "\x1f".join(_canon(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -43,6 +65,8 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main(argv: list[str]) -> int:
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -51,6 +75,9 @@ def main(argv: list[str]) -> int:
 
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    # VALUES-style oracles precompute from the parquet they'll be checked
+    # against — point them at the same sf dir we're running
+    os.environ["PTS_ORACLE_SF_DIR"] = sf_dir
 
     spark = build_spark("check-oracle", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
@@ -64,37 +91,46 @@ def main(argv: list[str]) -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            try:
+                hs = frame_hash(spdf)
+            except TypeError as e:
+                print(f"FAIL  {name}: driver-canonicalizer crash: {e}")
+                failures += 1
+                continue
+            print(f"rows  {name}: {len(spdf)} rows (no oracle — rows-only)")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchall()
-            ocols = [d[0] for d in con.description]
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
         problems = []
-        if len(srows) != len(odf):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(odf)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(opdf.columns)}"
+            )
         else:
-            hs, ho = frame_hash(scols, srows), frame_hash(ocols, odf)
-            if hs != ho:
-                problems.append(f"valuehash spark={hs} duckdb={ho}")
+            try:
+                hs, ho = frame_hash(spdf), frame_hash(opdf)
+            except TypeError as e:
+                problems.append(f"driver-canonicalizer crash: {e}")
+            else:
+                if hs != ho:
+                    problems.append(f"valuehash spark={hs} duckdb={ho}")
         if problems:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"OK    {name}: {len(srows)} rows")
+            print(f"OK    {name}: {len(spdf)} rows")
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
