@@ -183,8 +183,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=8)
 
     def q_embedding_near_pairs(spark, sf):
-        # corpus max pairwise cosine ≈0.51 → τ=0.3 yields a non-vacuous set
-        return dedup.embedding_near_pairs(_emb(spark, sf), threshold=0.3)
+        # the 100 TB path: LSH bucket candidates → exact rerank ≥ τ
+        # (corpus max pairwise cosine ≈0.51 → τ=0.3 is non-vacuous)
+        return dedup.embedding_near_pairs(_emb(spark, sf), threshold=0.3, dim=64)
+
+    def q_embedding_near_pairs_exact(spark, sf):
+        # exhaustive O(n²) baseline — audit path, DuckDB-oracle-checked
+        return dedup.embedding_near_pairs_exact(_emb(spark, sf), threshold=0.3)
 
     def q_knn_brute_force(spark, sf):
         e = _emb(spark, sf)
@@ -290,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_exact": q_embedding_near_pairs_exact,
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
@@ -316,6 +322,8 @@ _LANG_PROFILES_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from tools import oracle_values as _ov
+
     lang_hits = ",\n  ".join(
         f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
         f"w -> list_contains({prof}, w))) AS {lang}_hits"
@@ -543,7 +551,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(c / (sa.n + sb.n - c), 4) >= 0.02
         """,
-        "embedding_near_pairs": """
+        "embedding_near_pairs_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(
                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
@@ -620,7 +628,22 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY chunk_id, block_pos, record_pos) AS csv
             FROM lines GROUP BY url
         """,
-        # extraction_pdf_e2e, winnow_fingerprints, minhash_dedup_pairs,
-        # simhash_near_pairs, knn_lsh, media_features: non-SQL-expressible
-        # (custom kernels / signature hashing) → rows-only checks.
+        # Non-SQL-expressible operators (custom kernels / signature hashing /
+        # iterative k-means): the expected output is recomputed in-process
+        # with the SAME deterministic kernels and pinned as a VALUES table
+        # (tools/oracle_values.py documents why each replication is exact).
+        "extraction_pdf_e2e": _ov.extraction_e2e_oracle(120),
+        "winnow_fingerprints": _ov.winnow_oracle(_ov.oracle_sf_dir()),
+        "media_features": _ov.media_oracle(60),
+        "minhash_dedup_pairs": _ov.minhash_oracle(
+            _ov.oracle_sf_dir(), threshold=0.2
+        ),
+        "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=8),
+        "knn_lsh": _ov.knn_lsh_oracle(_ov.oracle_sf_dir(), n_queries=8, dim=64, k=5),
+        "knn_ivf": _ov.knn_ivf_oracle(
+            _ov.oracle_sf_dir(), n_queries=8, dim=64, k=5, n_cells=8, n_probe=3
+        ),
+        "embedding_near_pairs": _ov.embedding_near_pairs_oracle(
+            _ov.oracle_sf_dir(), threshold=0.3, dim=64
+        ),
     }

@@ -57,6 +57,19 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def decode_stub_ks(payload: bytes) -> list[int]:
+    """The integer lattice under the stub features: k_i ∈ [0, 2e6).
+
+    Shared by the feature UDF (feature = k/1e6 - 1) and the VALUES oracle
+    (tools/oracle_values.py recovers k exactly from the float32 feature)."""
+    ks = []
+    for i in range(FEATURE_DIM):
+        h = hashlib.blake2b(payload, digest_size=8, person=struct.pack("<q", i))
+        (v,) = struct.unpack("<q", h.digest())
+        ks.append(v % 2_000_000)
+    return ks
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB — deterministic fake 'decode + feature extract'.
 
@@ -65,12 +78,7 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     the payload expanded to FEATURE_DIM floats in [-1, 1), so tests can
     assert exact values and the Arrow plumbing is exercised end-to-end.
     """
-    out = []
-    for i in range(FEATURE_DIM):
-        h = hashlib.blake2b(payload, digest_size=8, person=struct.pack("<q", i))
-        (v,) = struct.unpack("<q", h.digest())
-        out.append((v % 2_000_000) / 1_000_000.0 - 1.0)
-    return out
+    return [k / 1_000_000.0 - 1.0 for k in decode_stub_ks(payload)]
 
 
 def media_features(media: DataFrame) -> DataFrame:
@@ -122,8 +130,9 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-def synth_media_df(spark, n: int = 60) -> DataFrame:
-    """Deterministic tiny media table for tests."""
+def synth_media_rows(n: int = 60) -> list[tuple]:
+    """Deterministic tiny media rows (pure function of n — shared by the
+    Spark table builder and the VALUES oracle precompute)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -137,4 +146,9 @@ def synth_media_df(spark, n: int = 60) -> DataFrame:
             else (None, None, None, 30 * (1 + i % 10))
         )
         rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media_df(spark, n: int = 60) -> DataFrame:
+    """Deterministic tiny media table for tests."""
+    return spark.createDataFrame(synth_media_rows(n), schema=MEDIA_SCHEMA)

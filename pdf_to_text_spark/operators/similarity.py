@@ -108,17 +108,23 @@ def lsh_signatures(
     )
 
 
-def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
-               n_iters: int = 5, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+def ivf_train(embeddings: DataFrame, dim: int, n_cells: int = 16,
+              n_iters: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
     """IVF coarse quantizer: deterministic Lloyd's k-means (fixed seed,
-    fixed iteration count) → (id, cell) assignments.
+    fixed iteration count) → ((id, cell, v) assignments, centroid matrix).
 
     Centroid update runs as a Spark aggregation per iteration (sums via
     posexplode + groupBy — all JVM); only the tiny (n_cells × dim)
     centroid matrix ever reaches the driver. At 100 TB the assignment is
     one broadcast-join-free map per iteration, and the final cell id is
-    the partition key for the ANN probe path."""
+    the partition key for the ANN probe path.
+
+    The per-cell sums are DECIMAL, not double: decimal addition is exact
+    and shuffle-order-independent, so the trained centroids are
+    bit-identical run to run (double sums pick up partition-order last-bit
+    noise, which flips cell assignments and breaks the VALUES oracle that
+    replays this exact recursion — tools/oracle_values.py)."""
     import numpy as np
 
     e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
@@ -132,14 +138,17 @@ def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
         sums = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new = centroids.copy()
         counts = {}
         acc = {}
         for r in sums:
-            acc[(r["cell"], r["i"])] = r["s"]
+            acc[(r["cell"], r["i"])] = float(r["s"])
             counts[r["cell"]] = r["n"]
         for c in range(n_cells):
             if counts.get(c):
@@ -149,7 +158,15 @@ def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
                     new[c] = vec / norm
         centroids = new
 
-    return _assign_cells(e, centroids).select(id_col, "cell")
+    return _assign_cells(e, centroids).select(id_col, "cell", "v"), centroids
+
+
+def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
+               n_iters: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cell) assignments from the trained quantizer (see ivf_train)."""
+    assigned, _ = ivf_train(embeddings, dim, n_cells, n_iters, id_col, vec_col)
+    return assigned.select(id_col, "cell")
 
 
 def _assign_cells(e: DataFrame, centroids) -> DataFrame:
@@ -182,25 +199,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     inside them. The probe join is keyed on cell — corpus² never forms."""
     import numpy as np
 
-    # train the quantizer on the corpus (deterministic)
-    assigned = ivf_assign(embeddings, dim, n_cells)
-    corpus = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).join(assigned, "vec_id")
-
-    # re-derive the trained centroids from assignments (cell means)
-    cents = (
-        corpus.select("cell", F.posexplode("v").alias("i", "x"))
-        .groupBy("cell", "i")
-        .agg(F.avg("x").alias("m"))
-        .collect()
-    )
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in cents:
-        by_cell.setdefault(r["cell"], {})[r["i"]] = r["m"]
-    cell_ids = sorted(by_cell)
-    C = np.array([[by_cell[c].get(i, 0.0) for i in range(dim)] for c in cell_ids])
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    # train the quantizer on the corpus (deterministic); probe against the
+    # trained centroids directly — no extra cell-mean job
+    corpus, C = ivf_train(embeddings, dim, n_cells)
 
     def probes(batches):
         for b in batches:
@@ -210,7 +211,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             sims = M @ C.T
             top = np.argsort(-sims, axis=1)[:, :n_probe]
             qids = np.repeat(np.asarray(b["query_id"]), n_probe)
-            cells = np.asarray([cell_ids[j] for j in top.reshape(-1)])
+            cells = top.reshape(-1).astype("int32")
             yield pd.DataFrame({"query_id": qids, "cell": cells})
 
     q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv"))

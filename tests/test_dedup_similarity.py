@@ -45,6 +45,37 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p for p in pairs)  # the unrelated doc pairs with nothing
 
 
+def test_lsh_candidates_then_exact_jaccard_composition(docs):
+    """The documented 100 TB composition: minhash LSH candidate pairs →
+    exact n-gram Jaccard verify (ngram_jaccard_pairs(candidates=...)).
+
+    On candidate pairs the restricted join must agree exactly with the
+    standalone all-pairs result; at the LSH detection threshold (~0.5 for
+    16 bands × 4 rows) the composition reproduces the standalone output."""
+    cand = dedup.minhash_candidate_pairs(dedup.minhash_signatures(docs))
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (0, 4) in cand_set  # normalization-identical pair always co-buckets
+
+    composed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.02, candidates=cand).collect()
+    }
+    standalone = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.02).collect()
+    }
+    # restricted == standalone ∩ candidates, with identical jaccard values
+    assert composed == {p: j for p, j in standalone.items() if p in cand_set}
+    # at the LSH design threshold the candidates cover every true pair,
+    # so the composition equals the standalone result outright
+    composed_hi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand).collect()
+    }
+    standalone_hi = {p: j for p, j in standalone.items() if j >= 0.5}
+    assert composed_hi == standalone_hi and len(standalone_hi) >= 1
+
+
 def test_simhash_near_pairs(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
              dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
@@ -79,9 +110,21 @@ def test_embedding_near_pairs(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in
-             dedup.embedding_near_pairs(emb, threshold=0.95).collect()}
+             dedup.embedding_near_pairs_exact(emb, threshold=0.95).collect()}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] > 0.99
+    # LSH-routed path (the 100 TB entry point): candidates are bucket-local;
+    # near-identical vectors co-bucket in ≥1 of the fixed deterministic
+    # tables, and the rerank is the same exact cosine
+    lsh_pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in
+                 dedup.embedding_near_pairs(emb, threshold=0.95, dim=4).collect()}
+    assert lsh_pairs == pairs
+    # LSH output is always a subset of the exact pairs at any threshold
+    exact_03 = {(r["vec_a"], r["vec_b"]) for r in
+                dedup.embedding_near_pairs_exact(emb, threshold=-1.0).collect()}
+    lsh_03 = {(r["vec_a"], r["vec_b"]) for r in
+              dedup.embedding_near_pairs(emb, threshold=-1.0, dim=4).collect()}
+    assert lsh_03 <= exact_03
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,469 @@
+"""Precomputed VALUES oracles for the non-SQL-expressible driver queries.
+
+The MinHash/SimHash/LSH/IVF/extraction operators are deterministic —
+fixed hash seeds, fixed hyperplanes, fixed k-means seed and iteration
+count, order-independent (decimal) distributed sums — so their exact
+expected output on the driver's fixed sf0.01 tables can be recomputed
+in-process with the SAME kernels and pinned as a DuckDB
+``SELECT ... FROM (VALUES ...)`` oracle (VERDICT r1 next-round #3).
+
+Replication rules that make this sound (each mirrors a Spark behavior):
+  * floats are compared after Spark's ``round(x, n)``, replicated as
+    BigDecimal.valueOf-style HALF_UP on the shortest-repr decimal
+    (Python ``repr`` produces the same shortest round-trip digits as
+    Java ``Double.toString``);
+  * cosine / dot products replicate ``cosine_sim_col``'s sequential
+    left-fold, term by term, in the same IEEE order;
+  * LSH signatures reuse operators.similarity._planes and the same
+    ``np.einsum`` call (einsum's per-element reduction is independent of
+    batch height — verified — so Arrow batching can't change a bit);
+  * IVF replays ivf_train's Lloyd iterations; the distributed per-cell
+    sums are decimal in Spark (exact, shuffle-order-independent) and are
+    replicated with decimal.Decimal quantized like Spark's
+    double→decimal(38,18) cast.
+
+The sf dir defaults to the driver's gate scale (sf0.01) and can be
+re-pointed with PTS_ORACLE_SF_DIR (tools.check_oracle does, so the same
+oracles are verified at sf0.1 too).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import math
+import os
+import struct
+from decimal import ROUND_HALF_UP, Decimal
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get("PTS_ORACLE_SF_DIR", DEFAULT_SF_DIR)
+
+
+# ── shared replication helpers ───────────────────────────────────────────────
+
+
+def spark_round(x: float, n: int) -> float:
+    """F.round(double, n): BigDecimal.valueOf(x).setScale(n, HALF_UP)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )
+
+
+_DEC18 = Decimal(1).scaleb(-18)
+
+
+def spark_dec18(x: float) -> Decimal:
+    """Spark cast(double AS decimal(38,18)): shortest-repr, HALF_UP."""
+    return Decimal(repr(x)).quantize(_DEC18, rounding=ROUND_HALF_UP)
+
+
+def fold_cosine(a: list[float], b: list[float]) -> float:
+    """Replicates dedup.cosine_sim_col: sequential left folds, same IEEE
+    op order (F.aggregate folds the array front to back)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def values_sql(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    """DuckDB SELECT over a VALUES table with explicitly cast columns."""
+    names = ", ".join(n for n, _ in cols)
+    sel = ", ".join(f"{n}::{t} AS {n}" for n, t in cols)
+    if not rows:
+        nulls = ", ".join(f"NULL::{t} AS {n}" for n, t in cols)
+        return f"SELECT {nulls} WHERE false"
+    vals = ",\n".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {sel} FROM (VALUES\n{vals}\n) AS t({names})"
+
+
+@functools.lru_cache(maxsize=4)
+def _read_docs(sf: str) -> tuple[tuple[int, str], ...]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return tuple(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+@functools.lru_cache(maxsize=4)
+def _read_emb(sf: str) -> tuple[tuple[int, tuple[float, ...]], ...]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    # parquet float32 → Python float is an exact widening, same as Spark's
+    # cast(embedding AS array<double>)
+    vecs = [tuple(v) for v in t.column("embedding").to_pylist()]
+    return tuple(zip(ids, vecs))
+
+
+# ── winnow_fingerprints ──────────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=4)
+def winnow_oracle(sf: str) -> str:
+    from pdf_to_text_spark.kernels.textstats import winnow_fingerprint
+
+    rows = []
+    for doc_id, text in _read_docs(sf):
+        w = winnow_fingerprint(text or "")
+        js = "[" + ",".join(str(x) for x in w) + "]"  # == F.to_json(array<long>)
+        rows.append((doc_id, len(w), hashlib.md5(js.encode()).hexdigest()))
+    return values_sql(
+        [("doc_id", "BIGINT"), ("n_grams", "INTEGER"), ("winnow_md5", "VARCHAR")],
+        rows,
+    )
+
+
+# ── media_features ───────────────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=1)
+def media_oracle(n: int = 60) -> str:
+    from pdf_to_text_spark.operators.multimodal import decode_stub_ks, synth_media_rows
+
+    rows = []
+    for media_id, kind, payload, _meta in synth_media_rows(n):
+        if payload is None:
+            rows.append((media_id, kind, 0, None, None, "null_payload"))
+            continue
+        ks = decode_stub_ks(payload)
+        js = "[" + ",".join(str(k) for k in ks) + "]"
+        digest = hashlib.blake2b(payload, digest_size=16).hexdigest()
+        rows.append((media_id, kind, len(payload), digest, js, "ok"))
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("kind", "VARCHAR"),
+            ("payload_bytes", "BIGINT"),
+            ("content_hash", "VARCHAR"),
+            ("feature_k", "VARCHAR"),
+            ("decode_status", "VARCHAR"),
+        ],
+        rows,
+    )
+
+
+# ── extraction_pdf_e2e ───────────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=1)
+def extraction_e2e_oracle(n: int = 120) -> str:
+    from pdf_to_text_spark.functions.udfs import _extract_one
+    from pdf_to_text_spark.sources.pages import build_pages_pdf
+
+    pdf = build_pages_pdf(list(range(n)))
+    latest: dict[str, tuple] = {}
+    for url, ts, html, text, _lang in pdf.itertuples(index=False, name=None):
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html, text)
+    rows = []
+    for url, (_ts, html, text) in latest.items():
+        is_pdf = bool(
+            url.endswith(".pdf") and html is not None and bytes(html[:5]) == b"%PDF-"
+        )
+        ctype = None if html is None else ("application/pdf" if is_pdf else "text/html")
+        out, n_pages, status, _failed = _extract_one(html, text, is_pdf)
+        rows.append((url, ctype, n_pages, len(out), status))
+    return values_sql(
+        [
+            ("url", "VARCHAR"),
+            ("content_type", "VARCHAR"),
+            ("n_pages", "INTEGER"),
+            ("n_chars", "BIGINT"),
+            ("parse_status", "VARCHAR"),
+        ],
+        rows,
+    )
+
+
+# ── minhash_dedup_pairs ──────────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=4)
+def minhash_oracle(
+    sf: str, threshold: float = 0.2, n_perm: int = 64, n_bands: int = 16
+) -> str:
+    from pdf_to_text_spark.kernels.textstats import minhash_bands, minhash_signature
+
+    sigs = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in _read_docs(sf):
+        s = minhash_signature(text or "", n_perm=n_perm)
+        sigs[doc_id] = s
+        for bi, bh in enumerate(minhash_bands(s, n_bands=n_bands)):
+            buckets.setdefault((bi, bh), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        eq = int((sigs[a] == sigs[b]).sum())
+        est = spark_round(eq / n_perm, 4)  # int/int division is double in Spark
+        if est >= threshold:
+            rows.append((a, b, est))
+    return values_sql(
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("est_jaccard", "DOUBLE")], rows
+    )
+
+
+# ── simhash_near_pairs ───────────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=4)
+def simhash_oracle(sf: str, max_hamming: int = 8) -> str:
+    from pdf_to_text_spark.kernels.textstats import simhash64
+
+    # Spark stores simhash as (h - 2^63); band equality and XOR popcount
+    # are invariant under that constant top-bit flip, so raw unsigned h
+    # replicates the banded join exactly.
+    sh = {doc_id: simhash64(text or "") for doc_id, text in _read_docs(sf)}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, h in sh.items():
+        for bi in range(4):
+            buckets.setdefault((bi, (h >> (16 * bi)) & 0xFFFF), []).append(d)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin(sh[a] ^ sh[b]).count("1")
+        if ham <= max_hamming:
+            rows.append((a, b, ham))
+    return values_sql(
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")], rows
+    )
+
+
+# ── LSH signatures (shared by knn_lsh and embedding_near_pairs) ─────────────
+
+
+@functools.lru_cache(maxsize=8)
+def _lsh_buckets(
+    sf: str, dim: int, n_planes: int, n_tables: int
+) -> tuple[tuple[int, tuple[int, ...]], ...]:
+    """vec_id → per-table bucket ids, same math as similarity.lsh_signatures."""
+    import numpy as np
+
+    from pdf_to_text_spark.operators.similarity import _planes
+
+    emb = _read_emb(sf)
+    M = np.asarray([np.asarray(v, dtype=np.float64) for _, v in emb])
+    all_planes = np.stack([_planes(dim, n_planes, t) for t in range(n_tables)])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bits = np.einsum("nd,tpd->ntp", M, all_planes) > 0
+    buckets = (bits * weights).sum(axis=2)  # (n, tables)
+    return tuple(
+        (vec_id, tuple(int(x) for x in buckets[i]))
+        for i, (vec_id, _v) in enumerate(emb)
+    )
+
+
+def _topk_rows(
+    qids: list[int],
+    emb_by_id: dict[int, tuple[float, ...]],
+    cand_by_q: dict[int, set[int]],
+    k: int,
+) -> list[tuple]:
+    rows = []
+    for q in qids:
+        qv = emb_by_id[q]
+        scored = sorted(
+            ((spark_round(fold_cosine(qv, emb_by_id[c]), 4), c) for c in cand_by_q[q]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, vec_id) in enumerate(scored[:k], start=1):
+            rows.append((q, rank, vec_id, cos))
+    return rows
+
+
+@functools.lru_cache(maxsize=4)
+def knn_lsh_oracle(
+    sf: str,
+    n_queries: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+) -> str:
+    from pdf_to_text_spark.operators.similarity import N_PLANES, N_TABLES
+
+    n_planes = n_planes or N_PLANES
+    n_tables = n_tables or N_TABLES
+    emb_by_id = dict(_read_emb(sf))
+    sigs = _lsh_buckets(sf, dim, n_planes, n_tables)
+    qids = sorted(emb_by_id)[:n_queries]  # queries_from_corpus: lowest vec_ids
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for vec_id, bks in sigs:
+        for t, bk in enumerate(bks):
+            by_bucket.setdefault((t, bk), []).append(vec_id)
+    sig_by_id = dict(sigs)
+    cand_by_q = {
+        q: {
+            c
+            for t, bk in enumerate(sig_by_id[q])
+            for c in by_bucket.get((t, bk), ())
+        }
+        for q in qids
+    }
+    rows = _topk_rows(qids, emb_by_id, cand_by_q, k)
+    return values_sql(
+        [
+            ("query_id", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("vec_id", "BIGINT"),
+            ("cosine", "DOUBLE"),
+        ],
+        rows,
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def embedding_near_pairs_oracle(
+    sf: str,
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+) -> str:
+    from pdf_to_text_spark.operators.similarity import N_PLANES, N_TABLES
+
+    n_planes = n_planes or N_PLANES
+    n_tables = n_tables or N_TABLES
+    emb_by_id = dict(_read_emb(sf))
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for vec_id, bks in _lsh_buckets(sf, dim, n_planes, n_tables):
+        for t, bk in enumerate(bks):
+            by_bucket.setdefault((t, bk), []).append(vec_id)
+    pairs = set()
+    for ids in by_bucket.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        cos = spark_round(fold_cosine(emb_by_id[a], emb_by_id[b]), 4)
+        if cos >= threshold:
+            rows.append((a, b, cos))
+    return values_sql(
+        [("vec_a", "BIGINT"), ("vec_b", "BIGINT"), ("cosine", "DOUBLE")], rows
+    )
+
+
+# ── knn_ivf ──────────────────────────────────────────────────────────────────
+
+
+def _assign_one(v: tuple[float, ...], centroids) -> int:
+    """Replicates similarity._assign_cells: per-centroid sequential-fold
+    dot products against float64 literals, strict-greater argmax."""
+    best, best_sim = 0, None
+    for i, c in enumerate(centroids):
+        s = 0.0
+        for a, b in zip(v, c):
+            s = s + a * float(b)
+        if best_sim is None or s > best_sim:
+            best, best_sim = i, s
+    return best
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_centroids_and_cells(
+    sf: str, dim: int, n_cells: int, n_iters: int = 5
+):
+    """Replays similarity.ivf_train's Lloyd recursion exactly: same seed,
+    same float64 assignment math, decimal (exact) per-cell sums."""
+    import numpy as np
+
+    emb = _read_emb(sf)
+    vecs = [v for _id, v in emb]
+    rng = np.random.RandomState(0xCE11)
+    centroids = rng.standard_normal((n_cells, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    for _ in range(n_iters):
+        cells = [_assign_one(v, centroids) for v in vecs]
+        acc: dict[tuple[int, int], Decimal] = {}
+        counts: dict[int, int] = {}
+        for v, c in zip(vecs, cells):
+            counts[c] = counts.get(c, 0) + 1
+            for i, x in enumerate(v):
+                acc[(c, i)] = acc.get((c, i), Decimal(0)) + spark_dec18(x)
+        new = centroids.copy()
+        for c in range(n_cells):
+            if counts.get(c):
+                vec = np.array(
+                    [float(acc.get((c, i), 0.0)) for i in range(dim)]
+                ) / counts[c]
+                norm = np.linalg.norm(vec)
+                if norm > 0:
+                    new[c] = vec / norm
+        centroids = new
+
+    cells = [_assign_one(v, centroids) for v in vecs]
+    return centroids, {emb[i][0]: cells[i] for i in range(len(emb))}
+
+
+@functools.lru_cache(maxsize=4)
+def knn_ivf_oracle(
+    sf: str,
+    n_queries: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+) -> str:
+    import numpy as np
+
+    emb_by_id = dict(_read_emb(sf))
+    C, cell_by_id = _ivf_centroids_and_cells(sf, dim, n_cells)
+    qids = sorted(emb_by_id)[:n_queries]
+    # probe selection replicates ivf_topk.probes: one (n_queries, dim)
+    # matrix against C.T, argsort descending — queries_from_corpus is a
+    # limit(8), so Spark sees the same single batch
+    M = np.asarray([np.asarray(emb_by_id[q], dtype=np.float64) for q in qids])
+    sims = M @ C.T
+    top = np.argsort(-sims, axis=1)[:, :n_probe]
+    members: dict[int, list[int]] = {}
+    for vec_id, cell in cell_by_id.items():
+        members.setdefault(cell, []).append(vec_id)
+    cand_by_q = {
+        q: {c for cell in top[qi] for c in members.get(int(cell), ())}
+        for qi, q in enumerate(qids)
+    }
+    rows = _topk_rows(qids, emb_by_id, cand_by_q, k)
+    return values_sql(
+        [
+            ("query_id", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("vec_id", "BIGINT"),
+            ("cosine", "DOUBLE"),
+        ],
+        rows,
+    )
