@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_language_id(spark, sf):
         return text_analysis.language_id(_docs(spark, sf))
 
+    def q_text_profile(spark, sf):
+        return text_analysis.text_profile(_docs(spark, sf))
+
     def q_fingerprints(spark, sf):
         return text_analysis.fingerprints(_docs(spark, sf))
 
@@ -288,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": q_quality_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
+        "text_profile": q_text_profile,
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -516,6 +520,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM h
+        """,
+        "text_profile": rf"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\s+')) AS words,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS bpe_tokens,
+                     len(text) AS chars,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
+                     len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_chars,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> list_contains({_STOPWORDS_SQL}, w))) AS stop_hits,
+                     list_max(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> len(w))) AS max_word_len,
+                     {lang_hits}
+              FROM documents)
+            SELECT doc_id,
+                   words::int AS ws_tokens, bpe_tokens::int AS bpe_tokens,
+                   chars::int AS chars, words::int AS words,
+                   alpha_chars::int AS alpha_chars, digit_chars::int AS digit_chars,
+                   punct_chars::int AS punct_chars, stop_hits::int AS stop_hits,
+                   max_word_len::int AS max_word_len,
+                   en_hits::int AS en_hits, es_hits::int AS es_hits,
+                   de_hits::int AS de_hits, fr_hits::int AS fr_hits,
+                   floor((0.4 * least(words / 50.0, 1.0)
+                       + 0.3 * (alpha_chars / greatest(1, alpha_chars + digit_chars + punct_chars))
+                       + 0.3 * least(5.0 * stop_hits / greatest(words, 1), 1.0)) * 10000) / 10000 AS quality,
+                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+                        WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+                        WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+                        WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM s
         """,
         "fingerprints": """
             SELECT doc_id,

@@ -37,6 +37,34 @@ def test_quality_stats_and_score(docs):
     assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
 
 
+def test_text_profile_matches_component_operators(docs):
+    """The fused single-pass profile must agree column-for-column with the
+    three standalone operators it replaces (token_counts, quality_stats +
+    quality_score, language_id)."""
+    prof = {r["doc_id"]: r.asDict() for r in text_analysis.text_profile(docs).collect()}
+    toks = {r["doc_id"]: r.asDict() for r in text_analysis.token_counts(docs).collect()}
+    stats = {r["doc_id"]: r.asDict() for r in text_analysis.quality_stats(docs).collect()}
+    qual = {r["doc_id"]: r.asDict() for r in text_analysis.quality_score(docs).collect()}
+    lid = {r["doc_id"]: r.asDict() for r in text_analysis.language_id(docs).collect()}
+    assert set(prof) == set(toks)
+    for d, p in prof.items():
+        for c in ("ws_tokens", "bpe_tokens", "chars"):
+            assert p[c] == toks[d][c], (d, c)
+        for c in ("words", "alpha_chars", "digit_chars", "punct_chars",
+                  "stop_hits", "max_word_len"):
+            assert p[c] == stats[d][c], (d, c)
+        assert p["quality"] == qual[d]["quality"], d
+        for c in ("en_hits", "es_hits", "de_hits", "fr_hits", "pred_lang"):
+            assert p[c] == lid[d][c], (d, c)
+
+
+def test_text_profile_plan_is_single_pass(docs):
+    """One scan, no joins/exchanges: the fusion is a pure projection."""
+    plan = text_analysis.text_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("Scan") == 1
+
+
 def test_language_id(docs):
     out = {r["doc_id"]: r["pred_lang"] for r in text_analysis.language_id(docs).collect()}
     assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "fr"
