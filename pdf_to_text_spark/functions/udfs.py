@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 from ..config import ARROW_MAX_BATCH_BYTES
 from ..kernels.blocks import parse_records, segment_blocks
 from ..kernels.html import HTMLParseFailed, extract_html_text
-from ..kernels.pdf import PDFParseError, extract_pdf_text
+from ..kernels.pdf import PDFEncryptedError, PDFParseError, extract_pdf_text
 
 # ── content-type dispatch (FIXTURES.md §1 derived column) ───────────────────
 
@@ -50,7 +50,8 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("extracted_text", T.StringType()),
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("n_chars", T.LongType()),
-        T.StructField("parse_status", T.StringType()),  # ok|passthrough|empty|parse_failed
+        T.StructField("parse_status", T.StringType()),
+        # ok|passthrough|empty|encrypted|parse_failed
         T.StructField("parse_failed", T.IntegerType()),
     ]
 )
@@ -71,6 +72,11 @@ def _extract_one(html, text, is_pdf: bool) -> tuple[str, int, str, int]:
             out, n_pages = extract_pdf_text(html)
             return out, n_pages, "ok", 0
         return extract_html_text(html), 1, "ok", 0
+    except PDFEncryptedError:
+        # distinct status: the document is structurally fine but ciphertext
+        # (reference pdfjs would prompt for a password; batch jobs route
+        # these rows to a re-crawl/decrypt queue, not the failure bucket)
+        return "", 0, "encrypted", 1
     except (PDFParseError, HTMLParseFailed):
         return "", 0, "parse_failed", 1
     except Exception:  # defensive: never kill the task

@@ -15,11 +15,27 @@ SURVEY.md §2.2:
   * lines within a page are joined with ``"\n"``; pages are joined with
     ``"\n"`` (directly visible in the reference at src/main.ts:152-154).
 
-Strings are decoded latin-1 (fixtures restrict themselves to single-byte
-WinAnsi/ASCII fonts — SURVEY.md §2.2.2). Any structural error raises
-:class:`PDFParseError`; callers map that to a ``parse_failed`` metric row,
-never a task failure (reference behavior #18, src/main.ts:259-262,
-deliberately softened from fail-stop to per-row status).
+Format surface (round 2 extensions, closing the gap to pdfjs-dist 4.1 —
+reference package.json:8-9):
+
+  * classic ``xref`` tables AND PDF 1.5+ cross-reference streams
+    (``/Type /XRef``, /W-packed binary rows, /Index subsections, /Prev
+    chains, hybrid /XRefStm trailers);
+  * compressed objects in object streams (``/Type /ObjStm``);
+  * stream filters: FlateDecode, LZWDecode (variable 9-12 bit codes,
+    /EarlyChange), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, with
+    /DecodeParms predictors (TIFF 2 and PNG 10-15) and filter chains;
+  * single-byte font encodings: latin-1/WinAnsi base (pinned) plus
+    ``/Encoding /Differences`` overrides resolved through an AGL-subset
+    glyph table and uniXXXX names;
+  * ``/Encrypt`` detection → :class:`PDFEncryptedError` (a distinct
+    'encrypted' row status, not a confusing downstream failure).
+
+Multi-byte CID/Type0 fonts and ToUnicode CMaps remain out of contract
+(SURVEY.md §2.2.2). Any structural error raises :class:`PDFParseError`;
+callers map that to a ``parse_failed`` metric row, never a task failure
+(reference behavior #18, src/main.ts:259-262, deliberately softened from
+fail-stop to per-row status).
 """
 
 from __future__ import annotations
@@ -27,7 +43,12 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["PDFParseError", "extract_pdf_text", "PDFDocument"]
+__all__ = [
+    "PDFParseError",
+    "PDFEncryptedError",
+    "extract_pdf_text",
+    "PDFDocument",
+]
 
 _WHITESPACE = b"\x00\t\n\x0c\r "
 _DELIMS = b"()<>[]{}/%"
@@ -35,6 +56,225 @@ _DELIMS = b"()<>[]{}/%"
 
 class PDFParseError(Exception):
     """Raised on any structural problem in the PDF byte stream."""
+
+
+class PDFEncryptedError(PDFParseError):
+    """The trailer carries /Encrypt — content streams are ciphertext.
+
+    Raised early (at xref load) so callers can surface a distinct
+    'encrypted' row status instead of a confusing downstream tokenizer
+    failure. Subclasses PDFParseError so untyped callers still treat it
+    as a parse failure."""
+
+
+# ── stream filters (PDF 32000-1 §7.4) ────────────────────────────────────────
+
+
+def _flate_decode(raw: bytes) -> bytes:
+    try:
+        return zlib.decompress(raw)
+    except zlib.error as e:
+        raise PDFParseError(f"FlateDecode failed: {e}") from None
+
+
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4): 9→12-bit MSB-first codes, 256=clear, 257=EOD.
+
+    `early` is /EarlyChange (default 1): the code width grows one code
+    early, matching TIFF/PDF writers. Pinned against the spec's worked
+    example in tests (45×5 65 45×3 66 ⇄ 80 0B 60 50 22 0C 0C 85 01)."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    prev: bytes | None = None
+    width = 9
+    next_code = 258
+
+    def reset() -> None:
+        nonlocal table, width, next_code, prev
+        table = {i: bytes([i]) for i in range(256)}
+        width = 9
+        next_code = 258
+        prev = None
+
+    reset()
+    buf = 0
+    bits = 0
+    for byte in raw:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PDFParseError(f"LZW: bad first code {code}")
+                out += entry
+                prev = entry
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    raise PDFParseError(f"LZW: code {code} out of range")
+                out += entry
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+        buf &= (1 << width) - 1  # keep the residue bounded
+    return bytes(out)  # missing EOD: tolerate (spec writers always emit it)
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    end = raw.find(b">")
+    body = raw[:end] if end >= 0 else raw
+    digits = bytes(c for c in body if c not in _WHITESPACE)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        raise PDFParseError("ASCIIHexDecode: bad hex digit") from None
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(raw)
+    if raw.startswith(b"<~"):
+        i = 2
+    while i < n:
+        c = raw[i]
+        if c in _WHITESPACE:
+            i += 1
+            continue
+        if c == 0x7E:  # '~' — EOD marker '~>'
+            break
+        if c == 0x7A:  # 'z' — four zero bytes (only between groups)
+            if group:
+                raise PDFParseError("ASCII85Decode: 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PDFParseError(f"ASCII85Decode: bad char {c:#x}")
+        group.append(c - 33)
+        i += 1
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise PDFParseError("ASCII85Decode: group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PDFParseError("ASCII85Decode: dangling single char")
+        k = len(group)
+        group += [84] * (5 - k)
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        length = raw[i]
+        i += 1
+        if length == 128:  # EOD
+            return bytes(out)
+        if length < 128:
+            chunk = raw[i : i + length + 1]
+            if len(chunk) != length + 1:
+                raise PDFParseError("RunLengthDecode: literal run truncated")
+            out += chunk
+            i += length + 1
+        else:
+            if i >= n:
+                raise PDFParseError("RunLengthDecode: repeat run truncated")
+            out += bytes([raw[i]]) * (257 - length)
+            i += 1
+    return bytes(out)  # missing EOD: tolerate
+
+
+def _apply_predictor(data: bytes, predictor: int, colors: int, bpc: int,
+                     columns: int) -> bytes:
+    """Undo /DecodeParms predictors: 2 = TIFF horizontal, ≥10 = PNG row
+    filters (None/Sub/Up/Average/Paeth) — needed by virtually every xref
+    stream in the wild."""
+    if predictor <= 1:
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise PDFParseError("TIFF predictor: only 8-bit components supported")
+        out = bytearray(data)
+        for r in range(0, len(out) - row_len + 1, row_len):
+            for j in range(r + bpp, r + row_len):
+                out[j] = (out[j] + out[j - bpp]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise PDFParseError(f"unsupported predictor {predictor}")
+    # PNG predictors: each row prefixed with a filter-type byte
+    stride = row_len + 1
+    if len(data) % stride:
+        raise PDFParseError("PNG predictor: data not a whole number of rows")
+    out = bytearray()
+    prev_row = bytearray(row_len)
+    for r in range(0, len(data), stride):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for j in range(bpp, row_len):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for j in range(row_len):
+                row[j] = (row[j] + prev_row[j]) & 0xFF
+        elif ftype == 3:  # Average
+            for j in range(row_len):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev_row[j]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for j in range(row_len):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev_row[j]
+                c = prev_row[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        else:
+            raise PDFParseError(f"PNG predictor: bad filter type {ftype}")
+        out += row
+        prev_row = row
+    return bytes(out)
+
+
+_FILTER_ALIASES = {
+    "Fl": "FlateDecode",
+    "LZW": "LZWDecode",
+    "AHx": "ASCIIHexDecode",
+    "A85": "ASCII85Decode",
+    "RL": "RunLengthDecode",
+}
 
 
 class _Ref:
@@ -302,8 +542,12 @@ class PDFDocument:
             raise PDFParseError("missing %PDF- header")
         self.data = data
         self.xref: dict[int, int] = {}
+        # obj num → (container ObjStm number, index inside it) — PDF 1.5+
+        self._xref_objstm: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple[bytes, int, list[tuple[int, int]]]] = {}
+        self._objstm_loading: set[int] = set()
         self._load_xref()
 
     # ── xref / trailer ──────────────────────────────────────────────────
@@ -328,11 +572,22 @@ class PDFDocument:
             if not isinstance(prev, int):
                 break
             offset = prev
+        if "Encrypt" in self.trailer:
+            raise PDFEncryptedError("trailer carries /Encrypt")
         if "Root" not in self.trailer:
             raise PDFParseError("trailer has no /Root")
 
+    def _known(self, num: int) -> bool:
+        """Newest xref section wins: later (older) sections must not
+        override an entry of EITHER kind recorded by a newer one."""
+        return num in self.xref or num in self._xref_objstm
+
     def _load_xref_section(self, offset: int) -> dict:
         lx = _Lexer(self.data, offset)
+        lx._skip_ws()
+        if not lx.data.startswith(b"xref", lx.pos):
+            # PDF 1.5+: the xref is itself a stream object (§7.5.8)
+            return self._load_xref_stream_at(offset)
         lx.expect_keyword(b"xref")
         while True:
             lx._skip_ws()
@@ -341,6 +596,11 @@ class PDFDocument:
                 trailer = lx.parse_object()
                 if not isinstance(trailer, dict):
                     raise PDFParseError("trailer is not a dict")
+                # hybrid-reference file (§7.5.8.4): the classic trailer may
+                # point at a supplemental xref stream for compressed objects
+                xstm = trailer.get("XRefStm")
+                if isinstance(xstm, int):
+                    self._load_xref_stream_at(xstm)
                 return trailer
             first = lx.read_int()
             count = lx.read_int()
@@ -351,10 +611,53 @@ class PDFDocument:
                 _gen = lx.read_int()
                 kind = lx.read_token()
                 if kind == b"n":
-                    # earlier sections in the Prev chain must not override
-                    self.xref.setdefault(first + i, off)
+                    if not self._known(first + i):
+                        self.xref[first + i] = off
                 elif kind != b"f":
                     raise PDFParseError(f"bad xref entry kind {kind!r}")
+
+    def _load_xref_stream_at(self, offset: int) -> dict:
+        if offset < 0 or offset >= len(self.data):
+            raise PDFParseError(f"xref stream offset {offset} out of range")
+        lx = _Lexer(self.data, offset)
+        lx.read_int()
+        lx.read_int()
+        lx.expect_keyword(b"obj")
+        st = lx.parse_object()
+        if not isinstance(st, _Stream) or str(st.dict.get("Type", "")) != "XRef":
+            raise PDFParseError("startxref does not point at an xref table or stream")
+        data = self._decode_stream(st)
+        w = st.dict.get("W")
+        size = st.dict.get("Size")
+        if not (isinstance(w, list) and all(isinstance(x, int) for x in w) and w):
+            raise PDFParseError("xref stream: bad /W")
+        if not isinstance(size, int):
+            raise PDFParseError("xref stream: bad /Size")
+        index = st.dict.get("Index", [0, size])
+        if not (isinstance(index, list) and len(index) % 2 == 0
+                and all(isinstance(x, int) for x in index)):
+            raise PDFParseError("xref stream: bad /Index")
+        row_len = sum(w)
+        pos = 0
+        for p in range(0, len(index), 2):
+            first, count = index[p], index[p + 1]
+            if count < 0 or count > 10_000_000:
+                raise PDFParseError(f"implausible xref stream count {count}")
+            for i in range(count):
+                if pos + row_len > len(data):
+                    raise PDFParseError("xref stream data truncated")
+                fields = []
+                for width in w:
+                    fields.append(int.from_bytes(data[pos : pos + width], "big"))
+                    pos += width
+                num = first + i
+                etype = fields[0] if w[0] else 1  # width-0 type defaults to 1
+                if etype == 1 and not self._known(num):
+                    self.xref[num] = fields[1]
+                elif etype == 2 and not self._known(num):
+                    self._xref_objstm[num] = (fields[1], fields[2] if len(w) > 2 else 0)
+                # type 0 (free) and unknown types: skip (spec: treat as free)
+        return st.dict
 
     # ── object resolution ───────────────────────────────────────────────
 
@@ -368,7 +671,12 @@ class PDFDocument:
             return self._cache[num]
         off = self.xref.get(num)
         if off is None:
-            raise PDFParseError(f"object {num} not in xref")
+            loc = self._xref_objstm.get(num)
+            if loc is None:
+                raise PDFParseError(f"object {num} not in xref")
+            obj = self._load_from_objstm(num, *loc)
+            self._cache[num] = obj
+            return obj
         if off < 0 or off >= len(self.data):
             raise PDFParseError(f"xref offset {off} out of range")
         lx = _Lexer(self.data, off)
@@ -380,6 +688,87 @@ class PDFDocument:
         obj = lx.parse_object()
         self._cache[num] = obj
         return obj
+
+    # ── object streams (§7.5.7): compressed non-stream objects ──────────
+
+    def _objstm(self, stm_num: int) -> tuple[bytes, int, list[tuple[int, int]]]:
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        if stm_num in self._objstm_loading:
+            raise PDFParseError(f"object stream {stm_num} references itself")
+        self._objstm_loading.add(stm_num)
+        try:
+            st = self.resolve(_Ref(stm_num, 0))
+            if not isinstance(st, _Stream) or str(st.dict.get("Type", "")) != "ObjStm":
+                raise PDFParseError(f"object {stm_num} is not an /ObjStm")
+            data = self._decode_stream(st)
+            n = self.resolve(st.dict.get("N"))
+            first = self.resolve(st.dict.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int) or n < 0:
+                raise PDFParseError("object stream: bad /N or /First")
+            lx = _Lexer(data)
+            pairs = [(lx.read_int(), lx.read_int()) for _ in range(n)]
+            self._objstm_cache[stm_num] = (data, first, pairs)
+            return self._objstm_cache[stm_num]
+        finally:
+            self._objstm_loading.discard(stm_num)
+
+    def _load_from_objstm(self, num: int, stm_num: int, idx: int):
+        data, first, pairs = self._objstm(stm_num)
+        if idx < len(pairs) and pairs[idx][0] == num:
+            off = pairs[idx][1]
+        else:  # tolerate a stale index: search the header by object number
+            for objnum, o in pairs:
+                if objnum == num:
+                    off = o
+                    break
+            else:
+                raise PDFParseError(f"object {num} not in object stream {stm_num}")
+        if first + off >= len(data):
+            raise PDFParseError("object stream offset out of range")
+        return _Lexer(data, first + off).parse_object()
+
+    # ── font encodings (§9.6.6): /Encoding /Differences maps ─────────────
+
+    def page_font_decoders(self, page: dict) -> dict[str, dict[int, str]] | None:
+        """Per-font code→char overrides for this page, or None when every
+        font uses a plain base encoding (the latin-1 fast path).
+
+        Only /Differences arrays are honored (base encoding stays the
+        pinned latin-1 superset of WinAnsi — SURVEY.md §2.2.2); glyph
+        names resolve through a pinned AGL subset + uniXXXX forms."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return None
+        fonts = self.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):
+            return None
+        out: dict[str, dict[int, str]] = {}
+        for fname, fref in fonts.items():
+            f = self.resolve(fref)
+            if not isinstance(f, dict):
+                continue
+            enc = self.resolve(f.get("Encoding"))
+            if not isinstance(enc, dict):
+                continue
+            diffs = self.resolve(enc.get("Differences"))
+            if not isinstance(diffs, list):
+                continue
+            m: dict[int, str] = {}
+            code = 0
+            for item in diffs:
+                item = self.resolve(item)
+                if isinstance(item, bool):
+                    continue
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, _Name):
+                    if 0 <= code <= 255:
+                        m[code] = _glyph_to_char(str(item))
+                    code += 1
+            if m:
+                out[str(fname)] = m
+        return out or None
 
     # ── page tree ───────────────────────────────────────────────────────
 
@@ -433,16 +822,119 @@ class PDFDocument:
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
-            f = str(self.resolve(f))
+        parms = self.resolve(st.dict.get("DecodeParms", st.dict.get("DP")))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, p in zip(filters, parms_list):
+            f = _FILTER_ALIASES.get(str(self.resolve(f)), str(self.resolve(f)))
+            p = self.resolve(p)
+            p = p if isinstance(p, dict) else {}
             if f == "FlateDecode":
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error as e:
-                    raise PDFParseError(f"FlateDecode failed: {e}") from None
+                raw = _flate_decode(raw)
+            elif f == "LZWDecode":
+                early = self.resolve(p.get("EarlyChange", 1))
+                raw = _lzw_decode(raw, early=early if isinstance(early, int) else 1)
+            elif f == "ASCIIHexDecode":
+                raw = _ascii_hex_decode(raw)
+            elif f == "ASCII85Decode":
+                raw = _ascii85_decode(raw)
+            elif f == "RunLengthDecode":
+                raw = _runlength_decode(raw)
+            elif f == "Crypt":
+                raise PDFEncryptedError("stream carries a /Crypt filter")
             else:
                 raise PDFParseError(f"unsupported stream filter /{f}")
+            pred = self.resolve(p.get("Predictor", 1))
+            if isinstance(pred, int) and pred > 1 and f in ("FlateDecode", "LZWDecode"):
+                raw = _apply_predictor(
+                    raw,
+                    pred,
+                    int(self.resolve(p.get("Colors", 1)) or 1),
+                    int(self.resolve(p.get("BitsPerComponent", 8)) or 8),
+                    int(self.resolve(p.get("Columns", 1)) or 1),
+                )
         return raw
+
+
+# ── glyph names (pinned AGL subset + uniXXXX) ────────────────────────────────
+
+# Adobe Glyph List subset covering Latin-1/WinAnsi-range names plus the
+# common typographic extras; single-char names map to themselves and
+# uniXXXX / uXXXX(XX) forms are parsed. Unknown names pin to U+FFFD.
+_GLYPH_MAP: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # WinAnsi upper range
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯", "degree": "°",
+    "plusminus": "±", "acute": "´", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ",
+    # typographic extras (WinAnsi 0x80-0x9F region and friends)
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "circumflex": "ˆ", "perthousand": "‰", "Scaron": "Š",
+    "guilsinglleft": "‹", "OE": "Œ", "Zcaron": "Ž", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“", "quotedblright": "”",
+    "bullet": "•", "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š", "guilsinglright": "›", "oe": "œ",
+    "zcaron": "ž", "Ydieresis": "Ÿ", "nbspace": " ",
+    "softhyphen": "­", "minus": "−", "fraction": "⁄",
+    "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+    # a few Greek names (seen in formula-bearing Type1 fonts)
+    "Alpha": "Α", "Beta": "Β", "Gamma": "Γ", "Delta": "Δ", "Omega": "Ω",
+    "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ", "epsilon": "ε",
+    "pi": "π", "sigma": "σ", "omega": "ω",
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    if len(name) == 1:
+        return name
+    ch = _GLYPH_MAP.get(name)
+    if ch is not None:
+        return ch
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+_LATIN1_TABLE = [chr(i) for i in range(256)]
 
 
 # ── content-stream text extraction ───────────────────────────────────────────
@@ -461,7 +953,7 @@ _CTOK_RE = re.compile(
       | >>
       | (?P<hex><[^>]*>)               # hex string
       | (?P<arro>\[) | (?P<arrc>\])
-      | /[^\x00\t\n\x0c\r ()<>\[\]{}/%]*      # name
+      | (?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)  # name
       | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
       | (?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
     """,
@@ -491,14 +983,28 @@ def _unescape_literal(body: bytes) -> bytes:
     return _STR_ESCAPE_RE.sub(sub, body)
 
 
-def _extract_page_text(content: bytes) -> str:
-    """Apply the pinned reflow rules (module docstring) to one content stream."""
+def _extract_page_text(content: bytes, fonts: dict[str, dict[int, str]] | None = None) -> str:
+    """Apply the pinned reflow rules (module docstring) to one content stream.
+
+    `fonts` maps a resource font name (e.g. "F1") to a /Differences
+    code→char override; when None or the current font has no override,
+    strings decode latin-1 (the pinned fast path — byte-identical to the
+    pre-Differences kernel)."""
     lines: list[str] = []
     cur: list[str] = []
     last_str: bytes | None = None   # most recent string operand
     last_num: float | None = None   # most recent numeric operand
+    last_name: str | None = None    # most recent name operand (for Tf)
     arr: list | None = None         # open TJ-style array, or None
     arr_strs: list[bytes] = []
+    cur_map: dict[int, str] | None = None  # active font's code overrides
+
+    def dec(b: bytes) -> str:
+        if cur_map is None:
+            return b.decode("latin-1")
+        t = _LATIN1_TABLE
+        m = cur_map
+        return "".join(m.get(x) or t[x] for x in b)
 
     def flush() -> None:
         if cur:
@@ -542,6 +1048,8 @@ def _extract_page_text(content: bytes) -> str:
         elif lastgroup == "num":
             tok = m.group("num")
             last_num = float(tok) if (b"." in tok) else int(tok)
+        elif lastgroup == "name":
+            last_name = m.group("name")[1:].decode("latin-1")
         elif lastgroup == "arro":
             arr = []
             arr_strs = []
@@ -556,17 +1064,20 @@ def _extract_page_text(content: bytes) -> str:
                     flush()
             elif op == b"Tj":
                 if last_str is not None:
-                    cur.append(last_str.decode("latin-1"))
+                    cur.append(dec(last_str))
             elif op == b"TJ":
                 for s in arr_strs:
-                    cur.append(s.decode("latin-1"))
+                    cur.append(dec(s))
                 arr_strs = []
             elif op == b"'" or op == b'"':
                 flush()
                 if last_str is not None:
-                    cur.append(last_str.decode("latin-1"))
+                    cur.append(dec(last_str))
+            elif op == b"Tf" and fonts is not None:
+                cur_map = fonts.get(last_name) if last_name is not None else None
             last_str = None
             last_num = None
+            last_name = None
             arr = None
             arr_strs = []
     flush()
@@ -582,5 +1093,8 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
     if not isinstance(data, (bytes, bytearray)):
         raise PDFParseError("input is not bytes")
     doc = PDFDocument(bytes(data))
-    page_texts = [_extract_page_text(doc.page_content(p)) for p in doc.pages()]
+    page_texts = [
+        _extract_page_text(doc.page_content(p), doc.page_font_decoders(p))
+        for p in doc.pages()
+    ]
     return "\n".join(page_texts), len(page_texts)

@@ -57,6 +57,10 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
     if is_pdf:
         from tools.make_html import _sentence
 
+        if i % 90 == 57:  # ~1% encrypted PDFs → distinct 'encrypted' status
+            from tools.make_pdf import encrypted_pdf
+
+            return url, ts, encrypted_pdf(), None, lang
         if is_mega:
             # genuinely megabyte-scale: 100 pages, uncompressed streams
             # (~1 MB; the skew knob of FIXTURES.md §1)
@@ -70,17 +74,38 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
         elif i % 9 == 0:
             html = sucursal_report_pdf(5 + i % 11, compress=i % 2 == 0)
         else:
-            html = simple_pdf(
+            lines = [
                 [
-                    [
-                        _sentence(i * 2741 + p * 53 + j, 8)
-                        for j in range(20 + i % 20)
-                    ]
-                    for p in range(1 + i % 4)
-                ],
-                style=["td", "tstar", "quote", "tj"][i % 4],
-                compress=i % 2 == 1,
-            )
+                    _sentence(i * 2741 + p * 53 + j, 8)
+                    for j in range(20 + i % 20)
+                ]
+                for p in range(1 + i % 4)
+            ]
+            # a realistic crawl mixes writer generations: slices of the
+            # corpus use PDF 1.5 xref streams / object streams and the
+            # non-Flate filters the round-2 kernel decodes (PDF rows are
+            # i%3==0, so index variants by the PDF ordinal i//3)
+            variant = (i // 3) % 8
+            if variant in (1, 3):
+                from tools.make_pdf import build_pdf_xref_stream, content_stream_for_lines
+
+                html = build_pdf_xref_stream(
+                    [content_stream_for_lines(p) for p in lines],
+                    use_objstm=(variant == 1),
+                )
+            elif variant in (5, 7):
+                from tools.make_pdf import build_pdf, content_stream_for_lines
+
+                html = build_pdf(
+                    [content_stream_for_lines(p) for p in lines],
+                    stream_filter="LZWDecode" if variant == 5 else "ASCII85Decode",
+                )
+            else:
+                html = simple_pdf(
+                    lines,
+                    style=["td", "tstar", "quote", "tj"][i % 4],
+                    compress=i % 2 == 1,
+                )
         if i % 90 == 33:  # some corrupt PDFs → parse_failed path
             html = html[: len(html) // 2]
     else:

@@ -4,13 +4,19 @@ import pathlib
 
 import pytest
 
-from pdf_to_text_spark.kernels.pdf import PDFParseError, extract_pdf_text
-from tools.make_pdf import FIXTURES, build_pdf, simple_pdf
+from pdf_to_text_spark.kernels.pdf import (
+    PDFEncryptedError,
+    PDFParseError,
+    extract_pdf_text,
+)
+from tools.make_pdf import FIXTURES, build_pdf, build_pdf_xref_stream, simple_pdf
 
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
-@pytest.mark.parametrize("name", [n for n in FIXTURES if n != "corrupt"])
+@pytest.mark.parametrize(
+    "name", [n for n in FIXTURES if n not in ("corrupt", "encrypted")]
+)
 def test_golden_parity(name):
     """Writer output re-parsed must match the committed golden byte-for-byte."""
     pdf = (GOLDEN / f"{name}.pdf").read_bytes()
@@ -149,3 +155,85 @@ def test_positive_td_does_not_break_line():
     stream = b"BT /F1 12 Tf 72 720 Td (a) Tj 0 5 Td (b) Tj 0 -5 Td (c) Tj ET"
     text, _ = extract_pdf_text(build_pdf([stream]))
     assert text == "ab\nc"
+
+
+# ── round-2 format surface: xref streams / ObjStm / filters / encodings ──────
+
+
+def test_lzw_spec_vector():
+    """PDF 32000-1 §7.4.4.2 worked example, both directions."""
+    from pdf_to_text_spark.kernels.pdf import _lzw_decode
+    from tools.make_pdf import lzw_encode
+
+    src = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    wire = bytes.fromhex("800B6050220C0C8501")
+    assert lzw_encode(src) == wire
+    assert _lzw_decode(wire) == src
+
+
+def test_xref_stream_equals_classic_layout():
+    """The same pages through a classic-xref PDF, an xref-stream PDF, and
+    an ObjStm-packed PDF must extract identically."""
+    pages = [["alpha one", "alpha two"], ["beta"]]
+    from tools.make_pdf import content_stream_for_lines
+
+    streams = [content_stream_for_lines(p) for p in pages]
+    classic = extract_pdf_text(build_pdf(streams))
+    xstream = extract_pdf_text(build_pdf_xref_stream(streams, use_objstm=False))
+    objstm = extract_pdf_text(build_pdf_xref_stream(streams, use_objstm=True))
+    assert classic == xstream == objstm == ("alpha one\nalpha two\nbeta", 2)
+
+
+@pytest.mark.parametrize("filt", [
+    "FlateDecode", "LZWDecode", "ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode",
+])
+def test_each_stream_filter_roundtrips(filt):
+    from tools.make_pdf import content_stream_for_lines
+
+    lines = ["filter test content", "second line with café ± señor"]
+    pdf = build_pdf([content_stream_for_lines(lines)], stream_filter=filt)
+    text, n = extract_pdf_text(pdf)
+    assert text == "\n".join(lines) and n == 1
+
+
+def test_differences_encoding_maps_codes():
+    text, _ = extract_pdf_text(FIXTURES["differences_encoding"]())
+    assert text == "café señor — ΓBC Δx"
+
+
+def test_encrypted_raises_distinct_error_and_status():
+    pdf = FIXTURES["encrypted"]()
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(pdf)
+    # the UDF dispatch maps it to a distinct per-row status, never a crash
+    from pdf_to_text_spark.functions.udfs import _extract_one
+
+    out, n_pages, status, failed = _extract_one(pdf, None, True)
+    assert (out, n_pages, status, failed) == ("", 0, "encrypted", 1)
+
+
+@pytest.mark.parametrize("name", ["xref_stream", "objstm", "lzw_stream"])
+def test_truncation_sweep_new_formats(name):
+    """Truncating a PDF 1.5 / filtered file anywhere must raise or parse —
+    never hang, loop, or crash with a non-PDFParseError."""
+    good = FIXTURES[name]()
+    for cut in range(0, len(good), max(1, len(good) // 29)):
+        try:
+            text, _ = extract_pdf_text(good[:cut])
+            assert isinstance(text, str)
+        except PDFParseError:
+            pass
+
+
+def test_bitflip_sweep_xref_stream_never_crashes():
+    """Corrupting single bytes across an xref-stream PDF must yield either
+    a parse or a PDFParseError (defensive kernel contract #18)."""
+    good = bytearray(FIXTURES["objstm"]())
+    for pos in range(0, len(good), max(1, len(good) // 37)):
+        bad = bytearray(good)
+        bad[pos] ^= 0xFF
+        try:
+            text, _ = extract_pdf_text(bytes(bad))
+            assert isinstance(text, str)
+        except PDFParseError:
+            pass

@@ -13,6 +13,113 @@ from __future__ import annotations
 
 import zlib
 
+# ── filter encoders (mirror the kernel's decoders; fixtures only) ───────────
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode-compatible encoder: MSB-first variable-width codes,
+    clear (256) first, EOD (257) last, /EarlyChange width growth."""
+    out = bytearray()
+    buf = 0
+    bits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, bits
+        buf = (buf << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+        buf &= (1 << bits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code >= 4095:  # table full: clear and restart
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder's table lags the encoder's by exactly one entry
+            # (its first post-clear code adds none), so the encoder widens
+            # one entry later than its own next_code would suggest
+            if next_code - 1 >= (1 << width) - early and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def asciihex_encode(data: bytes) -> bytes:
+    return data.hex().upper().encode("ascii") + b">"
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        group = bytes(33 + d for d in reversed(digits))
+        if pad == 0 and group == b"!!!!!":
+            out += b"z"
+        else:
+            out += group[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def runlength_encode(data: bytes) -> bytes:
+    """Literal-only RLE framing (valid, not compact) + EOD byte."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def png_predict_up(data: bytes, row_len: int) -> bytes:
+    """Apply the PNG Up filter (type 2) row-wise — the standard xref-stream
+    predictor (/Predictor 12)."""
+    assert len(data) % row_len == 0
+    out = bytearray()
+    prev = bytes(row_len)
+    for i in range(0, len(data), row_len):
+        row = data[i : i + row_len]
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(row_len))
+        prev = row
+    return bytes(out)
+
+
+STREAM_FILTERS = {
+    "FlateDecode": zlib.compress,
+    "LZWDecode": lzw_encode,
+    "ASCIIHexDecode": asciihex_encode,
+    "ASCII85Decode": ascii85_encode,
+    "RunLengthDecode": runlength_encode,
+}
+
 
 def _esc(s: str) -> bytes:
     b = s.encode("latin-1", errors="replace")
@@ -65,8 +172,20 @@ def content_stream_for_lines(lines: list[str], *, style: str = "td") -> bytes:
     return b"\n".join(out)
 
 
-def build_pdf(page_streams: list[bytes], *, compress: bool = False) -> bytes:
-    """Assemble a complete PDF from per-page content streams."""
+DEFAULT_FONT_OBJ = (
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+)
+
+
+def build_pdf(page_streams: list[bytes], *, compress: bool = False,
+              stream_filter: str | None = None, font_obj: bytes | None = None,
+              trailer_extra: bytes = b"") -> bytes:
+    """Assemble a complete PDF from per-page content streams.
+
+    Defaults reproduce the round-1 writer byte-for-byte (golden contract).
+    `stream_filter` names any STREAM_FILTERS codec for the content streams;
+    `font_obj` overrides object 3 (e.g. a /Differences encoding);
+    `trailer_extra` is spliced into the trailer dict (e.g. /Encrypt)."""
     objects: list[bytes] = []  # 1-indexed body objects
 
     n_pages = len(page_streams)
@@ -78,17 +197,22 @@ def build_pdf(page_streams: list[bytes], *, compress: bool = False) -> bytes:
     objects.append(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )  # 2
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
-    )  # 3
+    objects.append(font_obj if font_obj is not None else DEFAULT_FONT_OBJ)  # 3
     for i, stream in enumerate(page_streams):
         contents_num = page_obj_nums[i] + 1
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % contents_num
         )
-        data = zlib.compress(stream) if compress else stream
-        filt = b"/Filter /FlateDecode " if compress else b""
+        if stream_filter is not None:
+            data = STREAM_FILTERS[stream_filter](stream)
+            filt = b"/Filter /" + stream_filter.encode() + b" "
+        elif compress:
+            data = zlib.compress(stream)
+            filt = b"/Filter /FlateDecode "
+        else:
+            data = stream
+            filt = b""
         objects.append(
             b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
         )
@@ -105,10 +229,129 @@ def build_pdf(page_streams: list[bytes], *, compress: bool = False) -> bytes:
     for off in offsets[1:]:
         buf += b"%010d 00000 n \n" % off
     buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n_objs, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R " % n_objs + trailer_extra
+        + b">>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
     return bytes(buf)
+
+
+def build_pdf_xref_stream(page_streams: list[bytes], *, use_objstm: bool = True,
+                          compress: bool = True, predictor: int = 12) -> bytes:
+    """Assemble a PDF 1.5 file: cross-reference STREAM (/Type /XRef,
+    /W [1 4 2], optional PNG-Up predictor) and, with `use_objstm`, all
+    non-stream objects packed into one /ObjStm — the layout virtually
+    every post-2005 writer produces (what pdfjs reads for the reference)."""
+    n_pages = len(page_streams)
+    # numbering: 1=Catalog 2=Pages 3=Font, per page i: 4+2i=Page 5+2i=Contents,
+    # then S=ObjStm (if used), X=xref stream
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    dict_objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages,
+        3: DEFAULT_FONT_OBJ,
+    }
+    for i in range(n_pages):
+        dict_objs[page_nums[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (page_nums[i] + 1)
+        )
+    stm_num = 4 + 2 * n_pages
+    xref_num = stm_num + (1 if use_objstm else 0)
+    size = xref_num + 1
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}  # free head
+
+    def write_obj(num: int, body: bytes) -> None:
+        entries[num] = (1, len(buf), 0)
+        buf.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    def stream_obj(extra: bytes, data: bytes) -> bytes:
+        if compress:
+            payload = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        else:
+            payload = data
+            filt = b""
+        return (
+            b"<< " + extra + filt + b"/Length %d >>\nstream\n" % len(payload)
+            + payload + b"\nendstream"
+        )
+
+    # content streams are always regular objects (streams can't live in an ObjStm)
+    for i, stream in enumerate(page_streams):
+        write_obj(page_nums[i] + 1, stream_obj(b"", stream))
+
+    if use_objstm:
+        nums = sorted(dict_objs)
+        bodies = [dict_objs[n] + b"\n" for n in nums]
+        offs = []
+        pos = 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b)
+        header = b" ".join(b"%d %d" % (n, o) for n, o in zip(nums, offs)) + b"\n"
+        payload = header + b"".join(bodies)
+        for idx, n in enumerate(nums):
+            entries[n] = (2, stm_num, idx)
+        write_obj(
+            stm_num,
+            stream_obj(
+                b"/Type /ObjStm /N %d /First %d " % (len(nums), len(header)), payload
+            ),
+        )
+    else:
+        for n in sorted(dict_objs):
+            write_obj(n, dict_objs[n])
+
+    # xref stream rows: W = [1 4 2], Index [0 Size]
+    xref_pos = len(buf)
+    entries[xref_num] = (1, xref_pos, 0)
+    rows = bytearray()
+    for n in range(size):
+        t, f2, f3 = entries.get(n, (0, 0, 65535))
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    row_len = 7
+    parms = b""
+    data = bytes(rows)
+    if predictor and predictor >= 10:
+        data = png_predict_up(data, row_len)
+        parms = b"/DecodeParms << /Predictor %d /Columns %d >> " % (predictor, row_len)
+    payload = zlib.compress(data) if compress else data
+    filt = b"/Filter /FlateDecode " if compress else b""
+    buf.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R " % (xref_num, size)
+        + filt + parms + b"/Length %d >>\nstream\n" % len(payload)
+        + payload + b"\nendstream\nendobj\n"
+    )
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(buf)
+
+
+def differences_pdf() -> bytes:
+    """Font with an /Encoding /Differences override: codes 1,2,3 remap to
+    eacute/ntilde/emdash and 'A' (65) to Gamma; the kernel must decode
+    through the glyph table while untouched codes stay latin-1."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 1 /eacute /ntilde /emdash 65 /Gamma 200 /uni0394 ] >> >>"
+    )
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td (caf\x01 se\x02or \x03 \x41BC \xc8x) Tj ET"
+    )
+    return build_pdf([stream], font_obj=font)
+
+
+def encrypted_pdf() -> bytes:
+    """Valid structure + /Encrypt in the trailer → PDFEncryptedError
+    ('encrypted' row status), never a confusing downstream failure."""
+    return build_pdf(
+        [content_stream_for_lines(["secret text"])],
+        trailer_extra=b"/Encrypt << /Filter /Standard /V 1 /R 2 >> ",
+    )
 
 
 def simple_pdf(pages: list[list[str]], *, style: str = "td", compress: bool = False) -> bytes:
@@ -178,6 +421,39 @@ FIXTURES = {
         compress=True,
     ),
     "corrupt": corrupt_pdf,
+    # ── round-2 format surface (PDF 1.5+ / filters / encodings) ──────────
+    "xref_stream": lambda: build_pdf_xref_stream(
+        [content_stream_for_lines([f"xref stream page {p} line {i}" for i in range(4)])
+         for p in range(3)],
+        use_objstm=False,
+    ),
+    "objstm": lambda: build_pdf_xref_stream(
+        [content_stream_for_lines([f"objstm page {p} line {i}" for i in range(4)])
+         for p in range(3)],
+        use_objstm=True,
+    ),
+    "xref_stream_plain": lambda: build_pdf_xref_stream(
+        [content_stream_for_lines(["no predictor no flate"])],
+        use_objstm=True, compress=False, predictor=0,
+    ),
+    "lzw_stream": lambda: build_pdf(
+        [content_stream_for_lines(["lzw compressed line", "lzw " * 40])],
+        stream_filter="LZWDecode",
+    ),
+    "ascii85_stream": lambda: build_pdf(
+        [content_stream_for_lines(["ascii85 armored content", "base eighty five"])],
+        stream_filter="ASCII85Decode",
+    ),
+    "asciihex_stream": lambda: build_pdf(
+        [content_stream_for_lines(["ascii hex armored content"])],
+        stream_filter="ASCIIHexDecode",
+    ),
+    "runlength_stream": lambda: build_pdf(
+        [content_stream_for_lines(["run length encoded content"])],
+        stream_filter="RunLengthDecode",
+    ),
+    "differences_encoding": differences_pdf,
+    "encrypted": encrypted_pdf,
 }
 
 
