@@ -23,6 +23,8 @@ from __future__ import annotations
 import json
 import math
 import re
+from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
+from decimal import Decimal as _Decimal
 
 from ..config import (
     BLOCK_END_REGEX,
@@ -144,8 +146,14 @@ def _js_parse_int(v) -> int:
 
 
 def _js_parse_float(v) -> float:
-    """JS `parseFloat(x) || 0` — leading-prefix float parse, 0 fallback."""
+    """JS `parseFloat(x) || 0` — leading-prefix float parse, 0 fallback.
+
+    parseFloat also accepts the Infinity literals ('Infinity'||0 →
+    Infinity, which is truthy, so it survives the ||0) — ADVICE r1."""
     s = str(v).strip() if v is not None else ""
+    m = re.match(r"^[+-]?Infinity", s)
+    if m:
+        return float(m.group(0).replace("Infinity", "inf"))
     m = re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
     if not m:
         return 0.0
@@ -155,13 +163,26 @@ def _js_parse_float(v) -> float:
 
 
 def _to_fixed_2(f: float) -> str:
-    """JS Number.prototype.toFixed(2): round-half-away-from-zero."""
-    if not math.isfinite(f):
+    """JS Number.prototype.toFixed(2)-shaped formatting, pinned as:
+    sign-separated round-half-UP on the SHORTEST-REPR decimal digits of
+    the double (decimal.Decimal(repr(f)) scaling — never the double-
+    rounding f*100+0.5 of r1, which flipped at .xx5-adjacent values).
+
+    This is bit-for-bit what the JVM CSV path produces (Java
+    format_string('%.2f') also rounds the shortest-repr digits HALF_UP),
+    keeping the kernel and Spark outputs identical. It deviates from
+    spec-exact JS toFixed only where the shortest repr sits on a .xx5
+    boundary the exact binary expansion doesn't (e.g. 1.005 stored as
+    1.00499…): pinned out-of-contract, same as the r1 test note.
+    Non-finite: Infinity/-Infinity/NaN render like JS toFixed."""
+    if f != f:
         return "NaN"
+    if math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
     sign = "-" if f < 0 else ""
-    scaled = abs(f) * 100
-    # toFixed rounds half away from zero on the decimal value
-    cents = math.floor(scaled + 0.5)
+    cents = int(
+        (_Decimal(repr(abs(f))) * 100).to_integral_value(rounding=_ROUND_HALF_UP)
+    )
     return f"{sign}{cents // 100}.{cents % 100:02d}"
 
 

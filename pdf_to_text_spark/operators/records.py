@@ -92,13 +92,20 @@ def _js_int_col(c):
 
 
 def _js_float_col(c):
-    """`parseFloat(x) || 0` as a built-in expression (ANSI-safe try_cast)."""
+    """`parseFloat(x) || 0` as a built-in expression (ANSI-safe try_cast).
+
+    parseFloat accepts leading Infinity literals too (truthy, so they
+    survive ||0); format_string('%.2f') then renders Java's 'Infinity' /
+    '-Infinity', same as the kernel's pinned toFixed behavior."""
+    s = F.coalesce(F.col(c), F.lit(""))
     lead = F.regexp_extract(
-        F.coalesce(F.col(c), F.lit("")),
-        r"^\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)",
-        1,
+        s, r"^\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)", 1
     )
-    return F.coalesce(lead.try_cast("double"), F.lit(0.0))
+    return (
+        F.when(s.rlike(r"^\s*[+]?Infinity"), F.lit(float("inf")))
+        .when(s.rlike(r"^\s*-Infinity"), F.lit(float("-inf")))
+        .otherwise(F.coalesce(lead.try_cast("double"), F.lit(0.0)))
+    )
 
 
 def csv_line_col():
@@ -113,8 +120,14 @@ def csv_line_col():
     )
 
 
-def csv_documents(records: DataFrame) -> DataFrame:
-    """Per-url CSV document: header + ordered rows, no trailing newline."""
+def csv_documents(records: DataFrame, urls: DataFrame | None = None) -> DataFrame:
+    """Per-url CSV document: header + ordered rows, no trailing newline.
+
+    `urls` (a one-column url relation, e.g. the extracted url universe)
+    restores the reference's always-emit contract: a url whose upload
+    parsed to ZERO records still gets a header-only CSV (main.ts:55 emits
+    the header when allJsonData is empty — ADVICE r1). Without it, the
+    groupBy can only see urls that produced records."""
     lines = records.select(
         "url",
         F.struct("chunk_id", "block_pos", "record_pos").alias("ord"),
@@ -129,8 +142,15 @@ def csv_documents(records: DataFrame) -> DataFrame:
             "\n",
         ).alias("body")
     )
+    if urls is not None:
+        assembled = urls.select("url").distinct().join(assembled, "url", "left")
     return assembled.select(
-        "url", F.concat(F.lit(CSV_HEADER + "\n"), F.col("body")).alias("csv")
+        "url",
+        F.when(
+            F.col("body").isNull() | (F.col("body") == ""), F.lit(CSV_HEADER + "\n")
+        )
+        .otherwise(F.concat(F.lit(CSV_HEADER + "\n"), F.col("body")))
+        .alias("csv"),
     )
 
 

@@ -54,7 +54,9 @@ def run_reference_pipeline(
         "extracted": extracted,
         "blocks": blocks,
         "records": records,
-        "csv_docs": csv_documents(records),
+        # pass the extracted url universe: uploads with zero parsed records
+        # still emit a header-only CSV (reference main.ts:55)
+        "csv_docs": csv_documents(records, urls=extracted.select("url")),
         "json_docs": json_documents(records),
         "metrics": metrics_rollup(extracted),
     }

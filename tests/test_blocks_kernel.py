@@ -143,7 +143,11 @@ def test_csv_header_and_coercions():
     assert lines[0] == "SucursalName,EAN,CantidadVendida,Importe"
     assert lines[1] == '"A","123",7,49.90'
     assert lines[2] == '"B","456",0,0.00'  # ||0 fallbacks
-    assert lines[3] == '"C","789",3,1.00'  # parseInt truncates; toFixed(2) banker-free
+    # r2 contract change (ADVICE r1): toFixed is pinned to HALF_UP on the
+    # shortest-repr decimal digits — bit-identical to the JVM path's Java
+    # format_string('%.2f') ("1.005" → 1.01), deviating from exact-binary
+    # JS toFixed only at repr-boundary inputs (documented out-of-contract)
+    assert lines[3] == '"C","789",3,1.01'  # parseInt truncates
     assert not csv.endswith("\n")  # no trailing newline (src/main.ts:55)
 
 
@@ -154,9 +158,27 @@ def test_csv_quotes_not_escaped():
 
 def test_to_fixed_half_away_from_zero():
     recs = [{"SucursalName": "x", "EAN": "1", "CantidadVendida": "1", "Importe": "2.675"}]
-    # JS (2.675).toFixed(2) == "2.67" due to binary repr; our decimal-away rule gives 2.68?
-    # pinned: round-half-away on the decimal value → 2.68 is OUR contract
+    # pinned: HALF_UP on the shortest-repr digits ("2.675" → 2.68),
+    # matching Java format_string('%.2f') exactly (probed: 2.68)
     assert records_to_csv(recs).split("\n")[1].endswith("2.68")
+
+
+def test_js_infinity_literals():
+    """parseFloat('Infinity')||0 → Infinity; toFixed renders 'Infinity'
+    (ADVICE r1) — and ties at .xx5 round half-up sign-separated (±1.125
+    → ±1.13, same as Java '%.2f')."""
+    from pdf_to_text_spark.kernels.blocks import _js_parse_float, _to_fixed_2
+
+    assert _js_parse_float("Infinity") == float("inf")
+    assert _js_parse_float("-Infinity") == float("-inf")
+    assert _js_parse_float("+Infinity rest") == float("inf")
+    assert _js_parse_float("Infinit") == 0.0
+    assert _to_fixed_2(float("inf")) == "Infinity"
+    assert _to_fixed_2(float("-inf")) == "-Infinity"
+    assert _to_fixed_2(float("nan")) == "NaN"
+    assert _to_fixed_2(1.125) == "1.13" and _to_fixed_2(-1.125) == "-1.13"
+    recs = [{"SucursalName": "x", "EAN": "1", "CantidadVendida": "2", "Importe": "Infinity"}]
+    assert records_to_csv(recs).split("\n")[1] == '"x","1",2,Infinity'
 
 
 @settings(max_examples=100, deadline=None)

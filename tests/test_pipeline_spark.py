@@ -179,6 +179,48 @@ def test_blocks_chunks_records_csv_match_kernel(spark):
     assert got_json == records_to_pretty_json(want_recs)
 
 
+def test_csv_header_only_for_zero_record_urls(spark):
+    """The reference emits one CSV per upload — header-only when no
+    records parsed (main.ts:55). csv_documents(urls=...) restores that
+    (ADVICE r1): urls absent from the record relation coalesce to the
+    bare header, matching the kernel's records_to_csv([])."""
+    recs = spark.createDataFrame(
+        [("u1", 0, 0, 0, "A", "1", "2", "3.5")],
+        "url string, chunk_id int, block_pos int, record_pos int, "
+        "SucursalName string, EAN string, CantidadVendida string, Importe string",
+    )
+    urls = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    out = {r["url"]: r["csv"] for r in csv_documents(recs, urls=urls).collect()}
+    assert set(out) == {"u1", "u2"}
+    assert out["u2"] == records_to_csv([])  # 'HEADER\n'
+    assert out["u1"].startswith("SucursalName,EAN,CantidadVendida,Importe\n\"A\"")
+    # without a url universe, behavior is unchanged (records-only grouping)
+    assert {r["url"] for r in csv_documents(recs).collect()} == {"u1"}
+
+
+def test_csv_kernel_jvm_parity_at_boundaries(spark):
+    """The JVM CSV path (format_string %.2f + try_cast) and the Python
+    kernel serializer must agree bit-for-bit — including shortest-repr
+    half-up ties (1.005→1.01, 2.675→2.68) and Infinity literals."""
+    values = [
+        ("A", "1", "7", "1.005"), ("B", "2", "xx", "2.675"),
+        ("C", "3", "-5", "Infinity"), ("D", "4", "0", "-Infinity"),
+        ("E", "5", "3.9", "-1.125"), ("F", "6", "1", "junk"),
+    ]
+    rows = [("u", 0, 0, i) + v for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows,
+        "url string, chunk_id int, block_pos int, record_pos int, "
+        "SucursalName string, EAN string, CantidadVendida string, Importe string",
+    )
+    got = csv_documents(df).collect()[0]["csv"]
+    want = records_to_csv(
+        [dict(zip(("SucursalName", "EAN", "CantidadVendida", "Importe"), v))
+         for v in values]
+    )
+    assert got == want
+
+
 def test_local1_equals_local4(spark, pages):
     """Layout independence: scan-split mapping and the salted-repartition
     path must produce identical results."""
