@@ -248,6 +248,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(rows, "url string, chunk_id int, response string")
         return records_from_llm_responses(df)
 
+    def q_streaming_minute_metrics(spark, sf):
+        """Structured Streaming path end-to-end: file-source pages stream →
+        extraction kernel → watermarked minute rollup, Trigger.AvailableNow
+        into a memory sink (VERDICT r1 #9: the streaming modules had tests
+        but no driver entry). Minute boundaries emitted as UTC epoch
+        seconds so the check is session-timezone-independent."""
+        import tempfile
+
+        from pdf_to_text_spark.sources.pages import write_pages
+        from pdf_to_text_spark.streaming.extract_stream import (
+            crawl_minute_metrics,
+            extract_stream,
+            read_pages_stream,
+        )
+
+        _ensure_shipped(spark)
+        tmp = tempfile.mkdtemp(prefix="pts_stream_src_")
+        write_pages(spark, 200, f"{tmp}/pages", num_partitions=4)
+        metrics = crawl_minute_metrics(
+            extract_stream(read_pages_stream(spark, f"{tmp}/pages"))
+        )
+        q = (
+            metrics.writeStream.format("memory")
+            .queryName("pts_minute_metrics")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        t = spark.table("pts_minute_metrics")
+        return t.select(
+            F.unix_seconds(F.col("minute_start")).alias("minute_epoch"),
+            "lang", "docs", "chars", "parse_failures",
+        )
+
+    def q_streaming_dedup_by_url(spark, sf):
+        """Stateful streaming dedup (applyInPandasWithState): strictly-newer
+        crawls per url across microbatches, availableNow into memory."""
+        import tempfile
+
+        from pdf_to_text_spark.sources.pages import write_pages
+        from pdf_to_text_spark.streaming.extract_stream import read_pages_stream
+        from pdf_to_text_spark.streaming.stateful import dedup_stream_by_url
+
+        _ensure_shipped(spark)
+        tmp = tempfile.mkdtemp(prefix="pts_stream_dedup_")
+        write_pages(spark, 200, f"{tmp}/pages", num_partitions=4)
+        dedup = dedup_stream_by_url(read_pages_stream(spark, f"{tmp}/pages"))
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("pts_stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        t = spark.table("pts_stream_dedup")
+        return t.select(
+            "url",
+            F.unix_seconds(F.col("warc_ts")).alias("ts_epoch"),
+            "lang",
+            "is_first_crawl",
+        )
+
     def q_csv_serialization(spark, sf):
         """CSV quirks (§2 #12) through the JVM path on crafted records."""
         from pdf_to_text_spark.operators.records import csv_documents
@@ -307,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "llm_record_ingest": q_llm_record_ingest,
         "csv_serialization": q_csv_serialization,
+        "streaming_minute_metrics": q_streaming_minute_metrics,
+        "streaming_dedup_by_url": q_streaming_dedup_by_url,
     }
 
 
@@ -683,4 +751,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_pairs": _ov.embedding_near_pairs_oracle(
             _ov.oracle_sf_dir(), threshold=0.3, dim=64
         ),
+        "streaming_minute_metrics": _ov.streaming_minute_oracle(200),
+        "streaming_dedup_by_url": _ov.streaming_dedup_oracle(200),
     }

@@ -50,13 +50,19 @@ def _dedup_fn(
     max_ts = state.get[0] if state.exists else None
     rows = []
     first = 0 if state.exists else 1
+    items = []
     for pdf in pdfs:
-        for ts, lang in zip(pdf["warc_ts"], pdf["lang"]):
-            ts_us = int(ts.value // 1000)  # pandas Timestamp → µs epoch
-            if max_ts is None or ts_us > max_ts:
-                max_ts = ts_us
-                rows.append((url, ts, lang, first))
-                first = 0
+        items.extend(zip(pdf["warc_ts"], pdf["lang"]))
+    # event-time order within one invocation: shuffle arrival order is
+    # arbitrary, so without this the emitted row SET would be
+    # nondeterministic (newer-first arrival swallows the older crawl)
+    items.sort(key=lambda t: t[0].value)
+    for ts, lang in items:
+        ts_us = int(ts.value // 1000)  # pandas Timestamp → µs epoch
+        if max_ts is None or ts_us > max_ts:
+            max_ts = ts_us
+            rows.append((url, ts, lang, first))
+            first = 0
     if max_ts is not None:
         state.update((max_ts,))
     if rows:

@@ -197,6 +197,75 @@ def extraction_e2e_oracle(n: int = 120) -> str:
     )
 
 
+# ── streaming queries (same kernels, replayed over the synthetic feed) ──────
+
+
+@functools.lru_cache(maxsize=1)
+def streaming_minute_oracle(n: int = 200) -> str:
+    """crawl_minute_metrics over the full (un-deduped) synthetic feed:
+    per (UTC epoch minute, lang) docs / chars / parse failures. Tumbling
+    1-minute windows align to the epoch, so minute_epoch is tz-free."""
+    from pdf_to_text_spark.functions.udfs import _extract_one
+    from pdf_to_text_spark.sources.pages import build_pages_pdf
+
+    agg: dict[tuple[int, str], list[int]] = {}
+    pdf = build_pages_pdf(list(range(n)))
+    for url, ts, html, text, lang in pdf.itertuples(index=False, name=None):
+        is_pdf = bool(
+            url.endswith(".pdf") and html is not None and bytes(html[:5]) == b"%PDF-"
+        )
+        out, _n_pages, _status, failed = _extract_one(html, text, is_pdf)
+        epoch = int(ts.timestamp())
+        key = (epoch - epoch % 60, lang)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(out)
+        a[2] += failed
+    rows = [(m, lang, a[0], a[1], a[2]) for (m, lang), a in sorted(agg.items())]
+    return values_sql(
+        [
+            ("minute_epoch", "BIGINT"),
+            ("lang", "VARCHAR"),
+            ("docs", "BIGINT"),
+            ("chars", "BIGINT"),
+            ("parse_failures", "BIGINT"),
+        ],
+        rows,
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def streaming_dedup_oracle(n: int = 200) -> str:
+    """dedup_stream_by_url over the synthetic feed: per url, every
+    strictly-newer crawl in event-time order (the stateful fn sorts each
+    invocation by event time), is_first_crawl on the earliest."""
+    from pdf_to_text_spark.sources.pages import build_pages_pdf
+
+    by_url: dict[str, list] = {}
+    pdf = build_pages_pdf(list(range(n)))
+    for url, ts, _html, _text, lang in pdf.itertuples(index=False, name=None):
+        by_url.setdefault(url, []).append((int(ts.timestamp()), lang))
+    rows = []
+    for url, items in sorted(by_url.items()):
+        items.sort(key=lambda t: t[0])
+        max_ts = None
+        first = 1
+        for epoch, lang in items:
+            if max_ts is None or epoch > max_ts:
+                max_ts = epoch
+                rows.append((url, epoch, lang, first))
+                first = 0
+    return values_sql(
+        [
+            ("url", "VARCHAR"),
+            ("ts_epoch", "BIGINT"),
+            ("lang", "VARCHAR"),
+            ("is_first_crawl", "INTEGER"),
+        ],
+        rows,
+    )
+
+
 # ── minhash_dedup_pairs ──────────────────────────────────────────────────────
 
 
