@@ -26,12 +26,13 @@ reference package.json:8-9):
     /EarlyChange), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, with
     /DecodeParms predictors (TIFF 2 and PNG 10-15) and filter chains;
   * single-byte font encodings: latin-1/WinAnsi base (pinned) plus
+    ``/ToUnicode`` CMaps (bfchar/bfrange, pdfjs-precedence) and
     ``/Encoding /Differences`` overrides resolved through an AGL-subset
     glyph table and uniXXXX names;
   * ``/Encrypt`` detection → :class:`PDFEncryptedError` (a distinct
     'encrypted' row status, not a confusing downstream failure).
 
-Multi-byte CID/Type0 fonts and ToUnicode CMaps remain out of contract
+Multi-byte CID/Type0 codespaces remain out of contract
 (SURVEY.md §2.2.2). Any structural error raises :class:`PDFParseError`;
 callers map that to a ``parse_failed`` metric row, never a task failure
 (reference behavior #18, src/main.ts:259-262, deliberately softened from
@@ -728,15 +729,18 @@ class PDFDocument:
             raise PDFParseError("object stream offset out of range")
         return _Lexer(data, first + off).parse_object()
 
-    # ── font encodings (§9.6.6): /Encoding /Differences maps ─────────────
+    # ── font encodings (§9.6.6): /Differences + single-byte /ToUnicode ───
 
     def page_font_decoders(self, page: dict) -> dict[str, dict[int, str]] | None:
         """Per-font code→char overrides for this page, or None when every
         font uses a plain base encoding (the latin-1 fast path).
 
-        Only /Differences arrays are honored (base encoding stays the
-        pinned latin-1 superset of WinAnsi — SURVEY.md §2.2.2); glyph
-        names resolve through a pinned AGL subset + uniXXXX forms."""
+        Two override sources, in pdfjs precedence order: /ToUnicode CMaps
+        (single-byte bfchar/bfrange; the authoritative text mapping for
+        embedded/subset fonts) win over /Encoding /Differences glyph
+        names (AGL subset + uniXXXX). Base stays the pinned latin-1
+        superset of WinAnsi — SURVEY.md §2.2.2; multi-byte CID codespaces
+        remain out of contract."""
         res = self.resolve(page.get("Resources"))
         if not isinstance(res, dict):
             return None
@@ -748,24 +752,28 @@ class PDFDocument:
             f = self.resolve(fref)
             if not isinstance(f, dict):
                 continue
-            enc = self.resolve(f.get("Encoding"))
-            if not isinstance(enc, dict):
-                continue
-            diffs = self.resolve(enc.get("Differences"))
-            if not isinstance(diffs, list):
-                continue
             m: dict[int, str] = {}
-            code = 0
-            for item in diffs:
-                item = self.resolve(item)
-                if isinstance(item, bool):
-                    continue
-                if isinstance(item, (int, float)):
-                    code = int(item)
-                elif isinstance(item, _Name):
-                    if 0 <= code <= 255:
-                        m[code] = _glyph_to_char(str(item))
-                    code += 1
+            enc = self.resolve(f.get("Encoding"))
+            if isinstance(enc, dict):
+                diffs = self.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    code = 0
+                    for item in diffs:
+                        item = self.resolve(item)
+                        if isinstance(item, bool):
+                            continue
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, _Name):
+                            if 0 <= code <= 255:
+                                m[code] = _glyph_to_char(str(item))
+                            code += 1
+            tu = self.resolve(f.get("ToUnicode"))
+            if isinstance(tu, _Stream):
+                try:
+                    m.update(_parse_tounicode(self._decode_stream(tu)))
+                except PDFParseError:
+                    pass  # malformed CMap: fall back to what we have
             if m:
                 out[str(fname)] = m
         return out or None
@@ -935,6 +943,57 @@ def _glyph_to_char(name: str) -> str:
 
 
 _LATIN1_TABLE = [chr(i) for i in range(256)]
+
+
+# ── /ToUnicode CMap parsing (single-byte bfchar/bfrange) ─────────────────────
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])", re.S
+)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_hex_to_str(h: bytes) -> str:
+    if len(h) % 4:
+        h = h[: len(h) - len(h) % 4]
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+    except (ValueError, UnicodeDecodeError):
+        return "�"
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """Single-byte bfchar/bfrange sections of a /ToUnicode CMap → code→str.
+
+    Source codes longer than one byte (CID codespaces) are skipped —
+    multi-byte fonts are out of contract (module docstring)."""
+    m: dict[int, str] = {}
+    for body in _BFCHAR_RE.findall(cmap):
+        for src, dst in _HEXPAIR_RE.findall(body):
+            if len(src) == 2:  # one byte
+                m[int(src, 16)] = _utf16be_hex_to_str(dst)
+    for body in _BFRANGE_RE.findall(cmap):
+        for lo, hi, dst, arr in _HEXRANGE_RE.findall(body):
+            if len(lo) != 2 or len(hi) != 2:
+                continue
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i < lo_i or hi_i - lo_i > 255:
+                continue
+            if arr:
+                dsts = _HEXTOK_RE.findall(arr)
+                for off, d in enumerate(dsts[: hi_i - lo_i + 1]):
+                    m[lo_i + off] = _utf16be_hex_to_str(d)
+            elif dst:
+                base = _utf16be_hex_to_str(dst)
+                if base and base != "�":
+                    cp = ord(base[-1])
+                    prefix = base[:-1]
+                    for off in range(hi_i - lo_i + 1):
+                        m[lo_i + off] = prefix + chr(cp + off)
+    return m
 
 
 # ── content-stream text extraction ───────────────────────────────────────────

@@ -201,6 +201,13 @@ def test_differences_encoding_maps_codes():
     assert text == "café señor — ΓBC Δx"
 
 
+def test_tounicode_cmap_maps_codes():
+    """bfchar pairs, contiguous bfrange, array bfrange (incl. a
+    two-codepoint ligature target); unmapped codes stay latin-1."""
+    text, _ = extract_pdf_text(FIXTURES["tounicode_cmap"]())
+    assert text == "A€ abc XYZ rest"
+
+
 def test_encrypted_raises_distinct_error_and_status():
     pdf = FIXTURES["encrypted"]()
     with pytest.raises(PDFEncryptedError):

@@ -179,7 +179,7 @@ DEFAULT_FONT_OBJ = (
 
 def build_pdf(page_streams: list[bytes], *, compress: bool = False,
               stream_filter: str | None = None, font_obj: bytes | None = None,
-              trailer_extra: bytes = b"") -> bytes:
+              trailer_extra: bytes = b"", extra_objects: tuple = ()) -> bytes:
     """Assemble a complete PDF from per-page content streams.
 
     Defaults reproduce the round-1 writer byte-for-byte (golden contract).
@@ -216,6 +216,7 @@ def build_pdf(page_streams: list[bytes], *, compress: bool = False,
         objects.append(
             b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
         )
+    objects.extend(extra_objects)  # numbered after the page objects
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]  # object 0 is the free head
@@ -345,6 +346,28 @@ def differences_pdf() -> bytes:
     return build_pdf([stream], font_obj=font)
 
 
+def tounicode_pdf() -> bytes:
+    """Font with a /ToUnicode CMap: bfchar pairs, a contiguous bfrange,
+    and an array-destination bfrange (incl. a two-codepoint target).
+    ToUnicode overrides win over the base encoding; unmapped codes stay
+    latin-1."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<01> <0041>\n<02> <20AC>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<10> <12> <0061>\n"
+        b"<23> <24> [<00580059> <005A>]\n"
+        b"endbfrange\nendcmap\nend end"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /ToUnicode 6 0 R >>"
+    )
+    tu_obj = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    stream = b"BT /F1 12 Tf 72 720 Td (\x01\x02 \x10\x11\x12 \x23\x24 rest) Tj ET"
+    return build_pdf([stream], font_obj=font, extra_objects=(tu_obj,))
+
+
 def encrypted_pdf() -> bytes:
     """Valid structure + /Encrypt in the trailer → PDFEncryptedError
     ('encrypted' row status), never a confusing downstream failure."""
@@ -453,6 +476,7 @@ FIXTURES = {
         stream_filter="RunLengthDecode",
     ),
     "differences_encoding": differences_pdf,
+    "tounicode_cmap": tounicode_pdf,
     "encrypted": encrypted_pdf,
 }
 
