@@ -85,19 +85,12 @@ def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
     early, matching TIFF/PDF writers. Pinned against the spec's worked
     example in tests (45×5 65 45×3 66 ⇄ 80 0B 60 50 22 0C 0C 85 01)."""
     out = bytearray()
-    table: dict[int, bytes] = {}
+    base = [bytes([i]) for i in range(256)] + [b"", b""]  # 256/257 control
+    table = list(base)
     prev: bytes | None = None
     width = 9
-    next_code = 258
-
-    def reset() -> None:
-        nonlocal table, width, next_code, prev
-        table = {i: bytes([i]) for i in range(256)}
-        width = 9
-        next_code = 258
-        prev = None
-
-    reset()
+    mask = (1 << width) - 1
+    threshold = (1 << width) - early
     buf = 0
     bits = 0
     for byte in raw:
@@ -105,32 +98,38 @@ def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
         bits += 8
         while bits >= width:
             bits -= width
-            code = (buf >> bits) & ((1 << width) - 1)
+            code = (buf >> bits) & mask
             if code == 256:
-                reset()
+                table = list(base)
+                width = 9
+                mask = 511
+                threshold = 512 - early
+                prev = None
                 continue
             if code == 257:
                 return bytes(out)
+            next_code = len(table)
             if prev is None:
-                entry = table.get(code)
-                if entry is None:
+                if code >= next_code:
                     raise PDFParseError(f"LZW: bad first code {code}")
+                entry = table[code]
                 out += entry
                 prev = entry
             else:
-                if code in table:
+                if code < next_code:
                     entry = table[code]
                 elif code == next_code:
                     entry = prev + prev[:1]  # the KwKwK case
                 else:
                     raise PDFParseError(f"LZW: code {code} out of range")
                 out += entry
-                table[next_code] = prev + entry[:1]
-                next_code += 1
+                table.append(prev + entry[:1])
                 prev = entry
-            if next_code >= (1 << width) - early and width < 12:
-                width += 1
-        buf &= (1 << width) - 1  # keep the residue bounded
+                if len(table) >= threshold and width < 12:
+                    width += 1
+                    mask = (1 << width) - 1
+                    threshold = (1 << width) - early
+        buf &= mask  # keep the residue bounded
     return bytes(out)  # missing EOD: tolerate (spec writers always emit it)
 
 
@@ -147,29 +146,47 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
 
 
 def _ascii85_decode(raw: bytes) -> bytes:
+    """Vectorized fast path (numpy base-85 per 5-char group); the strict
+    per-char path handles 'z' groups and reports malformed input."""
+    body = raw[2:] if raw.startswith(b"<~") else raw
+    end = body.find(b"~")
+    if end >= 0:
+        body = body[:end]
+    compact = bytes(body).translate(None, _WHITESPACE)  # C-level ws strip
+    if b"z" not in compact and len(compact) != 1:
+        import numpy as np
+
+        vals = np.frombuffer(compact, dtype=np.uint8).astype(np.int64) - 33
+        if len(vals) and (vals.min() < 0 or vals.max() > 84):
+            raise PDFParseError("ASCII85Decode: bad char")
+        k = len(vals) % 5
+        if k == 1:
+            raise PDFParseError("ASCII85Decode: dangling single char")
+        pad = (5 - k) % 5
+        if pad:
+            vals = np.concatenate([vals, np.full(pad, 84, dtype=np.int64)])
+        groups = vals.reshape(-1, 5)
+        weights = np.array([85**4, 85**3, 85**2, 85, 1], dtype=np.int64)
+        v = groups @ weights
+        if len(v) and v.max() > 0xFFFFFFFF:
+            raise PDFParseError("ASCII85Decode: group overflow")
+        out = v.astype(">u4").tobytes()
+        return out[: len(out) - pad] if pad else out
+    return _ascii85_decode_strict(compact)
+
+
+def _ascii85_decode_strict(compact: bytes) -> bytes:
     out = bytearray()
     group: list[int] = []
-    i = 0
-    n = len(raw)
-    if raw.startswith(b"<~"):
-        i = 2
-    while i < n:
-        c = raw[i]
-        if c in _WHITESPACE:
-            i += 1
-            continue
-        if c == 0x7E:  # '~' — EOD marker '~>'
-            break
+    for c in compact:
         if c == 0x7A:  # 'z' — four zero bytes (only between groups)
             if group:
                 raise PDFParseError("ASCII85Decode: 'z' inside group")
             out += b"\x00\x00\x00\x00"
-            i += 1
             continue
         if not 0x21 <= c <= 0x75:
             raise PDFParseError(f"ASCII85Decode: bad char {c:#x}")
         group.append(c - 33)
-        i += 1
         if len(group) == 5:
             v = 0
             for g in group:
