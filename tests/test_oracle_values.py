@@ -1,0 +1,65 @@
+"""Unit checks for the VALUES-oracle replication helpers.
+
+The integration gate (tools/check_oracle) proves end-to-end equality with
+Spark; these pin the individual replication rules so a refactor that
+breaks one fails fast and locally.
+"""
+
+import math
+
+from tools.oracle_values import fold_cosine, spark_dec18, spark_round, values_sql
+
+
+def test_spark_round_half_up_on_shortest_repr():
+    # BigDecimal.valueOf semantics: shortest-repr digits, HALF_UP
+    assert spark_round(0.15625, 4) == 0.1563   # 5/32 exact: ...25 → up
+    assert spark_round(0.46875, 4) == 0.4688   # 30/64 exact tie → up
+    assert spark_round(0.21875, 4) == 0.2188
+    assert spark_round(1.005, 2) == 1.01       # shortest repr "1.005" tie → up
+    assert spark_round(-1.125, 2) == -1.13     # HALF_UP = away from zero
+    assert spark_round(0.203125, 4) == 0.2031
+
+
+def test_spark_dec18_pads_and_rounds():
+    assert str(spark_dec18(0.5)) == "0.500000000000000000"
+    # >18 decimal digits in the shortest repr rounds at the 18th place
+    v = spark_dec18(1.2345678901234567e-3)
+    assert v == spark_dec18(0.0012345678901234567)
+    assert abs(float(v) - 0.0012345678901234567) < 1e-18
+
+
+def test_fold_cosine_matches_sequential_ieee():
+    a = [0.1, 0.2, 0.3, 0.4]
+    b = [0.4, 0.3, 0.2, 0.1]
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    want = dot / (math.sqrt(na) * math.sqrt(na))  # symmetric norms here
+    assert fold_cosine(a, b) == want
+    assert fold_cosine(a, a) == 1.0 or abs(fold_cosine(a, a) - 1.0) < 1e-15
+
+
+def test_values_sql_quoting_and_types():
+    sql = values_sql(
+        [("s", "VARCHAR"), ("x", "DOUBLE"), ("n", "BIGINT")],
+        [("o'brien", 0.5, 3), (None, float(1e-7), -2)],
+    )
+    assert "'o''brien'" in sql  # single quotes doubled
+    assert "NULL" in sql and "1e-07" in sql
+    assert "s::VARCHAR AS s" in sql and "n::BIGINT AS n" in sql
+    import duckdb
+
+    rows = duckdb.sql(sql).fetchall()
+    assert rows == [("o'brien", 0.5, 3), (None, 1e-07, -2)]
+
+
+def test_values_sql_empty_set():
+    sql = values_sql([("a", "BIGINT"), ("b", "VARCHAR")], [])
+    import duckdb
+
+    out = duckdb.sql(sql)
+    assert out.fetchall() == []
+    assert [d[0] for d in out.description] == ["a", "b"]
