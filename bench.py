@@ -50,10 +50,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # deterministic bench pages table, built once and reused across runs
-    pages_path = repo / ".benchdata" / f"pages_{n_pages}"
+    # deterministic bench pages table, built once and reused across runs;
+    # 4×cores files — single-row-group files are the task granularity
+    # (see bench/scaling.py ensure_pages)
+    n_parts = max(64, 4 * cpus)
+    pages_path = repo / ".benchdata" / f"pages_{n_pages}_p{n_parts}"
     if not (pages_path / "_SUCCESS").exists():
-        write_pages(spark, n_pages, str(pages_path), num_partitions=max(16, cpus))
+        write_pages(spark, n_pages, str(pages_path), num_partitions=n_parts)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

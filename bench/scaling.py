@@ -55,18 +55,23 @@ def run_once(cores: int, pages_path: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def ensure_pages(n_pages: int) -> str:
-    path = REPO / ".benchdata" / f"pages_{n_pages}"
+def ensure_pages(n_pages: int, parts: int = 128) -> str:
+    # 128 files, not 32: these ~3 MB zstd files are single-row-group, so
+    # one file == one scan task — at 32 files a 16-core run is 2 task
+    # waves and any straggler idles 15 cores. 4×cores files give smooth
+    # wave packing (the 100 TB analogue is maxPartitionBytes-sized splits
+    # with files >> cores; file count is the sandbox's granularity knob).
+    path = REPO / ".benchdata" / f"pages_{n_pages}_p{parts}"
     if not (path / "_SUCCESS").exists():
         code = (
             f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
             "from pdf_to_text_spark.config import build_spark\n"
             "from pdf_to_text_spark.sources.pages import write_pages\n"
             "spark = build_spark('gen-pages', master='local[32]')\n"
-            f"write_pages(spark, {n_pages}, {str(path)!r}, num_partitions=32)\n"
+            f"write_pages(spark, {n_pages}, {str(path)!r}, num_partitions={parts})\n"
             "spark.stop()\n"
         )
-        subprocess.run([sys.executable, "-c", code], check=True, timeout=900)
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
     return str(path)
 
 
