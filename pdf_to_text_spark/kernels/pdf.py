@@ -25,15 +25,17 @@ reference package.json:8-9):
   * stream filters: FlateDecode, LZWDecode (variable 9-12 bit codes,
     /EarlyChange), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, with
     /DecodeParms predictors (TIFF 2 and PNG 10-15) and filter chains;
-  * single-byte font encodings: latin-1/WinAnsi base (pinned) plus
-    ``/ToUnicode`` CMaps (bfchar/bfrange, pdfjs-precedence) and
-    ``/Encoding /Differences`` overrides resolved through an AGL-subset
-    glyph table and uniXXXX names;
+  * font encodings: latin-1/WinAnsi base (pinned) plus ``/ToUnicode``
+    CMaps (bfchar/bfrange, pdfjs-precedence) and ``/Encoding
+    /Differences`` overrides resolved through an AGL-subset glyph table
+    and uniXXXX names; Type0/Identity-H CID fonts decode 2-byte show
+    strings through their wide ToUnicode map (the standard embedded-CJK
+    layout — unmapped CIDs pin to U+FFFD);
   * ``/Encrypt`` detection → :class:`PDFEncryptedError` (a distinct
     'encrypted' row status, not a confusing downstream failure).
 
-Multi-byte CID/Type0 codespaces remain out of contract
-(SURVEY.md §2.2.2). Any structural error raises :class:`PDFParseError`;
+Predefined CID CMaps (e.g. UniGB-UCS2-H without ToUnicode) remain out
+of contract. Any structural error raises :class:`PDFParseError`;
 callers map that to a ``parse_failed`` metric row, never a task failure
 (reference behavior #18, src/main.ts:259-262, deliberately softened from
 fail-stop to per-row status).
@@ -769,6 +771,7 @@ class PDFDocument:
             f = self.resolve(fref)
             if not isinstance(f, dict):
                 continue
+            is_type0 = str(f.get("Subtype", "")) == "Type0"
             m: dict[int, str] = {}
             enc = self.resolve(f.get("Encoding"))
             if isinstance(enc, dict):
@@ -785,12 +788,21 @@ class PDFDocument:
                             if 0 <= code <= 255:
                                 m[code] = _glyph_to_char(str(item))
                             code += 1
+            narrow: dict[int, str] = {}
+            wide: dict[int, str] = {}
             tu = self.resolve(f.get("ToUnicode"))
             if isinstance(tu, _Stream):
                 try:
-                    m.update(_parse_tounicode(self._decode_stream(tu)))
+                    narrow, wide = _parse_tounicode(self._decode_stream(tu))
                 except PDFParseError:
                     pass  # malformed CMap: fall back to what we have
+            if is_type0:
+                # Type0/Identity-H: show strings are 2-byte CIDs; decode
+                # pairwise through the wide ToUnicode map (unmapped → �,
+                # which is honest — latin-1 on CID bytes is mojibake)
+                out[str(fname)] = _WideMap(wide)
+                continue
+            m.update(narrow)  # ToUnicode wins over Differences (pdfjs order)
             if m:
                 out[str(fname)] = m
         return out or None
@@ -982,22 +994,37 @@ def _utf16be_hex_to_str(h: bytes) -> str:
         return "�"
 
 
-def _parse_tounicode(cmap: bytes) -> dict[int, str]:
-    """Single-byte bfchar/bfrange sections of a /ToUnicode CMap → code→str.
+class _WideMap(dict):
+    """code→str map keyed by 2-byte codes (Type0/Identity-H CIDs) — the
+    extractor consumes show-string bytes pairwise when it sees one."""
 
-    Source codes longer than one byte (CID codespaces) are skipped —
-    multi-byte fonts are out of contract (module docstring)."""
-    m: dict[int, str] = {}
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], dict[int, str]]:
+    """bfchar/bfrange sections of a /ToUnicode CMap → (narrow, wide):
+    1-byte source codes land in `narrow`, 2-byte codes (CID fonts) in
+    `wide`. Longer codespaces are skipped (out of contract)."""
+    narrow: dict[int, str] = {}
+    wide: dict[int, str] = {}
+
+    def sink(src_hex: bytes) -> dict[int, str] | None:
+        if len(src_hex) == 2:
+            return narrow
+        if len(src_hex) == 4:
+            return wide
+        return None
+
     for body in _BFCHAR_RE.findall(cmap):
         for src, dst in _HEXPAIR_RE.findall(body):
-            if len(src) == 2:  # one byte
+            m = sink(src)
+            if m is not None:
                 m[int(src, 16)] = _utf16be_hex_to_str(dst)
     for body in _BFRANGE_RE.findall(cmap):
         for lo, hi, dst, arr in _HEXRANGE_RE.findall(body):
-            if len(lo) != 2 or len(hi) != 2:
+            m = sink(lo)
+            if m is None or len(hi) != len(lo):
                 continue
             lo_i, hi_i = int(lo, 16), int(hi, 16)
-            if hi_i < lo_i or hi_i - lo_i > 255:
+            if hi_i < lo_i or hi_i - lo_i > 65535:
                 continue
             if arr:
                 dsts = _HEXTOK_RE.findall(arr)
@@ -1010,7 +1037,7 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
                     prefix = base[:-1]
                     for off in range(hi_i - lo_i + 1):
                         m[lo_i + off] = prefix + chr(cp + off)
-    return m
+    return narrow, wide
 
 
 # ── content-stream text extraction ───────────────────────────────────────────
@@ -1078,8 +1105,13 @@ def _extract_page_text(content: bytes, fonts: dict[str, dict[int, str]] | None =
     def dec(b: bytes) -> str:
         if cur_map is None:
             return b.decode("latin-1")
-        t = _LATIN1_TABLE
         m = cur_map
+        if type(m) is _WideMap:  # Type0: consume 2-byte CIDs
+            return "".join(
+                m.get((b[i] << 8) | b[i + 1], "�")
+                for i in range(0, len(b) - 1, 2)
+            )
+        t = _LATIN1_TABLE
         return "".join(m.get(x) or t[x] for x in b)
 
     def flush() -> None:

@@ -208,6 +208,13 @@ def test_tounicode_cmap_maps_codes():
     assert text == "A€ abc XYZ rest"
 
 
+def test_type0_identity_h_cid_decode():
+    """Type0/Identity-H: 2-byte CIDs through the wide ToUnicode map —
+    bfchar + bfrange CJK targets; unmapped CID → U+FFFD."""
+    text, _ = extract_pdf_text(FIXTURES["type0_identity_h"]())
+    assert text == "你好 中丮丯\n你�"
+
+
 def test_encrypted_raises_distinct_error_and_status():
     pdf = FIXTURES["encrypted"]()
     with pytest.raises(PDFEncryptedError):

@@ -14,7 +14,14 @@ def test_run_reference_pipeline(spark):
     csvs = out["csv_docs"].collect()
     assert all(r["csv"].startswith("SucursalName,EAN,CantidadVendida,Importe\n")
                for r in csvs)
-    assert all(not r["csv"].endswith("\n") for r in csvs)
+    # every extracted url gets a CSV (reference main.ts:55): urls whose
+    # upload parsed zero records are exactly the bare header ('HEADER\n',
+    # the records_to_csv([]) contract); docs WITH records end without a
+    # trailing newline
+    header_only = "SucursalName,EAN,CantidadVendida,Importe\n"
+    with_rows = [r for r in csvs if r["csv"] != header_only]
+    assert with_rows and all(not r["csv"].endswith("\n") for r in with_rows)
+    assert len(csvs) == out["extracted"].select("url").distinct().count()
     jsons = out["json_docs"].collect()
     assert all(r["json"].startswith("[\n  {\n") for r in jsons)
     assert out["metrics"].count() <= 32

@@ -368,6 +368,34 @@ def tounicode_pdf() -> bytes:
     return build_pdf([stream], font_obj=font, extra_objects=(tu_obj,))
 
 
+def type0_identity_h_pdf() -> bytes:
+    """Type0 (CID) font with /Encoding /Identity-H and a 2-byte
+    /ToUnicode CMap — the standard embedded-CJK layout. Show strings are
+    hex-encoded 2-byte CIDs; the kernel decodes pairwise (unmapped CIDs
+    → U+FFFD)."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"3 beginbfchar\n<0001> <4F60>\n<0002> <597D>\n<0003> <0020>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <4E2D>\nendbfrange\n"
+        b"endcmap\nend end"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansCJK "
+        b"/Encoding /Identity-H /DescendantFonts "
+        b"[<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSansCJK "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>] /ToUnicode 6 0 R >>"
+    )
+    tu_obj = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"<000100020003001000110012> Tj "
+        b"0 -14 Td <0001FFFF> Tj ET"
+    )
+    return build_pdf([stream], font_obj=font, extra_objects=(tu_obj,))
+
+
 def encrypted_pdf() -> bytes:
     """Valid structure + /Encrypt in the trailer → PDFEncryptedError
     ('encrypted' row status), never a confusing downstream failure."""
@@ -477,6 +505,7 @@ FIXTURES = {
     ),
     "differences_encoding": differences_pdf,
     "tounicode_cmap": tounicode_pdf,
+    "type0_identity_h": type0_identity_h_pdf,
     "encrypted": encrypted_pdf,
 }
 
