@@ -124,6 +124,35 @@ def test_lsh_band_join_is_hash_keyed_not_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_pairs_lsh_is_bucket_keyed(spark):
+    """The queries() entry point for embedding near-dup must be the
+    LSH-bucketed plan (VERDICT r1 #3): keyed joins only — the O(n²)
+    cross join lives solely in embedding_near_pairs_exact."""
+    from pdf_to_text_spark.operators import dedup
+    from pdf_to_text_spark.sources.catalog import load
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    plan = _plan(dedup.embedding_near_pairs(emb, threshold=0.3, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the audit baseline is deliberately exhaustive
+    exact = _plan(dedup.embedding_near_pairs_exact(emb, threshold=0.3))
+    assert "CartesianProduct" in exact or "BroadcastNestedLoopJoin" in exact
+
+
+def test_ngram_jaccard_candidates_path_is_keyed(spark):
+    """ngram_jaccard_pairs(candidates=...) — the 100 TB LSH-then-verify
+    composition — must stay equi-join-keyed, never all-pairs."""
+    from pdf_to_text_spark.operators import dedup
+    from pdf_to_text_spark.sources.catalog import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    cand = dedup.minhash_candidate_pairs(dedup.minhash_signatures(docs))
+    plan = _plan(dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_relational_agg_plan_shape(spark):
     """Q1 shape: filter pushed to parquet, map-side partial aggregation,
     shuffle carries only the grouped partials (AQE wraps codegen, so we
