@@ -73,9 +73,20 @@ class PDFEncryptedError(PDFParseError):
 # ── stream filters (PDF 32000-1 §7.4) ────────────────────────────────────────
 
 
+# A crawl-scale kernel must survive adversarial inputs: Flate and LZW
+# outputs are unbounded (classic decompression bombs — LZW worst case is
+# quadratic in input), so decoded streams are capped. Far above any real
+# content stream; a bombed row becomes one parse_failed, not an executor OOM.
+MAX_DECODED_STREAM_BYTES = 256 << 20
+
+
 def _flate_decode(raw: bytes) -> bytes:
     try:
-        return zlib.decompress(raw)
+        d = zlib.decompressobj()
+        out = d.decompress(raw, MAX_DECODED_STREAM_BYTES)
+        if d.unconsumed_tail:
+            raise PDFParseError("FlateDecode: decoded stream exceeds cap")
+        return out
     except zlib.error as e:
         raise PDFParseError(f"FlateDecode failed: {e}") from None
 
@@ -125,6 +136,8 @@ def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
                 else:
                     raise PDFParseError(f"LZW: code {code} out of range")
                 out += entry
+                if len(out) > MAX_DECODED_STREAM_BYTES:
+                    raise PDFParseError("LZWDecode: decoded stream exceeds cap")
                 table.append(prev + entry[:1])
                 prev = entry
                 if len(table) >= threshold and width < 12:
@@ -726,6 +739,8 @@ class PDFDocument:
             first = self.resolve(st.dict.get("First"))
             if not isinstance(n, int) or not isinstance(first, int) or n < 0:
                 raise PDFParseError("object stream: bad /N or /First")
+            if n > 1_000_000:  # adversarial /N must not allocate unbounded
+                raise PDFParseError(f"object stream: implausible /N {n}")
             lx = _Lexer(data)
             pairs = [(lx.read_int(), lx.read_int()) for _ in range(n)]
             self._objstm_cache[stm_num] = (data, first, pairs)

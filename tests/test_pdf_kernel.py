@@ -239,6 +239,18 @@ def test_truncation_sweep_new_formats(name):
             pass
 
 
+def test_decompression_bomb_capped():
+    """An adversarial Flate bomb must raise PDFParseError, never OOM an
+    executor (crawl-scale robustness)."""
+    import zlib
+
+    from pdf_to_text_spark.kernels.pdf import _flate_decode
+
+    bomb = zlib.compress(b"\x00" * (300 << 20), 9)  # 300 MB of zeros, ~300 KB wire
+    with pytest.raises(PDFParseError, match="cap"):
+        _flate_decode(bomb)
+
+
 def test_bitflip_sweep_xref_stream_never_crashes():
     """Corrupting single bytes across an xref-stream PDF must yield either
     a parse or a PDFParseError (defensive kernel contract #18)."""
