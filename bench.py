@@ -83,6 +83,7 @@ def main() -> int:
         "token_quality_langid": lambda: text_analysis.text_profile(docs),
         "fingerprint_dedup_exact": lambda: dedup.dedup_exact_groups(docs),
         "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(docs, threshold=0.2),
+        "minhash_sql_pairs": lambda: dedup.minhash_dedup_pairs_sql(docs, threshold=0.2),
         "simhash_near_pairs": lambda: dedup.simhash_near_pairs(docs, max_hamming=8),
         "ngram_jaccard_1k": lambda: dedup.ngram_jaccard_pairs(docs_1k, threshold=0.02),
         "knn_brute_force": lambda: similarity.brute_force_topk(

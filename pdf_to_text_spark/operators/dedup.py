@@ -132,6 +132,91 @@ def minhash_dedup_pairs(
     )
 
 
+# ── MinHash, pure-JVM variant (no Python in the hot path) ───────────────────
+
+# 31-bit Mersenne prime: products a*h stay under 2^62, so the universal
+# hash runs in native long arithmetic inside WholeStageCodegen (the
+# Python kernel uses 2^61-1; same construction, different modulus —
+# the two variants' signatures differ but their Jaccard estimates agree,
+# pinned by test_minhash_sql_estimates_track_exact_jaccard).
+_SQL_MERSENNE = (1 << 31) - 1
+
+
+def _sql_perm_params(n_perm: int):
+    import numpy as np
+
+    rng = np.random.RandomState(0x5EED0)
+    a = rng.randint(1, _SQL_MERSENNE, size=n_perm).astype("int64")
+    b = rng.randint(0, _SQL_MERSENNE, size=n_perm).astype("int64")
+    return a, b
+
+
+def minhash_signatures_sql(
+    documents: DataFrame, n_perm: int = 64, n_bands: int = 16, k: int = 5
+) -> DataFrame:
+    """MinHash signatures computed ENTIRELY with built-in expressions:
+    word shingles (sequence+transform), xxhash64 base hash, n_perm
+    universal-hash mins as one grouped aggregation with map-side partial
+    mins. Zero Python workers — the 100 TB dedup map stage stays inside
+    WholeStageCodegen, and the shuffle carries (doc, 64 longs) partials.
+
+    Output: (doc_id, sig array<long>, bands array<long>)."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " ")), " "
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    shingles = documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    ).where(F.length("shingle") > 0)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_SQL_MERSENNE))
+    a, b = _sql_perm_params(n_perm)
+    hashed = shingles.select("doc_id", h.alias("_h"))
+    agg = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])),
+                       F.lit(_SQL_MERSENNE))
+            ).alias(f"_s{i}")
+            for i in range(n_perm)
+        ]
+    )
+    sig = F.array(*[F.col(f"_s{i}") for i in range(n_perm)])
+    r = n_perm // n_bands
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"_s{bi * r + j}") for j in range(r)], F.lit(bi))
+            for bi in range(n_bands)
+        ]
+    )
+    return agg.select("doc_id", sig.alias("sig"), bands.alias("bands"))
+
+
+def minhash_dedup_pairs_sql(
+    documents: DataFrame, threshold: float = 0.5, n_perm: int = 64, n_bands: int = 16
+) -> DataFrame:
+    """LSH candidates + signature-estimate verify over the pure-JVM
+    signatures — same banding join shape as minhash_dedup_pairs."""
+    sigs = minhash_signatures_sql(documents, n_perm, n_bands)
+    pairs = minhash_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 # ── SimHash ──────────────────────────────────────────────────────────────────
 
 
