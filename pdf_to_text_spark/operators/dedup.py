@@ -157,10 +157,18 @@ def minhash_signatures_sql(
     """MinHash signatures computed ENTIRELY with built-in expressions:
     word shingles (sequence+transform), xxhash64 base hash, n_perm
     universal-hash mins as one grouped aggregation with map-side partial
-    mins. Zero Python workers — the 100 TB dedup map stage stays inside
-    WholeStageCodegen, and the shuffle carries (doc, 64 longs) partials.
+    mins (the shuffle carries (doc, 64 longs) partials).
 
-    Output: (doc_id, sig array<long>, bands array<long>)."""
+    Zero Python workers — useful where a deployment forbids or lacks
+    Python on executors. MEASURED TRADE-OFF (bench.py, sf0.1): ~3×
+    slower than the Arrow-batched numpy kernel (minhash_signatures) —
+    n_perm min-aggregates over the exploded shingle relation evaluate
+    ~shingles×64 JVM expressions, which loses to vectorized numpy.
+    The kernel variant is the default recommendation at scale; this one
+    is the dependency-free alternative, same LSH downstream.
+
+    Output: (doc_id, sig array<long>, bands array<long>); docs whose
+    normalized text is empty produce no row (no shingles to hash)."""
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " ")), " "
     )
