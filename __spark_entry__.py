@@ -265,19 +265,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _ensure_shipped(spark)
         tmp = tempfile.mkdtemp(prefix="pts_stream_src_")
-        write_pages(spark, 200, f"{tmp}/pages", num_partitions=4)
-        metrics = crawl_minute_metrics(
-            extract_stream(read_pages_stream(spark, f"{tmp}/pages"))
-        )
-        q = (
-            metrics.writeStream.format("memory")
-            .queryName("pts_minute_metrics")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            write_pages(spark, 200, f"{tmp}/pages", num_partitions=4)
+            metrics = crawl_minute_metrics(
+                extract_stream(read_pages_stream(spark, f"{tmp}/pages"))
+            )
+            q = (
+                metrics.writeStream.format("memory")
+                .queryName("pts_minute_metrics")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # memory-sink rows live in the session, not these files
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         t = spark.table("pts_minute_metrics")
         return t.select(
             F.unix_seconds(F.col("minute_start")).alias("minute_epoch"),
@@ -295,17 +301,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _ensure_shipped(spark)
         tmp = tempfile.mkdtemp(prefix="pts_stream_dedup_")
-        write_pages(spark, 200, f"{tmp}/pages", num_partitions=4)
-        dedup = dedup_stream_by_url(read_pages_stream(spark, f"{tmp}/pages"))
-        q = (
-            dedup.writeStream.format("memory")
-            .queryName("pts_stream_dedup")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            write_pages(spark, 200, f"{tmp}/pages", num_partitions=4)
+            dedup = dedup_stream_by_url(read_pages_stream(spark, f"{tmp}/pages"))
+            q = (
+                dedup.writeStream.format("memory")
+                .queryName("pts_stream_dedup")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         t = spark.table("pts_stream_dedup")
         return t.select(
             "url",

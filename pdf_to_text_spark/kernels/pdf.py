@@ -86,6 +86,10 @@ def _flate_decode(raw: bytes) -> bytes:
         out = d.decompress(raw, MAX_DECODED_STREAM_BYTES)
         if d.unconsumed_tail:
             raise PDFParseError("FlateDecode: decoded stream exceeds cap")
+        if not d.eof:
+            # truncated deflate data: plain zlib.decompress raised here;
+            # returning the partial prefix would mislabel the row 'ok'
+            raise PDFParseError("FlateDecode: truncated stream")
         return out
     except zlib.error as e:
         raise PDFParseError(f"FlateDecode failed: {e}") from None
@@ -622,6 +626,7 @@ class PDFDocument:
             # PDF 1.5+: the xref is itself a stream object (§7.5.8)
             return self._load_xref_stream_at(offset)
         lx.expect_keyword(b"xref")
+        pending: list[tuple[int, int]] = []
         while True:
             lx._skip_ws()
             if lx.data.startswith(b"trailer", lx.pos):
@@ -630,10 +635,15 @@ class PDFDocument:
                 if not isinstance(trailer, dict):
                     raise PDFParseError("trailer is not a dict")
                 # hybrid-reference file (§7.5.8.4): the classic trailer may
-                # point at a supplemental xref stream for compressed objects
+                # point at a supplemental xref stream whose entries take
+                # PRECEDENCE over this section's table entries — so the
+                # table's rows were buffered and are recorded only after it
                 xstm = trailer.get("XRefStm")
                 if isinstance(xstm, int):
                     self._load_xref_stream_at(xstm)
+                for num, off in pending:
+                    if not self._known(num):
+                        self.xref[num] = off
                 return trailer
             first = lx.read_int()
             count = lx.read_int()
@@ -644,8 +654,7 @@ class PDFDocument:
                 _gen = lx.read_int()
                 kind = lx.read_token()
                 if kind == b"n":
-                    if not self._known(first + i):
-                        self.xref[first + i] = off
+                    pending.append((first + i, off))
                 elif kind != b"f":
                     raise PDFParseError(f"bad xref entry kind {kind!r}")
 
@@ -662,7 +671,11 @@ class PDFDocument:
         data = self._decode_stream(st)
         w = st.dict.get("W")
         size = st.dict.get("Size")
-        if not (isinstance(w, list) and all(isinstance(x, int) for x in w) and w):
+        if not (
+            isinstance(w, list)
+            and len(w) >= 2
+            and all(isinstance(x, int) and x >= 0 for x in w)
+        ):
             raise PDFParseError("xref stream: bad /W")
         if not isinstance(size, int):
             raise PDFParseError("xref stream: bad /Size")
@@ -875,7 +888,12 @@ class PDFDocument:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(st.dict.get("DecodeParms", st.dict.get("DP")))
-        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        if isinstance(parms, list):
+            # pad a short /DecodeParms array: zip truncation would silently
+            # SKIP trailing filters and hand encoded bytes downstream
+            parms_list = parms + [None] * (len(filters) - len(parms))
+        else:
+            parms_list = [parms] * len(filters)
         for f, p in zip(filters, parms_list):
             f = _FILTER_ALIASES.get(str(self.resolve(f)), str(self.resolve(f)))
             p = self.resolve(p)
@@ -1051,7 +1069,13 @@ def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], dict[int, str]]:
                     cp = ord(base[-1])
                     prefix = base[:-1]
                     for off in range(hi_i - lo_i + 1):
-                        m[lo_i + off] = prefix + chr(cp + off)
+                        c = cp + off
+                        # clamp: past U+10FFFF chr() raises, and lone
+                        # surrogates poison any later utf-8 encode
+                        if c > 0x10FFFF or 0xD800 <= c <= 0xDFFF:
+                            m[lo_i + off] = "�"
+                        else:
+                            m[lo_i + off] = prefix + chr(c)
     return narrow, wide
 
 

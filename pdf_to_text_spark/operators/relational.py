@@ -188,8 +188,10 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             # sum as decimal, not double: decimal addition is exact and
             # order-independent, so Spark's partition-order sum and the
             # oracle's scan-order sum agree bit-for-bit (round-half on a
-            # double sum flips at the last bit — VERDICT r1 #1)
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            # double sum flips at the last bit — VERDICT r1 #1).
+            # try_cast: ANSI mode makes a plain cast job-fatal on
+            # NaN/Infinity/overflow rows; null rows drop from the sum.
+            F.round(F.sum(F.col("value").try_cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("session_value"),
         )
@@ -205,8 +207,9 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # decimal sum: exact + order-independent (see sessionize_events)
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            # decimal sum: exact + order-independent, ANSI-safe try_cast
+            # (see sessionize_events)
+            F.round(F.sum(F.col("value").try_cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total_value"),
             F.countDistinct("user_id").alias("users"),

@@ -139,7 +139,9 @@ def ivf_train(embeddings: DataFrame, dim: int, n_cells: int = 16,
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
             .agg(
-                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                # try_cast: a NaN/Infinity embedding component must cost one
+                # term (null drops from the sum), not the whole job (ANSI)
+                F.sum(F.col("x").try_cast("decimal(38,18)")).alias("s"),
                 F.count("*").alias("n"),
             )
             .collect()

@@ -239,6 +239,58 @@ def test_truncation_sweep_new_formats(name):
             pass
 
 
+def test_truncated_flate_raises_not_partial():
+    """A cut-off deflate stream must be parse_failed, never a silent
+    partial extraction labeled ok (review r2 finding #1)."""
+    import zlib
+
+    from pdf_to_text_spark.kernels.pdf import _flate_decode
+
+    full = zlib.compress(b"hello truncation " * 50)
+    with pytest.raises(PDFParseError, match="truncat"):
+        _flate_decode(full[: len(full) // 2])
+
+
+def test_short_decodeparms_array_still_applies_all_filters():
+    """/Filter [A85 Flate] with a one-element /DecodeParms must apply BOTH
+    filters (zip truncation skipped the tail pre-fix, review #2)."""
+    import zlib
+
+    from pdf_to_text_spark.kernels.pdf import PDFDocument, _Stream
+    from tools.make_pdf import ascii85_encode, content_stream_for_lines
+
+    stream = content_stream_for_lines(["chained filters line"])
+    data = ascii85_encode(zlib.compress(stream))
+    doc = PDFDocument(build_pdf([stream]))
+    st = _Stream(
+        {"Filter": ["ASCII85Decode", "FlateDecode"], "DecodeParms": [None],
+         "Length": len(data)},
+        data,
+    )
+    assert doc._decode_stream(st) == stream
+
+
+def test_bfrange_past_unicode_max_falls_back_to_replacement():
+    """bfrange bases near U+10FFFF must clamp, not raise ValueError
+    through page_font_decoders (review #3)."""
+    from pdf_to_text_spark.kernels.pdf import _parse_tounicode
+
+    narrow, wide = _parse_tounicode(
+        b"beginbfrange\n<00> <FF> <DBFFDFFF>\nendbfrange"
+    )
+    assert narrow[0] == "\U0010FFFF"  # the base itself is valid
+    assert narrow[255] == "�"         # base+255 overflows → clamped
+
+
+def test_xref_stream_bad_w_raises_parse_error():
+    """/W with fewer than 2 widths must be PDFParseError, not IndexError
+    (review #4)."""
+    good = FIXTURES["xref_stream_plain"]()
+    bad = good.replace(b"/W [1 4 2]", b"/W [1]    ")
+    with pytest.raises(PDFParseError):
+        extract_pdf_text(bad)
+
+
 def test_decompression_bomb_capped():
     """An adversarial Flate bomb must raise PDFParseError, never OOM an
     executor (crawl-scale robustness)."""

@@ -483,6 +483,8 @@ def _ivf_centroids_and_cells(
         for v, c in zip(vecs, cells):
             counts[c] = counts.get(c, 0) + 1
             for i, x in enumerate(v):
+                if x != x or x in (float("inf"), float("-inf")):
+                    continue  # mirrors Spark's try_cast: non-finite → null → skipped
                 acc[(c, i)] = acc.get((c, i), Decimal(0)) + spark_dec18(x)
         new = centroids.copy()
         for c in range(n_cells):
