@@ -176,6 +176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact_groups(spark, sf):
         return dedup.dedup_exact_groups(_docs(spark, sf))
 
+    def q_dedup_corpus(spark, sf):
+        # the user-facing composition: exact groups → minhash-LSH near-dup
+        # pair drop among survivors → per-doc keep flag + reason
+        return dedup.dedup_corpus(_docs(spark, sf), near_threshold=0.5)
+
     def q_ngram_jaccard_pairs(spark, sf):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.02)
 
@@ -372,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_corpus": q_dedup_corpus,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -753,6 +759,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ov.media_oracle(60),
         "minhash_dedup_pairs": _ov.minhash_oracle(
             _ov.oracle_sf_dir(), threshold=0.2
+        ),
+        "dedup_corpus": _ov.dedup_corpus_oracle(
+            _ov.oracle_sf_dir(), near_threshold=0.5
         ),
         "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=8),
         "knn_lsh": _ov.knn_lsh_oracle(_ov.oracle_sf_dir(), n_queries=8, dim=64, k=5),

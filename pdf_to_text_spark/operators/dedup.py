@@ -132,6 +132,56 @@ def minhash_dedup_pairs(
     )
 
 
+# ── corpus-level dedup keep-list (the user-facing composition) ──────────────
+
+
+def dedup_corpus(
+    documents: DataFrame,
+    near_threshold: float = 0.5,
+    n_perm: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Full corpus dedup pass → (doc_id, keep, reason).
+
+    Stage 1: exact dups (same normalized-text fingerprint) keep the
+    minimum doc_id per group (reason 'exact_dup' for the rest).
+    Stage 2: near-dups among the survivors via MinHash LSH candidates +
+    signature-estimate ≥ τ; the larger doc_id of each surviving pair is
+    dropped (reason 'near_dup') — the standard pair-drop policy (cf.
+    C4/RefinedWeb dedup): not transitively closed, but one bucket-local
+    pass at 100 TB instead of a connected-components iteration.
+
+    Every stage is a keyed shuffle (fingerprint, band bucket) — the pair
+    space never approaches corpus²."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
+    with_fp = documents.select(
+        "doc_id", "text", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+    reps = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_doc_id"))
+    tagged = with_fp.join(reps, "fingerprint")
+    survivors = tagged.where(F.col("doc_id") == F.col("rep_doc_id")).select(
+        "doc_id", "text"
+    )
+    near_pairs = minhash_dedup_pairs(
+        survivors, threshold=near_threshold, n_perm=n_perm, n_bands=n_bands
+    )
+    near_drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        tagged.join(near_drop.withColumn("_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("rep_doc_id"), F.lit(0))
+            .when(F.col("_near") == 1, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("keep"),
+            F.when(F.col("doc_id") != F.col("rep_doc_id"), F.lit("exact_dup"))
+            .when(F.col("_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+
+
 # ── MinHash, pure-JVM variant (no Python in the hot path) ───────────────────
 
 # 31-bit Mersenne prime: products a*h stay under 2^62, so the universal

@@ -45,6 +45,19 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p for p in pairs)  # the unrelated doc pairs with nothing
 
 
+def test_dedup_corpus_keep_list(docs):
+    """End-to-end keep-list: doc 4 (case-dup of 0) drops as exact_dup;
+    docs 1/2 (near-dups of 0) drop as near_dup; 0, 3 and the empty doc
+    survive. Rep choice is always the minimum doc_id."""
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in
+           dedup.dedup_corpus(docs, near_threshold=0.5).collect()}
+    assert out[4] == (0, "exact_dup")
+    assert out[0] == (1, "kept") and out[3] == (1, "kept")
+    assert out[1] == (0, "near_dup")
+    assert {d for d, (k, _r) in out.items() if k == 1} >= {0, 3}
+    assert len(out) == 6  # every input doc gets a verdict row
+
+
 def test_minhash_sql_estimates_track_exact_jaccard(docs):
     """The pure-JVM minhash (xxhash64 + 2^31-1 universal hashes, zero
     Python workers) must find the same near-dup pairs as the kernel

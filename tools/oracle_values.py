@@ -299,6 +299,59 @@ def minhash_oracle(
     )
 
 
+# ── dedup_corpus keep-list ───────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=4)
+def dedup_corpus_oracle(
+    sf: str, near_threshold: float = 0.5, n_perm: int = 64, n_bands: int = 16
+) -> str:
+    """Replays dedup.dedup_corpus: exact-fingerprint groups keep min
+    doc_id, then minhash-LSH near-dup pair drop among survivors."""
+    from pdf_to_text_spark.kernels.textstats import (
+        minhash_bands,
+        minhash_signature,
+        normalize_text,
+    )
+
+    docs = _read_docs(sf)
+    fp_min: dict[str, int] = {}
+    fps = {}
+    for doc_id, text in docs:
+        fp = hashlib.md5(normalize_text(text or "").encode()).hexdigest()
+        fps[doc_id] = fp
+        if fp not in fp_min or doc_id < fp_min[fp]:
+            fp_min[fp] = doc_id
+    survivors = [(d, t) for d, t in docs if fp_min[fps[d]] == d]
+    sigs = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in survivors:
+        s = minhash_signature(text or "", n_perm=n_perm)
+        sigs[doc_id] = s
+        for bi, bh in enumerate(minhash_bands(s, n_bands=n_bands)):
+            buckets.setdefault((bi, bh), []).append(doc_id)
+    near_drop: set[int] = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                eq = int((sigs[a] == sigs[b]).sum())
+                if spark_round(eq / n_perm, 4) >= near_threshold:
+                    near_drop.add(b)
+    rows = []
+    for doc_id, _text in docs:
+        if fp_min[fps[doc_id]] != doc_id:
+            rows.append((doc_id, 0, "exact_dup"))
+        elif doc_id in near_drop:
+            rows.append((doc_id, 0, "near_dup"))
+        else:
+            rows.append((doc_id, 1, "kept"))
+    return values_sql(
+        [("doc_id", "BIGINT"), ("keep", "INTEGER"), ("reason", "VARCHAR")], rows
+    )
+
+
 # ── simhash_near_pairs ───────────────────────────────────────────────────────
 
 
