@@ -243,11 +243,18 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: multi-table bucket-join candidates, exact cosine rerank.
 
     The candidate join is keyed on (table, bucket) — pair space stays
-    bucket-local, never corpus². Rerank is exact cosine, JVM-side."""
+    bucket-local, never corpus². Rerank is exact cosine, JVM-side.
+
+    `multiprobe` additionally probes every hamming-1 neighbor of each
+    QUERY bucket (Lv et al., VLDB'07): recall rises as if ~n_planes more
+    tables existed, at probe-side fan-out only — the corpus layout,
+    storage, and signatures are untouched, which is the right trade at
+    100 TB (corpus re-bucketing is the expensive side)."""
     corpus_sig = lsh_signatures(embeddings, dim, n_planes, n_tables)
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -259,6 +266,20 @@ def lsh_topk(
         n_planes,
         n_tables,
     ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    if multiprobe:
+        q_sig = q_sig.select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv")).join(
         q_sig, "query_id"
     )

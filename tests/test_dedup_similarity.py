@@ -204,6 +204,12 @@ def test_lsh_topk_recall_vs_brute_force(embeddings):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # multiprobe (hamming-1 query buckets) must dominate plain LSH recall
+    mp = {(r["query_id"], r["vec_id"]) for r in
+          similarity.lsh_topk(embeddings, q, dim=16, k=5, multiprobe=True).collect()}
+    mp_recall = len(mp & b) / len(b)
+    assert mp_recall >= recall
+    assert mp_recall >= 0.8, f"multiprobe recall too low: {mp_recall}"
     # and the clusters are real: top-5 of each query share the query's label
     labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
     for qid, vid in b:
