@@ -159,6 +159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_text_profile(spark, sf):
         return text_analysis.text_profile(_docs(spark, sf))
 
+    def q_deterministic_sample(spark, sf):
+        # content-addressed 10% subset: rng-free, partition-independent,
+        # monotonically nested as pct grows (scaling-law subsets)
+        return text_analysis.deterministic_sample(
+            _docs(spark, sf), key="doc_id", pct=10
+        ).select("doc_id", "lang", "source", "n_chars")
+
     def q_fingerprints(spark, sf):
         return text_analysis.fingerprints(_docs(spark, sf))
 
@@ -374,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "text_profile": q_text_profile,
+        "deterministic_sample": q_deterministic_sample,
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -638,6 +646,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM s
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE (('0x' || substring(md5(doc_id::varchar), 1, 4))::int) % 100 < 10
         """,
         "fingerprints": """
             SELECT doc_id,

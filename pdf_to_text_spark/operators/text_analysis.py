@@ -187,6 +187,23 @@ def text_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def deterministic_sample(
+    df: DataFrame, key: str = "doc_id", pct: int = 10, buckets: int = 100
+) -> DataFrame:
+    """Content-addressed sampling: keep rows whose md5(key) bucket falls
+    below pct — the reproducible-subset primitive a 100 TB curation
+    pipeline needs (rng-free: the SAME rows are selected on any cluster,
+    any partitioning, any rerun, and the sample GROWS MONOTONICALLY as
+    pct rises, so 1% ⊂ 5% ⊂ 10% subsets nest for scaling-law runs).
+
+    Bucket = first 4 md5 hex digits mod `buckets` — engine-portable
+    (exact SQL mirror in the driver oracle)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 4), 16, 10).cast(
+        "int"
+    ) % buckets
+    return df.where(bucket < pct)
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Exact-dedup document fingerprint: md5 of normalized text.
 

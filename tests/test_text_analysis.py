@@ -37,6 +37,21 @@ def test_quality_stats_and_score(docs):
     assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
 
 
+def test_deterministic_sample_nests_and_reproduces(spark):
+    """Content-addressed sampling: same rows on any rerun/partitioning,
+    and pct subsets nest monotonically (1% ⊂ 5% ⊂ 20%)."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s5a = {r["doc_id"] for r in text_analysis.deterministic_sample(df, pct=5).collect()}
+    s5b = {r["doc_id"] for r in
+           text_analysis.deterministic_sample(df.repartition(7), pct=5).collect()}
+    assert s5a == s5b and s5a
+    s1 = {r["doc_id"] for r in text_analysis.deterministic_sample(df, pct=1).collect()}
+    s20 = {r["doc_id"] for r in text_analysis.deterministic_sample(df, pct=20).collect()}
+    assert s1 <= s5a <= s20
+    # roughly proportional (hash-uniform): 20% of 2000 → 400 ± 40%
+    assert 200 <= len(s20) <= 640
+
+
 def test_text_profile_matches_component_operators(docs):
     """The fused single-pass profile must agree column-for-column with the
     three standalone operators it replaces (token_counts, quality_stats +
