@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair drop among survivors → per-doc keep flag + reason
         return dedup.dedup_corpus(_docs(spark, sf), near_threshold=0.5)
 
+    def q_near_dup_clusters(spark, sf):
+        # connected components of the near-dup graph (min-label propagation)
+        return dedup.near_dup_clusters(_docs(spark, sf), threshold=0.5)
+
     def q_ngram_jaccard_pairs(spark, sf):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.02)
 
@@ -386,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_corpus": q_dedup_corpus,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -774,6 +779,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_corpus": _ov.dedup_corpus_oracle(
             _ov.oracle_sf_dir(), near_threshold=0.5
+        ),
+        "near_dup_clusters": _ov.near_dup_clusters_oracle(
+            _ov.oracle_sf_dir(), threshold=0.5
         ),
         "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=8),
         "knn_lsh": _ov.knn_lsh_oracle(_ov.oracle_sf_dir(), n_queries=8, dim=64, k=5),

@@ -182,6 +182,65 @@ def dedup_corpus(
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the minhash near-dup graph →
+    (doc_id, cluster_rep) with cluster_rep = min doc_id in the component
+    (isolated docs are their own rep).
+
+    Iterative min-label propagation over the symmetric edge relation —
+    the DataFrame form of large/small-star CC: each round every node
+    takes min(own label, neighbors' labels); rounds needed = component
+    diameter (near-dup clusters are shallow), capped by `max_iter`.
+    localCheckpoint per round truncates the lineage so the plan does not
+    grow with iterations; convergence is detected with a LIMIT-1 anti
+    check (one tiny job per round, no full count)."""
+    pairs = minhash_dedup_pairs(documents, threshold, n_perm, n_bands).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = documents.select("doc_id", F.col("doc_id").alias("rep")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("rep").alias("nrep")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nrep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+
+
 # ── MinHash, pure-JVM variant (no Python in the hot path) ───────────────────
 
 # 31-bit Mersenne prime: products a*h stay under 2^62, so the universal

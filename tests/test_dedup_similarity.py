@@ -58,6 +58,27 @@ def test_dedup_corpus_keep_list(docs):
     assert len(out) == 6  # every input doc gets a verdict row
 
 
+def test_near_dup_clusters_transitive_closure(spark):
+    """CC must close chains: A~B and B~C (but A≁C directly under the
+    threshold) still land in ONE cluster with rep = min doc_id."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango") * 3
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base + " uniform whiskey xray", "en", "s", 1),   # ~0
+        (2, base + " uniform whiskey xray yankee zulu one two three", "en", "s", 1),  # ~1
+        (7, "totally different text about arrow batches in executors", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           dedup.near_dup_clusters(docs, threshold=0.5).collect()}
+    assert out[0] == out[1] == out[2] == 0  # one component, min-id rep
+    assert out[7] == 7                       # isolated doc is its own rep
+    assert len(out) == 4
+
+
 def test_minhash_sql_estimates_track_exact_jaccard(docs):
     """The pure-JVM minhash (xxhash64 + 2^31-1 universal hashes, zero
     Python workers) must find the same near-dup pairs as the kernel

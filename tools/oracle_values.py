@@ -269,10 +269,11 @@ def streaming_dedup_oracle(n: int = 200) -> str:
 # ── minhash_dedup_pairs ──────────────────────────────────────────────────────
 
 
-@functools.lru_cache(maxsize=4)
-def minhash_oracle(
-    sf: str, threshold: float = 0.2, n_perm: int = 64, n_bands: int = 16
-) -> str:
+@functools.lru_cache(maxsize=8)
+def _minhash_pair_rows(
+    sf: str, threshold: float, n_perm: int = 64, n_bands: int = 16
+) -> tuple[tuple[int, int, float], ...]:
+    """(doc_a, doc_b, est_jaccard) via the same kernels + banding."""
     from pdf_to_text_spark.kernels.textstats import minhash_bands, minhash_signature
 
     sigs = {}
@@ -294,9 +295,39 @@ def minhash_oracle(
         est = spark_round(eq / n_perm, 4)  # int/int division is double in Spark
         if est >= threshold:
             rows.append((a, b, est))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=4)
+def minhash_oracle(
+    sf: str, threshold: float = 0.2, n_perm: int = 64, n_bands: int = 16
+) -> str:
+    rows = list(_minhash_pair_rows(sf, threshold, n_perm, n_bands))
     return values_sql(
         [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("est_jaccard", "DOUBLE")], rows
     )
+
+
+@functools.lru_cache(maxsize=4)
+def near_dup_clusters_oracle(sf: str, threshold: float = 0.5) -> str:
+    """Connected components of the minhash-pair graph as a recursive CTE:
+    cluster_rep = min doc_id reachable over symmetric near-dup edges."""
+    pairs = [(a, b) for a, b, _e in _minhash_pair_rows(sf, threshold)]
+    pairs_sql = values_sql([("doc_a", "BIGINT"), ("doc_b", "BIGINT")], pairs)
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.t FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT src AS doc_id, min(node)::bigint AS cluster_rep
+        FROM reach GROUP BY src
+    """
 
 
 # ── dedup_corpus keep-list ───────────────────────────────────────────────────
