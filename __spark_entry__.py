@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_text_profile(spark, sf):
         return text_analysis.text_profile(_docs(spark, sf))
 
+    def q_repetition_stats(spark, sf):
+        return text_analysis.repetition_stats(_docs(spark, sf))
+
     def q_deterministic_sample(spark, sf):
         # content-addressed 10% subset: rng-free, partition-independent,
         # monotonically nested as pct grows (scaling-law subsets)
@@ -385,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "text_profile": q_text_profile,
+        "repetition_stats": q_repetition_stats,
         "deterministic_sample": q_deterministic_sample,
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -651,6 +655,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM s
+        """,
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents),
+            wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
+            per_doc AS (
+              SELECT doc_id, sum(cnt) AS words, count(*) AS distinct_words,
+                     max(cnt) AS top_word_count
+              FROM wc GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b FROM (
+                SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM (
+                  SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') AS ws
+                  FROM documents)
+                WHERE len(ws) >= 2)),
+            bc AS (SELECT doc_id, max(cnt) AS top_bigram_count FROM (
+                     SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b)
+                   GROUP BY doc_id)
+            SELECT p.doc_id, p.words::bigint AS words,
+                   p.distinct_words::bigint AS distinct_words,
+                   p.top_word_count::bigint AS top_word_count,
+                   coalesce(bc.top_bigram_count, 0)::bigint AS top_bigram_count,
+                   floor(p.distinct_words / p.words * 10000) / 10000 AS distinct_ratio,
+                   floor(p.top_word_count / p.words * 10000) / 10000 AS top_word_frac
+            FROM per_doc p LEFT JOIN bc ON p.doc_id = bc.doc_id
         """,
         "deterministic_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents

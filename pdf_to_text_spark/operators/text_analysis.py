@@ -187,6 +187,57 @@ def text_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. '21 quality rules):
+    per-doc distinct-word ratio and top word/bigram mass — boilerplate
+    and spam have a few tokens carrying most of the mass.
+
+    Shape: explode → (doc, term) count → per-doc max/sum — two keyed
+    aggregations whose shuffles carry (doc, term) partials (map-side
+    combine), the scalable form of a per-doc mode. Fractions are
+    floor-scaled to 4 decimals (engine-portable)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    wc = (
+        documents.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("words"),
+            F.count(F.lit(1)).alias("distinct_words"),
+            F.max("cnt").alias("top_word_count"),
+        )
+    )
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (
+        documents.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_count"))
+    )
+    out = wc.join(bc, "doc_id", "left").select(
+        "doc_id",
+        "words",
+        "distinct_words",
+        "top_word_count",
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        (F.floor(F.col("distinct_words") / F.col("words") * 10000) / 10000).alias(
+            "distinct_ratio"
+        ),
+        (F.floor(F.col("top_word_count") / F.col("words") * 10000) / 10000).alias(
+            "top_word_frac"
+        ),
+    )
+    return out
+
+
 def deterministic_sample(
     df: DataFrame, key: str = "doc_id", pct: int = 10, buckets: int = 100
 ) -> DataFrame:

@@ -37,6 +37,26 @@ def test_quality_stats_and_score(docs):
     assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
 
 
+def test_repetition_stats_flags_spam(spark):
+    """Gopher repetition signals: a spammy doc (one token dominating)
+    shows high top_word_frac / low distinct_ratio vs natural text."""
+    rows = [
+        (0, "buy now buy now buy now buy now buy now buy now", "en", "s", 1),
+        (1, "the quick brown fox jumps over a lazy dog near rivers", "en", "s", 1),
+        (2, "solo", "en", "s", 1),  # single word → no bigrams
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           text_analysis.repetition_stats(docs).collect()}
+    assert out[0]["words"] == 12 and out[0]["distinct_words"] == 2
+    assert out[0]["top_word_frac"] == 0.5
+    assert out[0]["top_bigram_count"] == 6  # "buy now" ×6
+    assert out[1]["distinct_ratio"] == 1.0 and out[1]["top_word_count"] == 1
+    assert out[2]["top_bigram_count"] == 0 and out[2]["words"] == 1
+
+
 def test_deterministic_sample_nests_and_reproduces(spark):
     """Content-addressed sampling: same rows on any rerun/partitioning,
     and pct subsets nest monotonically (1% ⊂ 5% ⊂ 20%)."""
