@@ -159,6 +159,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_text_profile(spark, sf):
         return text_analysis.text_profile(_docs(spark, sf))
 
+    def q_redact_pii(spark, sf):
+        """PII scrubbing over crafted rows (the corpus carries no PII, so
+        the gate exercises real matches) — same regexes both engines."""
+        rows = [
+            (1, "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.1.100 logged jane@sub.domain.org twice"),
+            (3, "no sensitive content here at all"),
+            (4, "edge: a@b.io x@y.z 10.0.0.1 555-123-4567 999.999.999.999"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return text_analysis.redact_pii(df)
+
     def q_repetition_stats(spark, sf):
         return text_analysis.repetition_stats(_docs(spark, sf))
 
@@ -388,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "text_profile": q_text_profile,
+        "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "deterministic_sample": q_deterministic_sample,
         "fingerprints": q_fingerprints,
@@ -429,6 +442,17 @@ _LANG_PROFILES_SQL = {
 
 def oracle_sql() -> dict[str, str]:
     from tools import oracle_values as _ov
+    from pdf_to_text_spark.operators.text_analysis import PII_PATTERNS as _PII
+
+    pii_counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::int AS {kind}_hits"
+        for kind, pat in _PII.items()
+    )
+    pii_redacted = "text"
+    for kind, pat in _PII.items():
+        pii_redacted = (
+            f"regexp_replace({pii_redacted}, '{pat}', '<{kind.upper()}>', 'g')"
+        )
 
     lang_hits = ",\n  ".join(
         f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
@@ -655,6 +679,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM s
+        """,
+        "redact_pii": f"""
+            WITH t(doc_id, text) AS (VALUES
+              (1, 'contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now'),
+              (2, 'server at 192.168.1.100 logged jane@sub.domain.org twice'),
+              (3, 'no sensitive content here at all'),
+              (4, 'edge: a@b.io x@y.z 10.0.0.1 555-123-4567 999.999.999.999'))
+            SELECT doc_id::bigint AS doc_id,
+                   {pii_counts},
+                   {pii_redacted} AS redacted_text
+            FROM t
         """,
         "repetition_stats": r"""
             WITH w AS (

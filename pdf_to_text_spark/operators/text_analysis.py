@@ -187,6 +187,42 @@ def text_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns pinned to the RE2 ∩ Java-regex common subset so the Spark
+# expression and the DuckDB oracle compile the same automaton: no
+# backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]{0,2}[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """C4-style PII scrubbing: emails/phones/IPv4s replaced with typed
+    placeholder tokens, with per-kind hit counts for audit rollups.
+
+    Pure JVM regexp passes (one per pattern, chained) — no Python in the
+    path; patterns live in the RE2∩Java subset so the DuckDB oracle runs
+    the identical regexes. At 100 TB this is a map-only stage: no
+    shuffle, pushdown-friendly, linear scans."""
+    out = documents.select(
+        "doc_id",
+        F.col("text").alias("_t"),
+        *[
+            F.regexp_count("text", F.lit(pat)).alias(f"{kind}_hits")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
+    redacted = F.col("_t")
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.select(
+        "doc_id",
+        *[F.col(f"{kind}_hits") for kind in PII_PATTERNS],
+        redacted.alias("redacted_text"),
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. '21 quality rules):
     per-doc distinct-word ratio and top word/bigram mass — boilerplate

@@ -37,6 +37,21 @@ def test_quality_stats_and_score(docs):
     assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
 
 
+def test_redact_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@c.org or 192.168.0.1, call +44 (20) 794-60000 ok")],
+        "doc_id long, text string",
+    )
+    r = text_analysis.redact_pii(df).collect()[0]
+    assert r["email_hits"] == 1 and r["ipv4_hits"] == 1
+    t = r["redacted_text"]
+    assert "<EMAIL>" in t and "<IPV4>" in t
+    assert "a.b@c.org" not in t and "192.168.0.1" not in t
+    # clean text passes through untouched
+    clean = spark.createDataFrame([(2, "hello plain world")], "doc_id long, text string")
+    assert text_analysis.redact_pii(clean).collect()[0]["redacted_text"] == "hello plain world"
+
+
 def test_repetition_stats_flags_spam(spark):
     """Gopher repetition signals: a spammy doc (one token dominating)
     shows high top_word_frac / low distinct_ratio vs natural text."""
