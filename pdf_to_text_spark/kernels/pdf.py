@@ -343,6 +343,7 @@ class _Lexer:
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.pos = pos
+        self.depth = 0  # container-nesting guard (see parse_object)
 
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
@@ -388,6 +389,17 @@ class _Lexer:
     # ── object parsing ──────────────────────────────────────────────────
 
     def parse_object(self):
+        # crafted '[[[[…' / '<<<<…' nesting must yield PDFParseError, not
+        # a RecursionError escaping the kernel's error contract
+        self.depth += 1
+        if self.depth > 200:
+            raise PDFParseError("object nesting too deep")
+        try:
+            return self._parse_object_inner()
+        finally:
+            self.depth -= 1
+
+    def _parse_object_inner(self):
         self._skip_ws()
         d, n = self.data, len(self.data)
         if self.pos >= n:

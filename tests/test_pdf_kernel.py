@@ -291,6 +291,16 @@ def test_xref_stream_bad_w_raises_parse_error():
         extract_pdf_text(bad)
 
 
+def test_deep_nesting_raises_parse_error_not_recursion():
+    """Adversarial container nesting must stay inside the PDFParseError
+    contract (a RecursionError would escape untyped)."""
+    from pdf_to_text_spark.kernels.pdf import _Lexer
+
+    for payload in (b"[" * 5000, b"<<" * 5000, b"[<<[" * 2000):
+        with pytest.raises(PDFParseError):
+            _Lexer(payload).parse_object()
+
+
 def test_decompression_bomb_capped():
     """An adversarial Flate bomb must raise PDFParseError, never OOM an
     executor (crawl-scale robustness)."""
