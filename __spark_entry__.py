@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sessionize_events(spark, sf):
         return relational.sessionize_events(_t(spark, sf, "events"))
 
+    def q_events_asof_last_purchase(spark, sf):
+        # as-of join (custom operator): one keyed shuffle, no range join
+        return relational.events_asof_last_purchase(_t(spark, sf, "events"))
+
     def q_events_hourly_rollup(spark, sf):
         return relational.events_hourly_rollup(_t(spark, sf, "events"))
 
@@ -393,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sketches": q_corpus_sketches,
         "corpus_percentiles": q_corpus_percentiles,
         "sessionize_events": q_sessionize_events,
+        "events_asof_last_purchase": q_events_asof_last_purchase,
         "events_hourly_rollup": q_events_hourly_rollup,
         "high_value_order_lines": q_high_value_order_lines,
         "token_counts": q_token_counts,
@@ -584,6 +589,27 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value::decimal(18,6)), 2)::double AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "events_asof_last_purchase": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts, value FROM events
+              WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, event_id, ts, value AS pv FROM events
+              WHERE event_type = 'purchase'),
+            u AS (
+              SELECT user_id, event_id, ts, value, NULL::double AS pv, 1 AS side
+              FROM clicks
+              UNION ALL
+              SELECT user_id, event_id, ts, NULL::double, pv, 0 FROM purch),
+            f AS (
+              SELECT *, last_value(pv IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS UNBOUNDED PRECEDING) AS lastpv
+              FROM u)
+            SELECT user_id, event_id, ts, value,
+                   coalesce(lastpv, -1.0) AS last_purchase_value
+            FROM f WHERE side = 1
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

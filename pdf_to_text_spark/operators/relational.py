@@ -217,6 +217,91 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    *,
+    order_tiebreak: str,
+) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): attach to every left
+    row the most recent right row with the same keys and right.ts ≤
+    left.ts. Implemented the scale-safe way — tag both sides, union, and
+    take ignore-nulls `last` over one (keys)-partitioned window ordered
+    by (ts, side, tiebreak) — ONE keyed shuffle, versus the
+    per-left-row × right-range blow-up of a naive range join (the plan a
+    BETWEEN-join would give Catalyst).
+
+    Right rows at the same timestamp are visible to left rows (≤
+    semantics, side 0 sorts first); `order_tiebreak` pins a total order
+    so results are deterministic under equal timestamps. Appended
+    columns are named asof_<col>."""
+    l_tag = left.withColumn("_side", F.lit(1)).withColumns(
+        {f"asof_{c}": F.lit(None).cast(right.schema[c].dataType) for c in value_cols}
+    )
+    r_cols = [*keys, ts_col] + (
+        [order_tiebreak] if order_tiebreak in right.columns else []
+    )
+    r_tag = right.select(
+        *r_cols,
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+    unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, "_side", order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    out_cols = [c for c in left.columns] + [f"asof_{c}" for c in value_cols]
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_f_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+        .select(*out_cols)
+    )
+
+
+def events_asof_last_purchase(events: DataFrame) -> DataFrame:
+    """Driver-facing as-of demo: every click event annotated with the
+    value of the user's most recent purchase at or before that moment."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    out = as_of_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="ts",
+        value_cols=["purchase_value"],
+        order_tiebreak="event_id",
+    )
+    # raw pass-through of the joined value (no arithmetic): both engines
+    # read the identical parquet double, so the oracle is exact
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        F.coalesce(F.col("asof_purchase_value"), F.lit(-1.0)).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
 def high_value_order_lines(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Filter-pushdown + semi-join shape: lines of high-priority orders.
 

@@ -221,6 +221,33 @@ def test_csv_kernel_jvm_parity_at_boundaries(spark):
     assert got == want
 
 
+def test_as_of_join_semantics(spark):
+    """as_of_join contract: most recent right row with ts ≤ left ts per
+    key; same-timestamp right rows ARE visible; no prior right row →
+    null (sentinel in the demo); later rows never leak backward."""
+    import datetime as dt
+
+    from pdf_to_text_spark.operators.relational import as_of_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, t(10)), (1, 102, t(20)), (2, 200, t(1))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, t(10), 11.0), (1, 901, t(15), 22.0), (2, 902, t(2), 33.0)],
+        "user_id long, event_id long, ts timestamp, pv double",
+    )
+    out = {r["event_id"]: r["asof_pv"] for r in as_of_join(
+        left, right, keys=["user_id"], ts_col="ts", value_cols=["pv"],
+        order_tiebreak="event_id",
+    ).collect()}
+    assert out[100] is None      # nothing at or before 0:05
+    assert out[101] == 11.0      # same-ts right row visible (≤)
+    assert out[102] == 22.0      # latest prior wins
+    assert out[200] is None      # user 2's purchase is later
+
+
 def test_local1_equals_local4(spark, pages):
     """Layout independence: scan-split mapping and the salted-repartition
     path must produce identical results."""
