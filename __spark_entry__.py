@@ -207,6 +207,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair drop among survivors → per-doc keep flag + reason
         return dedup.dedup_corpus(_docs(spark, sf), near_threshold=0.5)
 
+    def q_strip_duplicate_lines(spark, sf):
+        """C4-style global line dedup over crafted multi-line docs (the
+        synthetic corpus is single-line and dup-free, so the gate uses
+        rows that exercise drops, short-line keeps, and reassembly)."""
+        rows = [
+            (1, "alpha one two three four five\nshared boilerplate line repeated here\nend of doc one"),
+            (2, "shared boilerplate line repeated here\nbravo six seven eight nine ten\nshort line"),
+            (3, "short line\nshared boilerplate line repeated here"),
+            (4, "charlie text eleven twelve thirteen fourteen"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return dedup.strip_duplicate_lines(df, min_words=5)
+
     def q_near_dup_clusters(spark, sf):
         # connected components of the near-dup graph (min-label propagation)
         return dedup.near_dup_clusters(_docs(spark, sf), threshold=0.5)
@@ -413,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_corpus": q_dedup_corpus,
         "near_dup_clusters": q_near_dup_clusters,
+        "strip_duplicate_lines": q_strip_duplicate_lines,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -757,6 +771,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(trim(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g'))) AS fingerprint,
                    min(doc_id) AS rep_doc_id, count(*) AS group_size
             FROM documents GROUP BY 1
+        """,
+        "strip_duplicate_lines": r"""
+            WITH t(doc_id, text) AS (VALUES
+              (1, 'alpha one two three four five' || chr(10) ||
+                  'shared boilerplate line repeated here' || chr(10) ||
+                  'end of doc one'),
+              (2, 'shared boilerplate line repeated here' || chr(10) ||
+                  'bravo six seven eight nine ten' || chr(10) || 'short line'),
+              (3, 'short line' || chr(10) ||
+                  'shared boilerplate line repeated here'),
+              (4, 'charlie text eleven twelve thirteen fourteen')),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+            lines AS (
+              SELECT doc_id, i::int AS pos, ls[i + 1] AS line
+              FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM ls)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, pos) AS rn,
+                     len(string_split_regex(trim(line), '\s+')) AS nw
+              FROM lines),
+            kept AS (SELECT doc_id, pos, line FROM ranked WHERE nw < 5 OR rn = 1),
+            agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id::bigint AS doc_id, coalesce(agg.text, '') AS text
+            FROM t LEFT JOIN agg USING (doc_id)
         """,
         "ngram_jaccard_pairs": """
             WITH w AS (

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 # ── exact dedup ──────────────────────────────────────────────────────────────
@@ -179,6 +180,41 @@ def dedup_corpus(
             .otherwise(F.lit("kept"))
             .alias("reason"),
         )
+    )
+
+
+def strip_duplicate_lines(documents: DataFrame, min_words: int = 5) -> DataFrame:
+    """C4-style corpus-global line dedup (Raffel et al. '20 §2.2 kept one
+    occurrence of every three-sentence span; the line-granular form):
+    lines with ≥ min_words words keep only their FIRST corpus occurrence
+    (ordered by doc_id, then line position); shorter lines always stay
+    (headers/bullets legitimately repeat). Returns (doc_id, text)
+    reassembled; a doc whose every line was dropped yields ''.
+
+    One shuffle keyed on the line text (the dedup window) + one on
+    doc_id (reassembly) — both carry line-sized rows, never documents²."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    n_words = F.size(F.split(F.trim(F.col("line")), r"\s+"))
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .where((n_words < min_words) | (F.col("_rn") == 1))
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return (
+        documents.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )
 
 

@@ -45,6 +45,26 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p for p in pairs)  # the unrelated doc pairs with nothing
 
 
+def test_strip_duplicate_lines_global_first_occurrence(spark):
+    """C4 line dedup: long repeated lines survive only at their first
+    corpus position (doc order, then line order); short lines always
+    stay; a fully-deduped doc collapses to ''."""
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [
+        (1, f"real content line number one here\n{boiler}"),
+        (2, f"{boiler}\nmore real content in document two"),
+        (3, boiler),                    # whole doc is the dup line → ''
+        (4, "hi\nhi"),                  # short lines repeat freely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_duplicate_lines(df, min_words=5).collect()}
+    assert out[1] == f"real content line number one here\n{boiler}"
+    assert out[2] == "more real content in document two"
+    assert out[3] == ""
+    assert out[4] == "hi\nhi"
+
+
 def test_dedup_corpus_keep_list(docs):
     """End-to-end keep-list: doc 4 (case-dup of 0) drops as exact_dup;
     docs 1/2 (near-dups of 0) drop as near_dup; 0, 3 and the empty doc
