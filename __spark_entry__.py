@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_events_hourly_rollup(spark, sf):
         return relational.events_hourly_rollup(_t(spark, sf, "events"))
 
+    def q_events_props_rollup(spark, sf):
+        return relational.events_props_rollup(_t(spark, sf, "events"))
+
     def q_high_value_order_lines(spark, sf):
         return relational.high_value_order_lines(
             _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
@@ -177,6 +180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_repetition_stats(spark, sf):
         return text_analysis.repetition_stats(_docs(spark, sf))
+
+    def q_stratified_sample(spark, sf):
+        # rebalance: downsample the dominant language, keep the tail dense
+        return text_analysis.stratified_sample(
+            _docs(spark, sf), "lang",
+            {"en": 20, "es": 60, "de": 60, "fr": 60, "zh": 60},
+        ).select("doc_id", "lang", "n_chars")
 
     def q_deterministic_sample(spark, sf):
         # content-addressed 10% subset: rng-free, partition-independent,
@@ -241,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embedding_near_pairs_exact(spark, sf):
         # exhaustive O(n²) baseline — audit path, DuckDB-oracle-checked
         return dedup.embedding_near_pairs_exact(_emb(spark, sf), threshold=0.3)
+
+    def q_label_centroids(spark, sf):
+        return similarity.label_centroids(_emb(spark, sf))
 
     def q_knn_brute_force(spark, sf):
         e = _emb(spark, sf)
@@ -412,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "events_asof_last_purchase": q_events_asof_last_purchase,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "events_props_rollup": q_events_props_rollup,
         "high_value_order_lines": q_high_value_order_lines,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
@@ -420,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "deterministic_sample": q_deterministic_sample,
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -432,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_exact": q_embedding_near_pairs_exact,
+        "label_centroids": q_label_centroids,
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
@@ -632,6 +648,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2
         """,
+        "events_props_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   sum((props->>'k')::int)::bigint AS sum_k,
+                   min((props->>'k')::int) AS min_k,
+                   max((props->>'k')::int) AS max_k,
+                   count(DISTINCT (props->>'k')::int) AS distinct_k
+            FROM events GROUP BY event_type
+        """,
         "high_value_order_lines": """
             SELECT l_returnflag, count(*) AS n_lines,
                    round(sum(l_extendedprice), 2) AS total_price
@@ -758,6 +782,13 @@ def oracle_sql() -> dict[str, str]:
                    floor(p.top_word_count / p.words * 10000) / 10000 AS top_word_frac
             FROM per_doc p LEFT JOIN bc ON p.doc_id = bc.doc_id
         """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (('0x' || substring(md5(doc_id::varchar), 1, 4))::int) % 100
+                  < CASE WHEN lang = 'en' THEN 20
+                         WHEN lang IN ('es','de','fr','zh') THEN 60
+                         ELSE 0 END
+        """,
         "deterministic_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE (('0x' || substring(md5(doc_id::varchar), 1, 4))::int) % 100 < 10
@@ -828,6 +859,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+        """,
+        "label_centroids": """
+            WITH x AS (
+              SELECT label, i::int AS dim, e[i + 1]::decimal(38,18) AS xd
+              FROM (SELECT label, embedding::DOUBLE[] AS e,
+                           unnest(range(0, len(embedding))) AS i
+                    FROM embeddings))
+            SELECT label, dim, count(*)::bigint AS n,
+                   floor((sum(xd)::double / count(*)::double) * 1000000)
+                     / 1000000 AS mean_x
+            FROM x GROUP BY label, dim
         """,
         "knn_brute_force": """
             WITH q AS (

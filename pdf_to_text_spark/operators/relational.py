@@ -302,6 +302,26 @@ def events_asof_last_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+def events_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured surface: parse the events.props JSON column
+    (from_json — ANSI-safe, malformed rows yield null, never a job kill)
+    and roll up the extracted field per event type. The parse is a pure
+    projection fused into the scan stage; the shuffle carries only
+    grouped partials."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
+
+
 def high_value_order_lines(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Filter-pushdown + semi-join shape: lines of high-priority orders.
 

@@ -56,6 +56,30 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     )
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, n, mean_x) rows —
+    class prototypes for embedding-space analysis. Sums are decimal
+    (exact, shuffle-order-independent — same rationale as ivf_train) so
+    the centroid is bit-deterministic; mean floor-scaled to 6 decimals.
+    Row-per-dimension output keeps the driver canonicalizer scalar-only
+    and the shuffle carries (label × dim) partials, never vectors."""
+    e = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    agg = e.groupBy("label", "dim").agg(
+        F.sum(F.col("x").try_cast("decimal(38,18)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "label",
+        "dim",
+        "n",
+        (F.floor(mean * 1000000) / 1000000).alias("mean_x"),
+    )
+
+
 def queries_from_corpus(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
     """Deterministic query set: the n lowest vec_ids, as (query_id, qv)."""
     return (

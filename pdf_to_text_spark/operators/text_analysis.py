@@ -291,6 +291,27 @@ def deterministic_sample(
     return df.where(bucket < pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    pcts: dict[str, int],
+    default_pct: int = 0,
+    key: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum content-addressed sampling: each stratum keeps its own
+    md5-bucket fraction — the corpus-rebalancing primitive (e.g. downsample
+    the dominant language, keep the tail whole). Same determinism and
+    monotone-nesting guarantees as deterministic_sample, per stratum."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 4), 16, 10
+    ).cast("int") % buckets
+    pct = F.lit(default_pct)
+    for value, p in pcts.items():
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.where(bucket < pct)
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Exact-dedup document fingerprint: md5 of normalized text.
 

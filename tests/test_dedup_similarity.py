@@ -237,6 +237,18 @@ def test_ivf_topk_recall_vs_brute_force(embeddings):
     assert recall >= 0.8, f"IVF recall too low on clustered data: {recall}"
 
 
+def test_label_centroids_exact_means(spark):
+    rows = [
+        (0, [1.0, 2.0], 7), (1, [3.0, 4.0], 7),   # label 7: mean (2, 3)
+        (2, [10.0, 0.0], 9),                       # label 9: mean (10, 0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label"], r["dim"]): (r["n"], r["mean_x"]) for r in
+           similarity.label_centroids(emb).collect()}
+    assert out[(7, 0)] == (2, 2.0) and out[(7, 1)] == (2, 3.0)
+    assert out[(9, 0)] == (1, 10.0) and out[(9, 1)] == (1, 0.0)
+
+
 def test_lsh_topk_recall_vs_brute_force(embeddings):
     q = similarity.queries_from_corpus(embeddings, 4)
     brute = similarity.brute_force_topk(embeddings, q, k=5)

@@ -37,6 +37,19 @@ def test_quality_stats_and_score(docs):
     assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
 
 
+def test_stratified_sample_per_stratum_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text_analysis.stratified_sample(df, "lang", {"en": 10, "fr": 80}).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    fr = sum(1 for r in out if r["lang"] == "fr")
+    assert 40 <= en <= 220      # ~10% of 1000
+    assert 600 <= fr <= 950     # ~80% of 1000
+    # unknown strata default to 0%
+    df2 = spark.createDataFrame([(1, "zz")], "doc_id long, lang string")
+    assert text_analysis.stratified_sample(df2, "lang", {"en": 50}).count() == 0
+
+
 def test_redact_pii_replaces_and_counts(spark):
     df = spark.createDataFrame(
         [(1, "mail a.b@c.org or 192.168.0.1, call +44 (20) 794-60000 ok")],
