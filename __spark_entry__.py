@@ -479,15 +479,18 @@ def oracle_sql() -> dict[str, str]:
     from tools import oracle_values as _ov
     from pdf_to_text_spark.operators.text_analysis import PII_PATTERNS as _PII
 
-    pii_counts = ",\n  ".join(
-        f"len(regexp_extract_all(text, '{pat}'))::int AS {kind}_hits"
-        for kind, pat in _PII.items()
-    )
+    # counts mirror the operator's progression: each kind counted on the
+    # text AFTER the previous kinds' replacements
+    pii_count_exprs = []
     pii_redacted = "text"
     for kind, pat in _PII.items():
+        pii_count_exprs.append(
+            f"len(regexp_extract_all({pii_redacted}, '{pat}'))::int AS {kind}_hits"
+        )
         pii_redacted = (
             f"regexp_replace({pii_redacted}, '{pat}', '<{kind.upper()}>', 'g')"
         )
+    pii_counts = ",\n  ".join(pii_count_exprs)
 
     lang_hits = ",\n  ".join(
         f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
@@ -795,11 +798,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": """
             SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g'))) AS fingerprint
+                   md5(trim(regexp_replace(lower(coalesce(text, '')), '[^0-9a-z]+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
         "dedup_exact_groups": """
-            SELECT md5(trim(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g'))) AS fingerprint,
+            SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[^0-9a-z]+', ' ', 'g'))) AS fingerprint,
                    min(doc_id) AS rep_doc_id, count(*) AS group_size
             FROM documents GROUP BY 1
         """,

@@ -35,11 +35,22 @@ from pyspark.sql.window import Window
 # ── exact dedup ──────────────────────────────────────────────────────────────
 
 
+def fingerprint_col(text_col: str = "text"):
+    """md5(normalized text) — THE exact-dedup key. One definition shared
+    by every operator (and mirrored by kernels/textstats.normalize_text
+    + the SQL oracles), so the normalization can never drift between
+    copies. NULL text normalizes like '' (a doc must never silently
+    vanish from a keep-list because extraction failed)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^0-9a-z]+", " ")
+    )
+    return F.md5(norm.cast("binary"))
+
+
 def dedup_exact_groups(documents: DataFrame) -> DataFrame:
     """Fingerprint → group size + representative (min doc_id)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
     return (
-        documents.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+        documents.select("doc_id", fingerprint_col().alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
@@ -50,8 +61,7 @@ def dedup_exact_groups(documents: DataFrame) -> DataFrame:
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Keep one row per distinct normalized text (the representative)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
-    with_fp = documents.withColumn("fingerprint", F.md5(norm.cast("binary")))
+    with_fp = documents.withColumn("fingerprint", fingerprint_col())
     reps = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     return with_fp.join(reps, ["fingerprint", "doc_id"]).drop("fingerprint")
 
@@ -154,9 +164,8 @@ def dedup_corpus(
 
     Every stage is a keyed shuffle (fingerprint, band bucket) — the pair
     space never approaches corpus²."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
     with_fp = documents.select(
-        "doc_id", "text", F.md5(norm.cast("binary")).alias("fingerprint")
+        "doc_id", "text", fingerprint_col().alias("fingerprint")
     )
     reps = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_doc_id"))
     tagged = with_fp.join(reps, "fingerprint")
@@ -197,11 +206,19 @@ def strip_duplicate_lines(documents: DataFrame, min_words: int = 5) -> DataFrame
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
     n_words = F.size(F.split(F.trim(F.col("line")), r"\s+"))
+    # split BEFORE the line-keyed window: short lines are kept
+    # unconditionally, and at corpus scale they are exactly the hot keys
+    # ('', bullets, nav labels) that would pile every occurrence into one
+    # straggler task if shuffled (review r2b #4)
+    short = lines.where(n_words < min_words)
+    long_lines = lines.where(n_words >= min_words)
     w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    kept = (
-        lines.withColumn("_rn", F.row_number().over(w))
-        .where((n_words < min_words) | (F.col("_rn") == 1))
+    deduped_long = (
+        long_lines.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
+    kept = short.unionByName(deduped_long)
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -274,6 +291,12 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent partial propagation would mislabel components — fail loud
+        raise RuntimeError(
+            f"near_dup_clusters: not converged after {max_iter} iterations "
+            "(component diameter exceeds max_iter — raise it)"
+        )
     return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
 
 

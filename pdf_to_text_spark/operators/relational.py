@@ -236,14 +236,21 @@ def as_of_join(
 
     Right rows at the same timestamp are visible to left rows (≤
     semantics, side 0 sorts first); `order_tiebreak` pins a total order
-    so results are deterministic under equal timestamps. Appended
-    columns are named asof_<col>."""
+    so results are deterministic under equal timestamps — it must exist
+    on BOTH sides (a right side without it would have no order among
+    equal-(key, ts) rows and the attached value would be
+    partitioning-dependent). Appended columns are named asof_<col>."""
+    for side, df in (("left", left), ("right", right)):
+        if order_tiebreak not in df.columns:
+            raise ValueError(
+                f"as_of_join: order_tiebreak {order_tiebreak!r} missing from "
+                f"{side} columns {df.columns} — determinism under timestamp "
+                "ties requires a total order on both sides"
+            )
     l_tag = left.withColumn("_side", F.lit(1)).withColumns(
         {f"asof_{c}": F.lit(None).cast(right.schema[c].dataType) for c in value_cols}
     )
-    r_cols = [*keys, ts_col] + (
-        [order_tiebreak] if order_tiebreak in right.columns else []
-    )
+    r_cols = [*keys, ts_col, order_tiebreak]
     r_tag = right.select(
         *r_cols,
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],

@@ -204,23 +204,19 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     Pure JVM regexp passes (one per pattern, chained) — no Python in the
     path; patterns live in the RE2∩Java subset so the DuckDB oracle runs
     the identical regexes. At 100 TB this is a map-only stage: no
-    shuffle, pushdown-friendly, linear scans."""
-    out = documents.select(
-        "doc_id",
-        F.col("text").alias("_t"),
-        *[
-            F.regexp_count("text", F.lit(pat)).alias(f"{kind}_hits")
-            for kind, pat in PII_PATTERNS.items()
-        ],
-    )
-    redacted = F.col("_t")
+    shuffle, pushdown-friendly, linear scans.
+
+    Each kind is COUNTED on the text as it stands after the previous
+    kinds' replacements (the same progression the redaction applies), so
+    the audit counts equal the placeholder tokens actually emitted —
+    counting every pattern on the original text would overcount spans a
+    prior kind consumed (review r2b #3)."""
+    counts = []
+    redacted = F.col("text")
     for kind, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"{kind}_hits"))
         redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
-    return out.select(
-        "doc_id",
-        *[F.col(f"{kind}_hits") for kind in PII_PATTERNS],
-        redacted.alias("redacted_text"),
-    )
+    return documents.select("doc_id", *counts, redacted.alias("redacted_text"))
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:
@@ -274,6 +270,18 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     return out
 
 
+def md5_bucket(key: str, buckets: int = 100):
+    """First 4 md5 hex digits of str(key) mod `buckets` — THE shared
+    content-addressed bucket (one definition for deterministic_sample,
+    stratified_sample, and the SQL oracle mirrors)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 4), 16, 10
+        ).cast("int")
+        % buckets
+    )
+
+
 def deterministic_sample(
     df: DataFrame, key: str = "doc_id", pct: int = 10, buckets: int = 100
 ) -> DataFrame:
@@ -281,14 +289,8 @@ def deterministic_sample(
     below pct — the reproducible-subset primitive a 100 TB curation
     pipeline needs (rng-free: the SAME rows are selected on any cluster,
     any partitioning, any rerun, and the sample GROWS MONOTONICALLY as
-    pct rises, so 1% ⊂ 5% ⊂ 10% subsets nest for scaling-law runs).
-
-    Bucket = first 4 md5 hex digits mod `buckets` — engine-portable
-    (exact SQL mirror in the driver oracle)."""
-    bucket = F.conv(F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 4), 16, 10).cast(
-        "int"
-    ) % buckets
-    return df.where(bucket < pct)
+    pct rises, so 1% ⊂ 5% ⊂ 10% subsets nest for scaling-law runs)."""
+    return df.where(md5_bucket(key, buckets) < pct)
 
 
 def stratified_sample(
@@ -303,9 +305,7 @@ def stratified_sample(
     md5-bucket fraction — the corpus-rebalancing primitive (e.g. downsample
     the dominant language, keep the tail whole). Same determinism and
     monotone-nesting guarantees as deterministic_sample, per stratum."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 4), 16, 10
-    ).cast("int") % buckets
+    bucket = md5_bucket(key, buckets)
     pct = F.lit(default_pct)
     for value, p in pcts.items():
         pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
@@ -315,13 +315,13 @@ def stratified_sample(
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Exact-dedup document fingerprint: md5 of normalized text.
 
-    Normalization pinned identically in kernels/textstats.normalize_text
-    and the SQL oracle: lower → non-alnum runs → ' ' → trim.
+    Normalization pinned once in dedup.fingerprint_col (mirrors
+    kernels/textstats.normalize_text and the SQL oracle): lower →
+    non-alnum runs → ' ' → trim; NULL text normalizes like ''.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z]+", " "))
-    return documents.select(
-        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
-    )
+    from .dedup import fingerprint_col
+
+    return documents.select("doc_id", fingerprint_col().alias("fingerprint"))
 
 
 # ── winnowing fingerprint (pandas UDF — non-SQL-expressible) ────────────────

@@ -45,6 +45,20 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p for p in pairs)  # the unrelated doc pairs with nothing
 
 
+def test_dedup_corpus_null_text_gets_verdict(spark):
+    """NULL text (extraction failure) must still get a keep-list row —
+    it fingerprints like '' (review r2b #1: the NULL fingerprint used to
+    vanish through the inner join)."""
+    rows = [(0, None), (1, ""), (2, "real content words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in
+           dedup.dedup_corpus(docs).collect()}
+    assert len(out) == 3
+    # NULL and '' share the empty fingerprint: min id kept, other exact_dup
+    assert out[0] == (1, "kept") and out[1] == (0, "exact_dup")
+    assert out[2][0] == 1
+
+
 def test_strip_duplicate_lines_global_first_occurrence(spark):
     """C4 line dedup: long repeated lines survive only at their first
     corpus position (doc order, then line order); short lines always

@@ -246,6 +246,13 @@ def test_as_of_join_semantics(spark):
     assert out[101] == 11.0      # same-ts right row visible (≤)
     assert out[102] == 22.0      # latest prior wins
     assert out[200] is None      # user 2's purchase is later
+    # the determinism contract is enforced: a tiebreak missing from
+    # either side is a loud error, not a partitioning-dependent result
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_tiebreak"):
+        as_of_join(left, right.drop("event_id"), keys=["user_id"],
+                   ts_col="ts", value_cols=["pv"], order_tiebreak="event_id")
 
 
 def test_local1_equals_local4(spark, pages):

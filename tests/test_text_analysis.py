@@ -63,6 +63,15 @@ def test_redact_pii_replaces_and_counts(spark):
     # clean text passes through untouched
     clean = spark.createDataFrame([(2, "hello plain world")], "doc_id long, text string")
     assert text_analysis.redact_pii(clean).collect()[0]["redacted_text"] == "hello plain world"
+    # overlapping spans: counts reflect what was ACTUALLY replaced — the
+    # email consumes the phone-shaped substring, so phone_hits stays 0
+    # (review r2b #3: counting on the original text overcounted)
+    overlap = spark.createDataFrame(
+        [(3, "reach me: 1-555-123-4567@x.co")], "doc_id long, text string"
+    )
+    r3 = text_analysis.redact_pii(overlap).collect()[0]
+    assert r3["email_hits"] == 1 and r3["phone_hits"] == 0
+    assert "<PHONE>" not in r3["redacted_text"]
 
 
 def test_repetition_stats_flags_spam(spark):

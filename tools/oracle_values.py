@@ -269,16 +269,17 @@ def streaming_dedup_oracle(n: int = 200) -> str:
 # ── minhash_dedup_pairs ──────────────────────────────────────────────────────
 
 
-@functools.lru_cache(maxsize=8)
-def _minhash_pair_rows(
-    sf: str, threshold: float, n_perm: int = 64, n_bands: int = 16
-) -> tuple[tuple[int, int, float], ...]:
-    """(doc_a, doc_b, est_jaccard) via the same kernels + banding."""
+def _minhash_pairs_for(
+    docs, threshold: float, n_perm: int = 64, n_bands: int = 16
+) -> list[tuple[int, int, float]]:
+    """(doc_a, doc_b, est_jaccard) for a (doc_id, text) sequence via the
+    same kernels + banding — the ONE pair-enumeration used by every
+    minhash-derived oracle (pairs / corpus keep-list / clusters)."""
     from pdf_to_text_spark.kernels.textstats import minhash_bands, minhash_signature
 
     sigs = {}
     buckets: dict[tuple[int, int], list[int]] = {}
-    for doc_id, text in _read_docs(sf):
+    for doc_id, text in docs:
         s = minhash_signature(text or "", n_perm=n_perm)
         sigs[doc_id] = s
         for bi, bh in enumerate(minhash_bands(s, n_bands=n_bands)):
@@ -295,7 +296,14 @@ def _minhash_pair_rows(
         est = spark_round(eq / n_perm, 4)  # int/int division is double in Spark
         if est >= threshold:
             rows.append((a, b, est))
-    return tuple(rows)
+    return rows
+
+
+@functools.lru_cache(maxsize=8)
+def _minhash_pair_rows(
+    sf: str, threshold: float, n_perm: int = 64, n_bands: int = 16
+) -> tuple[tuple[int, int, float], ...]:
+    return tuple(_minhash_pairs_for(_read_docs(sf), threshold, n_perm, n_bands))
 
 
 @functools.lru_cache(maxsize=4)
@@ -339,11 +347,7 @@ def dedup_corpus_oracle(
 ) -> str:
     """Replays dedup.dedup_corpus: exact-fingerprint groups keep min
     doc_id, then minhash-LSH near-dup pair drop among survivors."""
-    from pdf_to_text_spark.kernels.textstats import (
-        minhash_bands,
-        minhash_signature,
-        normalize_text,
-    )
+    from pdf_to_text_spark.kernels.textstats import normalize_text
 
     docs = _read_docs(sf)
     fp_min: dict[str, int] = {}
@@ -353,23 +357,10 @@ def dedup_corpus_oracle(
         fps[doc_id] = fp
         if fp not in fp_min or doc_id < fp_min[fp]:
             fp_min[fp] = doc_id
-    survivors = [(d, t) for d, t in docs if fp_min[fps[d]] == d]
-    sigs = {}
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for doc_id, text in survivors:
-        s = minhash_signature(text or "", n_perm=n_perm)
-        sigs[doc_id] = s
-        for bi, bh in enumerate(minhash_bands(s, n_bands=n_bands)):
-            buckets.setdefault((bi, bh), []).append(doc_id)
-    near_drop: set[int] = set()
-    for ids in buckets.values():
-        ids.sort()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = ids[i], ids[j]
-                eq = int((sigs[a] == sigs[b]).sum())
-                if spark_round(eq / n_perm, 4) >= near_threshold:
-                    near_drop.add(b)
+    survivors = tuple((d, t) for d, t in docs if fp_min[fps[d]] == d)
+    near_drop = {
+        b for _a, b, _e in _minhash_pairs_for(survivors, near_threshold, n_perm, n_bands)
+    }
     rows = []
     for doc_id, _text in docs:
         if fp_min[fps[doc_id]] != doc_id:
