@@ -294,6 +294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decode_status",
         )
 
+    def q_image_resize(spark, sf):
+        _ensure_shipped(spark)
+        return multimodal.image_resize(multimodal.synth_media_df(spark, 60))
+
+    def q_audio_resample_plan(spark, sf):
+        _ensure_shipped(spark)
+        return multimodal.audio_resample_plan(multimodal.synth_media_df(spark, 60))
+
     def q_llm_record_ingest(spark, sf):
         from pdf_to_text_spark.operators.records import records_from_llm_responses
 
@@ -451,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_force": q_knn_brute_force,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
+        "image_resize": q_image_resize,
+        "audio_resample_plan": q_audio_resample_plan,
         "knn_ivf": q_knn_ivf,
         "point_lookup": q_point_lookup,
         "llm_record_ingest": q_llm_record_ingest,
@@ -950,6 +960,8 @@ def oracle_sql() -> dict[str, str]:
         "extraction_pdf_e2e": _ov.extraction_e2e_oracle(120),
         "winnow_fingerprints": _ov.winnow_oracle(_ov.oracle_sf_dir()),
         "media_features": _ov.media_oracle(60),
+        "image_resize": _ov.image_resize_oracle(60),
+        "audio_resample_plan": _ov.audio_resample_oracle(60),
         "minhash_dedup_pairs": _ov.minhash_oracle(
             _ov.oracle_sf_dir(), threshold=0.2
         ),

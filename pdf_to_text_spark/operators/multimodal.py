@@ -108,6 +108,94 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_hash", T.StringType()),
+        T.StructField("resize_status", T.StringType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """STUB — deterministic fake 'decode + bilinear resize + re-encode'.
+
+    Real deployment: PIL.Image.open(payload).resize((tw, th)).  Here the
+    output bytes are a blake2b keyed by (payload, tw, th) repeated to a
+    plausible size (tw*th//8), so tests can assert exact values and the
+    byte-capped Arrow plumbing carries realistic volumes."""
+    seed = hashlib.blake2b(
+        payload, digest_size=32, person=struct.pack("<ii", tw, th)
+    ).digest()
+    size = max(16, (tw * th) // 8)
+    return (seed * (size // 32 + 1))[:size]
+
+
+def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize stage (mandate verb: resize): image rows → resized
+    payload metadata, mapInPandas with byte-capped yields. Aspect-aware:
+    the target box is fit preserving the source ratio (min scale), the
+    standard vision-model preprocessing shape. Null payloads and rows
+    without image dims route to a per-row status, never a task failure."""
+
+    def gen(batches):
+        cols = list(RESIZE_SCHEMA.fieldNames())
+        buf, buf_bytes = [], 0
+        for b in batches:
+            for mid, payload, w, h in zip(
+                b["media_id"], b["payload"], b["width"], b["height"]
+            ):
+                if payload is None:
+                    buf.append((mid, None, None, 0, None, "null_payload"))
+                    continue
+                if pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
+                    buf.append((mid, None, None, 0, None, "no_dims"))
+                    continue
+                w, h = int(w), int(h)
+                scale = min(target_w / w, target_h / h)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                out = _resize_stub(bytes(payload), w, h, ow, oh)
+                digest = hashlib.blake2b(out, digest_size=16).hexdigest()
+                buf.append((mid, ow, oh, len(out), digest, "ok"))
+                buf_bytes += len(out)
+                if buf_bytes >= ARROW_MAX_BATCH_BYTES:
+                    yield pd.DataFrame(buf, columns=cols)
+                    buf, buf_bytes = [], 0
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select(
+            "media_id", "payload",
+            F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+        )
+        .mapInPandas(gen, schema=RESIZE_SCHEMA)
+    )
+
+
+def audio_resample_plan(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Audio resample plan (mandate verb: resample): pure-projection
+    stage computing the rate conversion each audio row needs — the
+    decode/resample itself would run beside _decode_stub. JVM-only."""
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.col("meta.sample_rate").alias("src_rate"),
+            F.lit(target_rate).alias("dst_rate"),
+            F.when(F.col("meta.sample_rate") == target_rate, "copy")
+            .when(F.col("meta.sample_rate") > target_rate, "downsample")
+            .otherwise("upsample")
+            .alias("mode"),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame index.
 

@@ -37,6 +37,25 @@ def test_quality_stats_and_score(docs):
     assert 0 <= scores[4] < scores[0] <= 1  # stopword-less gibberish scores lower
 
 
+def test_image_resize_and_audio_resample_plumbing(spark):
+    """Resize: aspect-preserving fit into the target box, per-row status
+    for null payloads; resample plan: copy/down/up classification."""
+    media = multimodal.synth_media_df(spark, 60)
+    rs = {r["media_id"]: r.asDict() for r in
+          multimodal.image_resize(media, 224, 224).collect()}
+    assert len(rs) == 20  # every third row is an image
+    ok = [r for r in rs.values() if r["resize_status"] == "ok"]
+    assert ok and all(r["out_width"] <= 224 and r["out_height"] <= 224 for r in ok)
+    assert all(r["out_bytes"] > 0 and len(r["out_hash"]) == 32 for r in ok)
+    nulls = [r for r in rs.values() if r["resize_status"] == "null_payload"]
+    assert nulls and all(r["out_bytes"] == 0 for r in nulls)
+    # aspect ratio preserved within integer truncation
+    for r in ok:
+        assert max(r["out_width"], r["out_height"]) >= 180
+    rp = multimodal.audio_resample_plan(media, 16000).collect()
+    assert len(rp) == 20 and {r["mode"] for r in rp} == {"copy"}  # synth rate 16000
+
+
 def test_stratified_sample_per_stratum_rates(spark):
     rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")

@@ -164,6 +164,64 @@ def media_oracle(n: int = 60) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def image_resize_oracle(n: int = 60, tw: int = 224, th: int = 224) -> str:
+    from pdf_to_text_spark.operators.multimodal import _resize_stub, synth_media_rows
+
+    rows = []
+    for media_id, kind, payload, meta in synth_media_rows(n):
+        if kind != "image":
+            continue
+        if payload is None:
+            rows.append((media_id, None, None, 0, None, "null_payload"))
+            continue
+        w, h = meta[0], meta[1]
+        if not w or not h or w <= 0 or h <= 0:
+            rows.append((media_id, None, None, 0, None, "no_dims"))
+            continue
+        scale = min(tw / w, th / h)
+        ow = max(1, int(w * scale))
+        oh = max(1, int(h * scale))
+        out = _resize_stub(payload, w, h, ow, oh)
+        rows.append(
+            (media_id, ow, oh, len(out),
+             hashlib.blake2b(out, digest_size=16).hexdigest(), "ok")
+        )
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("out_width", "INTEGER"),
+            ("out_height", "INTEGER"),
+            ("out_bytes", "BIGINT"),
+            ("out_hash", "VARCHAR"),
+            ("resize_status", "VARCHAR"),
+        ],
+        rows,
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def audio_resample_oracle(n: int = 60, target: int = 16000) -> str:
+    from pdf_to_text_spark.operators.multimodal import synth_media_rows
+
+    rows = []
+    for media_id, kind, _payload, meta in synth_media_rows(n):
+        if kind != "audio":
+            continue
+        src = meta[2]
+        mode = "copy" if src == target else ("downsample" if src > target else "upsample")
+        rows.append((media_id, src, target, mode))
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("src_rate", "INTEGER"),
+            ("dst_rate", "INTEGER"),
+            ("mode", "VARCHAR"),
+        ],
+        rows,
+    )
+
+
 # ── extraction_pdf_e2e ───────────────────────────────────────────────────────
 
 
