@@ -206,19 +206,21 @@ def strip_duplicate_lines(documents: DataFrame, min_words: int = 5) -> DataFrame
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
     n_words = F.size(F.split(F.trim(F.col("line")), r"\s+"))
-    # split BEFORE the line-keyed window: short lines are kept
-    # unconditionally, and at corpus scale they are exactly the hot keys
-    # ('', bullets, nav labels) that would pile every occurrence into one
-    # straggler task if shuffled (review r2b #4)
-    short = lines.where(n_words < min_words)
-    long_lines = lines.where(n_words >= min_words)
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    deduped_long = (
-        long_lines.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    # ONE scan, ONE window, no hot keys: short lines are kept regardless
+    # of their row number, so salting them spreads the corpus-scale hot
+    # keys ('', bullets, nav labels) across the shuffle without changing
+    # the output — long lines keep salt 0, i.e. exact global first-
+    # occurrence semantics (review r2b #4 / r2c #4)
+    salt = F.when(
+        n_words < min_words, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(64))
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("line", "_salt").orderBy("doc_id", "pos")
+    kept = (
+        lines.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((n_words < min_words) | (F.col("_rn") == 1))
+        .drop("_salt", "_rn")
     )
-    kept = short.unionByName(deduped_long)
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -81,27 +81,39 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     return [k / 1_000_000.0 - 1.0 for k in decode_stub_ks(payload)]
 
 
+def _byte_capped_frames(
+    rows: Iterator[tuple[tuple, int]], cols: list[str]
+) -> Iterator[pd.DataFrame]:
+    """Yield DataFrames whenever accumulated row weight crosses the Arrow
+    byte budget — THE batching policy for every media mapInPandas stage
+    (one definition; media_features and image_resize both feed it)."""
+    buf, buf_bytes = [], 0
+    for row, weight in rows:
+        buf.append(row)
+        buf_bytes += weight
+        if buf_bytes >= ARROW_MAX_BATCH_BYTES:
+            yield pd.DataFrame(buf, columns=cols)
+            buf, buf_bytes = [], 0
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """media table → per-item feature rows (mapInPandas, byte-capped)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = list(FEATURE_SCHEMA.fieldNames())
-        buf, buf_bytes = [], 0
-        for b in batches:
-            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
-                if payload is None:
-                    buf.append((mid, kind, 0, None, None, "null_payload"))
-                    continue
-                p = bytes(payload)
-                feat = _decode_stub(p, kind)
-                digest = hashlib.blake2b(p, digest_size=16).hexdigest()
-                buf.append((mid, kind, len(p), digest, feat, "ok"))
-                buf_bytes += len(p)
-                if buf_bytes >= ARROW_MAX_BATCH_BYTES:
-                    yield pd.DataFrame(buf, columns=cols)
-                    buf, buf_bytes = [], 0
-        if buf:
-            yield pd.DataFrame(buf, columns=cols)
+        def rows():
+            for b in batches:
+                for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                    if payload is None:
+                        yield (mid, kind, 0, None, None, "null_payload"), 0
+                        continue
+                    p = bytes(payload)
+                    feat = _decode_stub(p, kind)
+                    digest = hashlib.blake2b(p, digest_size=16).hexdigest()
+                    yield (mid, kind, len(p), digest, feat, "ok"), len(p)
+
+        yield from _byte_capped_frames(rows(), list(FEATURE_SCHEMA.fieldNames()))
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         gen, schema=FEATURE_SCHEMA
@@ -142,31 +154,26 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
     without image dims route to a per-row status, never a task failure."""
 
     def gen(batches):
-        cols = list(RESIZE_SCHEMA.fieldNames())
-        buf, buf_bytes = [], 0
-        for b in batches:
-            for mid, payload, w, h in zip(
-                b["media_id"], b["payload"], b["width"], b["height"]
-            ):
-                if payload is None:
-                    buf.append((mid, None, None, 0, None, "null_payload"))
-                    continue
-                if pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
-                    buf.append((mid, None, None, 0, None, "no_dims"))
-                    continue
-                w, h = int(w), int(h)
-                scale = min(target_w / w, target_h / h)
-                ow = max(1, int(w * scale))
-                oh = max(1, int(h * scale))
-                out = _resize_stub(bytes(payload), w, h, ow, oh)
-                digest = hashlib.blake2b(out, digest_size=16).hexdigest()
-                buf.append((mid, ow, oh, len(out), digest, "ok"))
-                buf_bytes += len(out)
-                if buf_bytes >= ARROW_MAX_BATCH_BYTES:
-                    yield pd.DataFrame(buf, columns=cols)
-                    buf, buf_bytes = [], 0
-        if buf:
-            yield pd.DataFrame(buf, columns=cols)
+        def rows():
+            for b in batches:
+                for mid, payload, w, h in zip(
+                    b["media_id"], b["payload"], b["width"], b["height"]
+                ):
+                    if payload is None:
+                        yield (mid, None, None, 0, None, "null_payload"), 0
+                        continue
+                    if pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
+                        yield (mid, None, None, 0, None, "no_dims"), 0
+                        continue
+                    w, h = int(w), int(h)
+                    scale = min(target_w / w, target_h / h)
+                    ow = max(1, int(w * scale))
+                    oh = max(1, int(h * scale))
+                    out = _resize_stub(bytes(payload), w, h, ow, oh)
+                    digest = hashlib.blake2b(out, digest_size=16).hexdigest()
+                    yield (mid, ow, oh, len(out), digest, "ok"), len(out)
+
+        yield from _byte_capped_frames(rows(), list(RESIZE_SCHEMA.fieldNames()))
 
     return (
         media.where(F.col("kind") == "image")
@@ -182,15 +189,17 @@ def audio_resample_plan(media: DataFrame, target_rate: int = 16000) -> DataFrame
     """Audio resample plan (mandate verb: resample): pure-projection
     stage computing the rate conversion each audio row needs — the
     decode/resample itself would run beside _decode_stub. JVM-only."""
+    rate = F.col("meta.sample_rate")
     return (
         media.where(F.col("kind") == "audio")
         .select(
             "media_id",
-            F.col("meta.sample_rate").alias("src_rate"),
+            rate.alias("src_rate"),
             F.lit(target_rate).alias("dst_rate"),
-            F.when(F.col("meta.sample_rate") == target_rate, "copy")
-            .when(F.col("meta.sample_rate") > target_rate, "downsample")
-            .otherwise("upsample")
+            F.when(rate.isNull() | (rate <= 0), "no_rate")  # per-row status,
+            .when(rate == target_rate, "copy")              # never a plan row
+            .when(rate > target_rate, "downsample")         # a resampler
+            .otherwise("upsample")                          # cannot execute
             .alias("mode"),
         )
     )

@@ -209,7 +209,14 @@ def audio_resample_oracle(n: int = 60, target: int = 16000) -> str:
         if kind != "audio":
             continue
         src = meta[2]
-        mode = "copy" if src == target else ("downsample" if src > target else "upsample")
+        if src is None or src <= 0:
+            mode = "no_rate"
+        elif src == target:
+            mode = "copy"
+        elif src > target:
+            mode = "downsample"
+        else:
+            mode = "upsample"
         rows.append((media_id, src, target, mode))
     return values_sql(
         [
