@@ -227,10 +227,16 @@ def _ascii85_decode_strict(compact: bytes) -> bytes:
 
 
 def _runlength_decode(raw: bytes) -> bytes:
+    # RLE expands ≤128× per stage and its OUTPUT bytes can themselves be
+    # valid repeat headers, so a chained /Filter [/RL /RL …] compounds
+    # exponentially — the cap must hold inside the decoder, not just at
+    # the Flate/LZW stages (ADVICE r2 #1).
     out = bytearray()
     i = 0
     n = len(raw)
     while i < n:
+        if len(out) > MAX_DECODED_STREAM_BYTES:
+            raise PDFParseError("RunLengthDecode: decoded stream exceeds cap")
         length = raw[i]
         i += 1
         if length == 128:  # EOD
@@ -720,7 +726,14 @@ class PDFDocument:
     # ── object resolution ───────────────────────────────────────────────
 
     def resolve(self, obj):
+        # an indirect-reference cycle (1 0 obj → 6 0 R, 6 0 obj → 1 0 R)
+        # must be a parse_failed row, not an executor hang (ADVICE r2 #2);
+        # real chains are 1-2 hops, so 64 is far outside any legal file
+        hops = 0
         while isinstance(obj, _Ref):
+            hops += 1
+            if hops > 64:
+                raise PDFParseError("indirect-reference chain cyclic or too long")
             obj = self._load_object(obj.num)
         return obj
 
@@ -899,6 +912,8 @@ class PDFDocument:
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
+        if len(filters) > 8:  # real chains are ≤3; bound bomb compounding
+            raise PDFParseError(f"filter chain too long ({len(filters)})")
         parms = self.resolve(st.dict.get("DecodeParms", st.dict.get("DP")))
         if isinstance(parms, list):
             # pad a short /DecodeParms array: zip truncation would silently
@@ -925,6 +940,8 @@ class PDFDocument:
                 raise PDFEncryptedError("stream carries a /Crypt filter")
             else:
                 raise PDFParseError(f"unsupported stream filter /{f}")
+            if len(raw) > MAX_DECODED_STREAM_BYTES:
+                raise PDFParseError("decoded stream exceeds cap")
             pred = self.resolve(p.get("Predictor", 1))
             if isinstance(pred, int) and pred > 1 and f in ("FlateDecode", "LZWDecode"):
                 raw = _apply_predictor(

@@ -325,3 +325,39 @@ def test_bitflip_sweep_xref_stream_never_crashes():
             assert isinstance(text, str)
         except PDFParseError:
             pass
+
+
+def test_runlength_chain_bomb_capped():
+    """A chained /Filter [/RL /RL …] compounds ~128× per stage; the cap
+    must hold inside the RLE decoder itself (ADVICE r2 #1)."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument, _runlength_decode
+
+    # one stage: repeat headers expanding 128× well past the cap
+    stage = (b"\x81\xff") * (3 << 20)  # each 2-byte pair → 128 bytes out
+    with pytest.raises(PDFParseError, match="cap"):
+        _runlength_decode(stage)
+
+    # and a long filter chain must be rejected before it compounds
+    data = b"\x00A\x80"
+    body = (
+        b"<< /Filter [" + b" /RL" * 9 + b" ] /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream"
+    )
+    pdf = build_pdf([b"BT ET"], extra_objects=(body,))
+    doc = PDFDocument(pdf)
+    st = doc.resolve(__import__("pdf_to_text_spark.kernels.pdf", fromlist=["_Ref"])._Ref(6, 0))
+    with pytest.raises(PDFParseError, match="chain too long"):
+        doc._decode_stream(st)
+
+
+def test_indirect_reference_cycle_raises_not_hangs():
+    """1 0 obj → 6 0 R / 6 0 obj → 1 0 R must be PDFParseError, not an
+    infinite resolve() loop (ADVICE r2 #2)."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument, _Ref
+
+    pdf = build_pdf([b"BT ET"], extra_objects=(b"1 0 R",))  # 6 0 obj → 1 0 R
+    # rewrite the catalog (object 1) to point at object 6
+    pdf = pdf.replace(b"<< /Type /Catalog /Pages 2 0 R >>", b"6 0 R" + b" " * 28)
+    doc = PDFDocument(pdf)
+    with pytest.raises(PDFParseError, match="cyclic"):
+        doc.resolve(_Ref(1, 0))
