@@ -814,6 +814,9 @@ class PDFDocument:
         superset of WinAnsi — SURVEY.md §2.2.2; multi-byte CID codespaces
         remain out of contract."""
         res = self.resolve(page.get("Resources"))
+        return self._font_decoders_from_res(res)
+
+    def _font_decoders_from_res(self, res) -> dict[str, dict[int, str]] | None:
         if not isinstance(res, dict):
             return None
         fonts = self.resolve(res.get("Font"))
@@ -858,6 +861,48 @@ class PDFDocument:
             m.update(narrow)  # ToUnicode wins over Differences (pdfjs order)
             if m:
                 out[str(fname)] = m
+        return out or None
+
+    # ── form XObjects (§8.10): text drawn via the `Do` operator ─────────
+
+    def page_extraction_context(self, page):
+        """(fonts, form_xobjects) for one page — everything
+        _extract_page_text needs to recurse into /Subtype /Form streams
+        (pdfjs parity: getTextContent walks form XObjects too)."""
+        res = self.resolve(page.get("Resources"))
+        return self._font_decoders_from_res(res), self._form_xobjects(res, 0, frozenset())
+
+    def _form_xobjects(self, res, depth: int, seen: frozenset):
+        """name → (content, fonts, nested_xobjects) for every /Subtype
+        /Form entry of res's /XObject dict. A form without /Resources
+        inherits its parent's (spec-permitted legacy layout). Depth-capped
+        and cycle-guarded on the stream's object number; image XObjects
+        are skipped (no text). Structural faults in a referenced form
+        propagate as PDFParseError — partial text with status 'ok' would
+        be silent divergence."""
+        if not isinstance(res, dict) or depth >= _MAX_FORM_DEPTH:
+            return None
+        xo = self.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return None
+        out: dict[str, tuple] = {}
+        for name, ref in xo.items():
+            num = ref.num if isinstance(ref, _Ref) else -1
+            if num in seen:
+                continue  # self/ancestor reference: drawing is undefined; skip
+            st = self.resolve(ref)
+            if not isinstance(st, _Stream):
+                continue
+            if str(st.dict.get("Subtype", "")) != "Form":
+                continue
+            content = self._decode_stream(st)
+            sub_res_raw = st.dict.get("Resources")
+            sub_res = self.resolve(sub_res_raw) if sub_res_raw is not None else res
+            out[str(name)] = (
+                content,
+                self._font_decoders_from_res(sub_res),
+                self._form_xobjects(sub_res, depth + 1, seen | {num}),
+            )
         return out or None
 
     # ── page tree ───────────────────────────────────────────────────────
@@ -1126,10 +1171,20 @@ _CTOK_RE = re.compile(
       | (?P<arro>\[) | (?P<arrc>\])
       | (?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)  # name
       | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+      | (?P<brace>[{}])                # PostScript-calculator braces (type-4
+                                       # function bodies): explicit no-op
       | (?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
     """,
     re.VERBOSE,
 )
+
+# inline-image payload terminator (§8.9.7): EI preceded by whitespace and
+# followed by a token boundary. The binary payload between ID and EI must
+# never reach the tokenizer — a stray '(' inside image bytes would open a
+# bogus literal string and swallow subsequent show operators.
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
+
+_MAX_FORM_DEPTH = 8  # Form-XObject recursion guard (cycles break out earlier)
 
 _STR_ESCAPE_RE = re.compile(rb"\\(?:[nrtbf()\\]|[0-7]{1,3}|\r\n|\r|\n|.)")
 _ESC_MAP = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\x08", 0x66: b"\x0c"}
@@ -1154,13 +1209,24 @@ def _unescape_literal(body: bytes) -> bytes:
     return _STR_ESCAPE_RE.sub(sub, body)
 
 
-def _extract_page_text(content: bytes, fonts: dict[str, dict[int, str]] | None = None) -> str:
+def _extract_page_text(
+    content: bytes,
+    fonts: dict[str, dict[int, str]] | None = None,
+    xobjects: dict | None = None,
+    depth: int = 0,
+) -> str:
     """Apply the pinned reflow rules (module docstring) to one content stream.
 
     `fonts` maps a resource font name (e.g. "F1") to a /Differences
     code→char override; when None or the current font has no override,
     strings decode latin-1 (the pinned fast path — byte-identical to the
-    pre-Differences kernel)."""
+    pre-Differences kernel).
+
+    `xobjects` maps a resource XObject name to a (content, fonts,
+    xobjects) triple for /Subtype /Form streams; a `Do` of such a name
+    recurses (pdfjs's getTextContent does the same — text drawn inside
+    form XObjects is real page text, reference main.ts:149-150). Depth-
+    and cycle-guarded; image XObjects never appear in the map."""
     lines: list[str] = []
     cur: list[str] = []
     last_str: bytes | None = None   # most recent string operand
@@ -1251,6 +1317,25 @@ def _extract_page_text(content: bytes, fonts: dict[str, dict[int, str]] | None =
                     cur.append(dec(last_str))
             elif op == b"Tf" and fonts is not None:
                 cur_map = fonts.get(last_name) if last_name is not None else None
+            elif op == b"Do" and xobjects is not None and last_name is not None:
+                sub = xobjects.get(last_name)
+                if sub is not None and depth < _MAX_FORM_DEPTH:
+                    # form text is emitted in stream order at the Do site;
+                    # the form's own BT blocks would flush anyway, and the
+                    # caller's text state is untouched by the recursion
+                    flush()
+                    sub_text = _extract_page_text(sub[0], sub[1], sub[2], depth + 1)
+                    if sub_text:
+                        lines.extend(sub_text.split("\n"))
+            elif op == b"ID":
+                # inline image (BI … ID <binary> EI): skip the payload to
+                # the whitespace-delimited EI so image bytes never reach
+                # the tokenizer
+                m2 = _EI_RE.search(content, pos)
+                pos = m2.end() if m2 is not None else n
+            # BX/EX compatibility sections are explicit no-ops: they only
+            # toggle unknown-operator tolerance, which this lenient
+            # tokenizer already has
             last_str = None
             last_num = None
             last_name = None
@@ -1269,8 +1354,8 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
     if not isinstance(data, (bytes, bytearray)):
         raise PDFParseError("input is not bytes")
     doc = PDFDocument(bytes(data))
-    page_texts = [
-        _extract_page_text(doc.page_content(p), doc.page_font_decoders(p))
-        for p in doc.pages()
-    ]
+    page_texts = []
+    for p in doc.pages():
+        fonts, xobjs = doc.page_extraction_context(p)
+        page_texts.append(_extract_page_text(doc.page_content(p), fonts, xobjs))
     return "\n".join(page_texts), len(page_texts)

@@ -86,7 +86,19 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             # non-Flate filters the round-2 kernel decodes (PDF rows are
             # i%3==0, so index variants by the PDF ordinal i//3)
             variant = (i // 3) % 8
-            if variant in (1, 3):
+            if variant == 2:
+                # round-3 surface: body text inside a Form XObject (`Do`)
+                from tools.make_pdf import form_text_pdf
+
+                flat = [ln for p in lines for ln in p]
+                html = form_text_pdf(flat[: max(1, len(flat) // 2)],
+                                     flat[max(1, len(flat) // 2):] or ["form tail"])
+            elif variant == 6:
+                # round-3 surface: adversarial inline image between blocks
+                from tools.make_pdf import inline_image_text_pdf
+
+                html = inline_image_text_pdf(lines[0])
+            elif variant in (1, 3):
                 from tools.make_pdf import build_pdf_xref_stream, content_stream_for_lines
 
                 html = build_pdf_xref_stream(

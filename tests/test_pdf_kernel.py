@@ -361,3 +361,27 @@ def test_indirect_reference_cycle_raises_not_hangs():
     doc = PDFDocument(pdf)
     with pytest.raises(PDFParseError, match="cyclic"):
         doc.resolve(_Ref(1, 0))
+
+
+def test_form_xobject_cycle_terminates_and_extracts_rest():
+    """A form whose resources re-reference an ancestor form must be
+    cycle-skipped (drawing is undefined), not an infinite recursion —
+    and all acyclic text still extracts."""
+    from tools.make_pdf import form_xobject_pdf
+
+    text, n = extract_pdf_text(form_xobject_pdf(self_cycle=True))
+    assert n == 1
+    assert text == (
+        "page before form\nouter form line one\nouter form line two\n"
+        "inner nested line\nouter after inner\npage after form"
+    )
+
+
+def test_inline_image_binary_cannot_swallow_show_ops():
+    """Without BI/ID/EI handling a '(' inside image bytes opens a bogus
+    literal string that eats the following Tj — pin that both sides of
+    the image survive."""
+    from tools.make_pdf import inline_image_pdf
+
+    text, _ = extract_pdf_text(inline_image_pdf())
+    assert text == "before image\nafter image"

@@ -179,13 +179,16 @@ DEFAULT_FONT_OBJ = (
 
 def build_pdf(page_streams: list[bytes], *, compress: bool = False,
               stream_filter: str | None = None, font_obj: bytes | None = None,
-              trailer_extra: bytes = b"", extra_objects: tuple = ()) -> bytes:
+              trailer_extra: bytes = b"", extra_objects: tuple = (),
+              resources_extra: bytes = b"") -> bytes:
     """Assemble a complete PDF from per-page content streams.
 
     Defaults reproduce the round-1 writer byte-for-byte (golden contract).
     `stream_filter` names any STREAM_FILTERS codec for the content streams;
     `font_obj` overrides object 3 (e.g. a /Differences encoding);
-    `trailer_extra` is spliced into the trailer dict (e.g. /Encrypt)."""
+    `trailer_extra` is spliced into the trailer dict (e.g. /Encrypt);
+    `resources_extra` is spliced into every page's /Resources dict
+    (e.g. an /XObject map for form-XObject fixtures)."""
     objects: list[bytes] = []  # 1-indexed body objects
 
     n_pages = len(page_streams)
@@ -202,7 +205,8 @@ def build_pdf(page_streams: list[bytes], *, compress: bool = False,
         contents_num = page_obj_nums[i] + 1
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % contents_num
+            b"/Resources << /Font << /F1 3 0 R >> " + resources_extra
+            + b">> /Contents %d 0 R >>" % contents_num
         )
         if stream_filter is not None:
             data = STREAM_FILTERS[stream_filter](stream)
@@ -441,6 +445,87 @@ def sucursal_report_pdf(n_blocks: int = 25, *, trailing_unterminated: bool = Tru
     return simple_pdf(pages, compress=compress)
 
 
+def form_xobject_pdf(*, self_cycle: bool = False) -> bytes:
+    """Body text inside /Subtype /Form XObjects (VERDICT r2 missing #1):
+    page text, a `Do` of form /Fx1 (own /Resources: fonts + a nested
+    /Fx2), whose content draws text and `Do`s /Fx2; /Fx2 has NO
+    /Resources (inherits /Fx1's — the spec-permitted legacy layout).
+    With `self_cycle`, /Fx2's resources point back at /Fx1 and its
+    content re-`Do`s it — the kernel must cycle-skip, not hang."""
+    inner = b"BT /F1 10 Tf 72 470 Td (inner nested line) Tj ET"
+    if self_cycle:
+        inner += b"\n/Fx1 Do"
+    outer = (
+        b"BT /F1 11 Tf 72 520 Td (outer form line one) Tj 0 -14 Td "
+        b"(outer form line two) Tj ET\n/Fx2 Do\n"
+        b"BT /F1 11 Tf 72 440 Td (outer after inner) Tj ET"
+    )
+    outer_res = b"/Font << /F1 3 0 R >> /XObject << /Fx2 7 0 R >>"
+    if self_cycle:
+        outer_res = b"/Font << /F1 3 0 R >> /XObject << /Fx2 7 0 R /Fx1 6 0 R >>"
+    outer_obj = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << " + outer_res + b" >> /Length %d >>\nstream\n" % len(outer)
+        + outer + b"\nendstream"
+    )
+    inner_obj = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Length %d >>\nstream\n" % len(inner) + inner + b"\nendstream"
+    )
+    page = (
+        b"BT /F1 12 Tf 72 720 Td (page before form) Tj ET\n"
+        b"/Fx1 Do\n"
+        b"BT /F1 12 Tf 72 400 Td (page after form) Tj ET"
+    )
+    return build_pdf(
+        [page],
+        extra_objects=(outer_obj, inner_obj),
+        resources_extra=b"/XObject << /Fx1 6 0 R >> ",
+    )
+
+
+def inline_image_pdf() -> bytes:
+    """Inline image (BI … ID <binary> EI) whose payload contains '(',
+    'BT' and 'Tj' bytes (VERDICT r2 missing #2) — the tokenizer must
+    skip the payload wholesale; naive tokenizing would open a bogus
+    literal string and swallow the following show op."""
+    payload = b"(BT (Tj \xff\x00\x9c\x28\x82 Tj) BT\xfe"  # no ws+EI inside
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td (before image) Tj ET\n"
+        b"BI /W 3 /H 2 /CS /G /BPC 8 /F /AHx ID " + payload + b" EI\n"
+        b"BT /F1 12 Tf 72 700 Td (after image) Tj ET"
+    )
+    return build_pdf([stream])
+
+
+def form_text_pdf(page_lines: list[str], form_lines: list[str]) -> bytes:
+    """Corpus-friendly single-page doc: page_lines, then a `Do` of a form
+    XObject drawing form_lines (form inherits the page's resources)."""
+    form = content_stream_for_lines(form_lines)
+    page = content_stream_for_lines(page_lines) + b"\n/FxA Do"
+    form_obj = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Length %d >>\nstream\n" % len(form) + form + b"\nendstream"
+    )
+    return build_pdf(
+        [page],
+        extra_objects=(form_obj,),
+        resources_extra=b"/XObject << /FxA 6 0 R >> ",
+    )
+
+
+def inline_image_text_pdf(lines: list[str]) -> bytes:
+    """Corpus-friendly single-page doc with an adversarial inline image
+    (payload contains '(' 'BT' 'Tj' bytes) between two text blocks."""
+    payload = b"(BT (Tj \xff\x00\x9c\x28\x82 Tj) BT\xfe"
+    stream = (
+        content_stream_for_lines(lines[:1])
+        + b"\nBI /W 3 /H 2 /CS /G /BPC 8 ID " + payload + b" EI\n"
+        + content_stream_for_lines(lines[1:] or ["tail"])
+    )
+    return build_pdf([stream])
+
+
 def corrupt_pdf() -> bytes:
     """Valid header, truncated before the xref — must parse_fail, not crash."""
     good = simple_pdf([["hello", "world"]])
@@ -503,6 +588,8 @@ FIXTURES = {
         [content_stream_for_lines(["run length encoded content"])],
         stream_filter="RunLengthDecode",
     ),
+    "form_xobject": form_xobject_pdf,
+    "inline_image": inline_image_pdf,
     "differences_encoding": differences_pdf,
     "tounicode_cmap": tounicode_pdf,
     "type0_identity_h": type0_identity_h_pdf,
