@@ -31,8 +31,16 @@ reference package.json:8-9):
     and uniXXXX names; Type0/Identity-H CID fonts decode 2-byte show
     strings through their wide ToUnicode map (the standard embedded-CJK
     layout — unmapped CIDs pin to U+FFFD);
-  * ``/Encrypt`` detection → :class:`PDFEncryptedError` (a distinct
-    'encrypted' row status, not a confusing downstream failure).
+  * standard-security decryption with an EMPTY user password (round 3,
+    pdfjs parity): RC4 V1/V2 (R2-R3) and AES-128-CBC V4 /AESV2, with
+    per-object keys for strings and streams; password-protected or
+    otherwise undecryptable documents raise :class:`PDFEncryptedError`
+    (a distinct 'encrypted' row status, not a confusing downstream
+    failure);
+  * text inside Form XObjects (``Do``, depth- and cycle-guarded
+    recursion) and inline-image payload skipping (``BI``/``ID``/``EI``)
+    — round 3, closing the remaining byte-divergence vs pdfjs on
+    realistic crawls.
 
 Predefined CID CMaps (e.g. UniGB-UCS2-H without ToUnicode) remain out
 of contract. Any structural error raises :class:`PDFParseError`;
@@ -62,12 +70,17 @@ class PDFParseError(Exception):
 
 
 class PDFEncryptedError(PDFParseError):
-    """The trailer carries /Encrypt — content streams are ciphertext.
+    """The document is encrypted and CANNOT be decrypted here.
 
-    Raised early (at xref load) so callers can surface a distinct
-    'encrypted' row status instead of a confusing downstream tokenizer
-    failure. Subclasses PDFParseError so untyped callers still treat it
-    as a parse failure."""
+    Standard-security-handler documents with an EMPTY user password
+    (RC4 V1/V2 and AES-CBC V4/AESV2) are decrypted transparently —
+    pdfjs parity, reference main.ts:149 — so this error now means:
+    a real (non-empty) user password, a public-key handler, V5/R6
+    (AES-256), or any other unsupported scheme. Raised early (at xref
+    load) so callers can surface a distinct 'encrypted' row status
+    instead of a confusing downstream tokenizer failure. Subclasses
+    PDFParseError so untyped callers still treat it as a parse
+    failure."""
 
 
 # ── stream filters (PDF 32000-1 §7.4) ────────────────────────────────────────
@@ -320,6 +333,101 @@ _FILTER_ALIASES = {
 }
 
 
+class _StdCrypt:
+    """Standard security handler, empty user password only (§7.6.3).
+
+    Supports V1/V2 (RC4, R2-R3) and V4 with /StdCF /CFM /V2 (RC4) or
+    /AESV2 (AES-128-CBC); /Identity crypt filters pass through. Anything
+    else — a non-empty user password, public-key handlers, V5/R6 —
+    raises PDFEncryptedError at construction, which callers surface as
+    the distinct 'encrypted' row status."""
+
+    def __init__(self, enc: dict, id0: bytes):
+        from . import crypto
+
+        if str(enc.get("Filter", "")) != "Standard":
+            raise PDFEncryptedError("unsupported security handler")
+        v = enc.get("V", 0)
+        r = enc.get("R", 2)
+        if not isinstance(v, int) or not isinstance(r, int):
+            raise PDFEncryptedError("bad /Encrypt dict")
+        o = enc.get("O")
+        u = enc.get("U")
+        p = enc.get("P")
+        if not isinstance(o, (bytes, bytearray)) or not isinstance(
+            u, (bytes, bytearray)
+        ) or not isinstance(p, int):
+            # encrypted but not decryptable here (incl. degenerate
+            # /Encrypt dicts) → the distinct 'encrypted' row status
+            raise PDFEncryptedError("bad /Encrypt dict (O/U/P)")
+        length = enc.get("Length", 40)
+        self.encrypt_metadata = enc.get("EncryptMetadata", True) is not False
+        self.aes_strings = False
+        self.aes_streams = False
+        self.identity_strings = False
+        self.identity_streams = False
+        if v in (1, 2) and r in (2, 3):
+            key_bits = 40 if v == 1 else (length if isinstance(length, int) else 40)
+        elif v == 4 and r == 4:
+            cf = enc.get("CF")
+            cf = cf if isinstance(cf, dict) else {}
+            stdcf = cf.get("StdCF")
+            stdcf = stdcf if isinstance(stdcf, dict) else {}
+            cfm = str(stdcf.get("CFM", ""))
+            if cfm == "AESV2":
+                aes = True
+            elif cfm == "V2":
+                aes = False
+            else:
+                raise PDFEncryptedError(f"unsupported crypt filter method {cfm!r}")
+            stmf = str(enc.get("StmF", "Identity"))
+            strf = str(enc.get("StrF", "Identity"))
+            self.identity_streams = stmf == "Identity"
+            self.identity_strings = strf == "Identity"
+            self.aes_streams = aes and not self.identity_streams
+            self.aes_strings = aes and not self.identity_strings
+            key_bits = length if isinstance(length, int) else 128
+        else:
+            raise PDFEncryptedError(f"unsupported encryption V={v} R={r}")
+        key = crypto.file_key(
+            b"", bytes(o), p, id0, r, key_bits, self.encrypt_metadata
+        )
+        if not crypto.verify_user_password(key, bytes(u), id0, r):
+            raise PDFEncryptedError("document requires a user password")
+        self.key = key
+        self.r = r
+        self._crypto = crypto
+        self._okeys: dict[tuple[int, int, bool], bytes] = {}
+
+    def _okey(self, num: int, gen: int, aes: bool) -> bytes:
+        k = (num, gen, aes)
+        out = self._okeys.get(k)
+        if out is None:
+            out = self._crypto.object_key(self.key, num, gen, aes)
+            self._okeys[k] = out
+        return out
+
+    def _apply(self, num: int, gen: int, data: bytes, aes: bool) -> bytes:
+        if aes:
+            try:
+                return self._crypto.aes128_cbc_decrypt(
+                    self._okey(num, gen, True), data
+                )
+            except ValueError as e:
+                raise PDFParseError(f"AES stream decryption failed: {e}") from None
+        return self._crypto.rc4(self._okey(num, gen, False), data)
+
+    def decrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.identity_streams:
+            return data
+        return self._apply(num, gen, data, self.aes_streams)
+
+    def decrypt_string(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.identity_strings:
+            return data
+        return self._apply(num, gen, data, self.aes_strings)
+
+
 class _Ref:
     __slots__ = ("num", "gen")
 
@@ -336,11 +444,16 @@ class _Name(str):
 
 
 class _Stream:
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "objnum", "gen")
 
     def __init__(self, d: dict, raw: bytes):
         self.dict = d
         self.raw = raw
+        # owning indirect object, recorded at load time — the per-object
+        # decryption key needs it; None for streams parsed outside the
+        # object table (xref streams are never encrypted, §7.5.8.2)
+        self.objnum: int | None = None
+        self.gen: int = 0
 
 
 class _Lexer:
@@ -603,6 +716,7 @@ class PDFDocument:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple[bytes, int, list[tuple[int, int]]]] = {}
         self._objstm_loading: set[int] = set()
+        self._crypt: _StdCrypt | None = None
         self._load_xref()
 
     # ── xref / trailer ──────────────────────────────────────────────────
@@ -628,9 +742,30 @@ class PDFDocument:
                 break
             offset = prev
         if "Encrypt" in self.trailer:
-            raise PDFEncryptedError("trailer carries /Encrypt")
+            self._setup_encryption()
         if "Root" not in self.trailer:
             raise PDFParseError("trailer has no /Root")
+
+    def _setup_encryption(self) -> None:
+        """Empty-user-password standard-security decryption (pdfjs
+        parity); raises PDFEncryptedError when the document genuinely
+        needs a password or uses an unsupported scheme. The /Encrypt
+        dict itself is loaded while self._crypt is still None, so its
+        /O /U strings are (correctly) left raw."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict):
+            raise PDFEncryptedError("/Encrypt is not a dict")
+        id0 = b""
+        ids = self.trailer.get("ID")
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, (bytes, bytearray)):
+                id0 = bytes(first)
+        self._crypt = _StdCrypt(enc, id0)
+        # any object loaded pre-setup was cached with raw (encrypted)
+        # strings; only the Encrypt dict itself should stay that way
+        keep = self.trailer["Encrypt"].num if isinstance(self.trailer["Encrypt"], _Ref) else None
+        self._cache = {k: v for k, v in self._cache.items() if k == keep}
 
     def _known(self, num: int) -> bool:
         """Newest xref section wins: later (older) sections must not
@@ -752,12 +887,32 @@ class PDFDocument:
             raise PDFParseError(f"xref offset {off} out of range")
         lx = _Lexer(self.data, off)
         got_num = lx.read_int()
-        _gen = lx.read_int()
+        gen = lx.read_int()
         lx.expect_keyword(b"obj")
         if got_num != num:
             raise PDFParseError(f"xref points to object {got_num}, wanted {num}")
         obj = lx.parse_object()
+        if self._crypt is not None:
+            obj = self._decrypt_loaded(obj, num, gen)
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_loaded(self, obj, num: int, gen: int):
+        """Decrypt every string in a directly-loaded object and stamp
+        streams with their owning (num, gen) for lazy raw decryption.
+        Objects inside an ObjStm are NOT re-encrypted (§7.5.7) and never
+        pass through here — _load_from_objstm returns directly."""
+        if isinstance(obj, (bytes, bytearray)):
+            return self._crypt.decrypt_string(num, gen, bytes(obj))
+        if isinstance(obj, list):
+            return [self._decrypt_loaded(x, num, gen) for x in obj]
+        if isinstance(obj, _Stream):
+            obj.objnum = num
+            obj.gen = gen
+            obj.dict = self._decrypt_loaded(obj.dict, num, gen)
+            return obj
+        if isinstance(obj, dict):
+            return {k: self._decrypt_loaded(v, num, gen) for k, v in obj.items()}
         return obj
 
     # ── object streams (§7.5.7): compressed non-stream objects ──────────
@@ -948,12 +1103,33 @@ class PDFDocument:
             chunks.append(self._decode_stream(part))
         return b"\n".join(chunks)
 
+    def _has_identity_crypt_filter(self, st: _Stream) -> bool:
+        filt = self.resolve(st.dict.get("Filter"))
+        filters = filt if isinstance(filt, list) else [filt]
+        if not any(str(self.resolve(f)) == "Crypt" for f in filters if f is not None):
+            return False
+        parms = self.resolve(st.dict.get("DecodeParms", st.dict.get("DP")))
+        parms_list = parms if isinstance(parms, list) else [parms]
+        for f, p in zip(filters, parms_list + [None] * len(filters)):
+            if str(self.resolve(f)) == "Crypt":
+                p = self.resolve(p)
+                name = str(p.get("Name", "Identity")) if isinstance(p, dict) else "Identity"
+                return name == "Identity"
+        return False
+
     def _decode_stream(self, st: _Stream) -> bytes:
         filt = self.resolve(st.dict.get("Filter"))
         raw = st.raw
         length = self.resolve(st.dict.get("Length"))
         if isinstance(length, int) and len(raw) > length:
             raw = raw[:length]
+        if self._crypt is not None and st.objnum is not None:
+            # streams parsed outside the object table (xref streams)
+            # have objnum None and are never encrypted (§7.5.8.2); a
+            # /Crypt filter naming /Identity opts the stream out of the
+            # default stream cipher (§7.4.10)
+            if not self._has_identity_crypt_filter(st):
+                raw = self._crypt.decrypt_stream(st.objnum, st.gen, raw)
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
@@ -982,7 +1158,11 @@ class PDFDocument:
             elif f == "RunLengthDecode":
                 raw = _runlength_decode(raw)
             elif f == "Crypt":
-                raise PDFEncryptedError("stream carries a /Crypt filter")
+                # Identity was honored pre-filter (no decryption);
+                # StdCF was applied as the default handler above
+                name = str(p.get("Name", "Identity"))
+                if self._crypt is None or name not in ("Identity", "StdCF"):
+                    raise PDFEncryptedError("unsupported /Crypt filter")
             else:
                 raise PDFParseError(f"unsupported stream filter /{f}")
             if len(raw) > MAX_DECODED_STREAM_BYTES:

@@ -61,6 +61,17 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             from tools.make_pdf import encrypted_pdf
 
             return url, ts, encrypted_pdf(), None, lang
+        if i % 90 == 39:
+            # ~1% standard-security PDFs with an EMPTY user password —
+            # the kernel decrypts these transparently (status 'ok')
+            from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+            enc_lines = [_sentence(i * 3571 + j, 9) for j in range(12)]
+            return url, ts, build_encrypted_pdf(
+                [content_stream_for_lines(enc_lines)],
+                method="aes_128" if i % 180 == 39 else "rc4_128",
+                compress=True,
+            ), None, lang
         if is_mega:
             # genuinely megabyte-scale: 100 pages, uncompressed streams
             # (~1 MB; the skew knob of FIXTURES.md §1)

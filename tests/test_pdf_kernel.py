@@ -15,7 +15,7 @@ GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in FIXTURES if n not in ("corrupt", "encrypted")]
+    "name", [n for n in FIXTURES if n not in ("corrupt", "encrypted", "encrypted_password")]
 )
 def test_golden_parity(name):
     """Writer output re-parsed must match the committed golden byte-for-byte."""
@@ -385,3 +385,75 @@ def test_inline_image_binary_cannot_swallow_show_ops():
 
     text, _ = extract_pdf_text(inline_image_pdf())
     assert text == "before image\nafter image"
+
+
+# ── round-3: empty-user-password decryption ───────────────────────────────────
+
+
+def test_aes_fips197_vectors_both_directions():
+    """The block cipher is pinned to FIPS-197 appendix C.1 so the kernel
+    and the fixture writer cannot share a hidden cipher bug."""
+    from pdf_to_text_spark.kernels.crypto import (
+        aes128_decrypt_block,
+        aes128_encrypt_block,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert aes128_encrypt_block(key, pt) == ct
+    assert aes128_decrypt_block(key, ct) == pt
+
+
+def test_rc4_known_vectors():
+    from pdf_to_text_spark.kernels.crypto import rc4
+
+    assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert rc4(b"Secret", b"Attack at dawn").hex().upper() == (
+        "45A01F645FC35B383552544B9BF5"
+    )
+    # symmetric
+    assert rc4(b"k", rc4(b"k", b"round trip")) == b"round trip"
+
+
+def test_password_protected_stays_encrypted_status():
+    """A real user password must still raise PDFEncryptedError (distinct
+    'encrypted' row status), never return garbage text."""
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(FIXTURES["encrypted_password"]())
+
+
+def test_encrypted_string_objects_decrypt():
+    """Document-level strings (not just streams) go through the
+    per-object key — pinned via an /Info-style dict object."""
+    from pdf_to_text_spark.kernels import crypto
+    from pdf_to_text_spark.kernels.pdf import PDFDocument, _Ref
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    pdf = build_encrypted_pdf(
+        [content_stream_for_lines(["body"])], method="rc4_128"
+    )
+    # splice an encrypted-string object 7 plus an updated xref... simpler:
+    # encrypt a string with the writer's derivation and check the document
+    # side decrypts it identically through resolve()
+    doc = PDFDocument(pdf)
+    key = doc._crypt.key
+    secret = b"a document title"
+    wire = crypto.rc4(crypto.object_key(key, 7, 0, aes=False), secret)
+    assert doc._crypt.decrypt_string(7, 0, wire) == secret
+
+
+def test_wrong_u_entry_rejected():
+    """A tampered /U must fail password verification, not decrypt to
+    mojibake with status ok."""
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    good = build_encrypted_pdf([content_stream_for_lines(["x"])], method="rc4_128")
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", good)
+    u = bytearray.fromhex(m.group(1).decode())
+    u[0] ^= 0xFF
+    bad = good[: m.start(1)] + u.hex().encode() + good[m.end(1):]
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(bad)

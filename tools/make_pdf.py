@@ -400,6 +400,100 @@ def type0_identity_h_pdf() -> bytes:
     return build_pdf([stream], font_obj=font, extra_objects=(tu_obj,))
 
 
+def build_encrypted_pdf(
+    page_streams: list[bytes],
+    *,
+    method: str = "rc4_128",
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"",
+    compress: bool = False,
+) -> bytes:
+    """Assemble a standard-security encrypted PDF (§7.6.3).
+
+    Methods: 'rc4_40' (V1 R2), 'rc4_128' (V2 R3 /Length 128),
+    'aes_128' (V4 R4 /StdCF /AESV2). Stream payloads are encrypted with
+    the per-object key; the /Encrypt dict itself is, per spec, not.
+    IVs and the file /ID are deterministic (content-independent hashes)
+    so fixtures are byte-stable."""
+    import hashlib
+
+    from pdf_to_text_spark.kernels import crypto
+
+    v, r, bits = {
+        "rc4_40": (1, 2, 40),
+        "rc4_128": (2, 3, 128),
+        "aes_128": (4, 4, 128),
+    }[method]
+    p = -44  # print+copy denied bits clear; the verifier only hashes it
+    id0 = hashlib.md5(b"spark-graft-fixture-id:" + method.encode()).digest()
+    o = crypto.compute_o(owner_pw, user_pw, r, bits)
+    key = crypto.file_key(user_pw, o, p, id0, r, bits)
+    u = crypto.compute_u(key, id0, r)
+
+    def enc(num: int, data: bytes) -> bytes:
+        okey = crypto.object_key(key, num, 0, aes=(v == 4))
+        if v == 4:
+            iv = hashlib.md5(b"fixture-iv:%d" % num).digest()
+            return crypto.aes128_cbc_encrypt(okey, iv, data)
+        return crypto.rc4(okey, data)
+
+    n_pages = len(page_streams)
+    page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages,
+        DEFAULT_FONT_OBJ,
+    ]
+    for i, stream in enumerate(page_streams):
+        contents_num = page_obj_nums[i] + 1
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % contents_num
+        )
+        data = zlib.compress(stream) if compress else stream
+        data = enc(contents_num, data)
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objects.append(
+            b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
+        )
+    enc_num = len(objects) + 1
+    if v == 4:
+        extra = (
+            b"/Length %d /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF " % bits
+        )
+    elif v == 2:
+        extra = b"/Length %d " % bits
+    else:
+        extra = b""
+    objects.append(
+        b"<< /Filter /Standard /V %d /R %d " % (v, r) + extra
+        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        + b"/P %d >>" % p
+    )
+    trailer_extra = (
+        b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (enc_num, id0.hex().encode(), id0.hex().encode())
+    )
+
+    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_pos = len(buf)
+    n_objs = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R " % n_objs + trailer_extra
+        + b">>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    )
+    return bytes(buf)
+
+
 def encrypted_pdf() -> bytes:
     """Valid structure + /Encrypt in the trailer → PDFEncryptedError
     ('encrypted' row status), never a confusing downstream failure."""
@@ -594,6 +688,23 @@ FIXTURES = {
     "tounicode_cmap": tounicode_pdf,
     "type0_identity_h": type0_identity_h_pdf,
     "encrypted": encrypted_pdf,
+    # ── round-3: empty-user-password decryption (pdfjs parity) ──────────
+    "encrypted_rc4_40": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["rc4 forty bit secret", "line two ok"])],
+        method="rc4_40",
+    ),
+    "encrypted_rc4_128": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["rc4 one two eight", "café ± señor"])],
+        method="rc4_128", compress=True,
+    ),
+    "encrypted_aes_128": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["aes cbc secret text", "block aligned? no"])],
+        method="aes_128", compress=True,
+    ),
+    "encrypted_password": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["truly locked away"])],
+        method="rc4_128", user_pw=b"hunter2",
+    ),
 }
 
 
