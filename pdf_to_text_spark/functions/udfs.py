@@ -21,7 +21,12 @@ from pyspark.sql import types as T
 from ..config import ARROW_MAX_BATCH_BYTES
 from ..kernels.blocks import parse_records, segment_blocks
 from ..kernels.html import HTMLParseFailed, extract_html_text
-from ..kernels.pdf import PDFEncryptedError, PDFParseError, extract_pdf_text
+from ..kernels.pdf import (
+    PDFEncryptedError,
+    PDFParseError,
+    PDFUnsupportedCMapError,
+    extract_pdf_text,
+)
 
 # ── content-type dispatch (FIXTURES.md §1 derived column) ───────────────────
 
@@ -51,7 +56,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType()),
         T.StructField("n_chars", T.LongType()),
         T.StructField("parse_status", T.StringType()),
-        # ok|passthrough|empty|encrypted|parse_failed
+        # ok|passthrough|empty|encrypted|unsupported_cmap|parse_failed
         T.StructField("parse_failed", T.IntegerType()),
     ]
 )
@@ -77,6 +82,11 @@ def _extract_one(html, text, is_pdf: bool) -> tuple[str, int, str, int]:
         # (reference pdfjs would prompt for a password; batch jobs route
         # these rows to a re-crawl/decrypt queue, not the failure bucket)
         return "", 0, "encrypted", 1
+    except PDFUnsupportedCMapError:
+        # distinct status: the remaining CJK gap (predefined CID CMaps
+        # without ToUnicode) stays countable instead of folding into
+        # parse_failed — kernels/pdf.py module docstring
+        return "", 0, "unsupported_cmap", 1
     except (PDFParseError, HTMLParseFailed):
         return "", 0, "parse_failed", 1
     except Exception:  # defensive: never kill the task

@@ -57,6 +57,7 @@ import zlib
 __all__ = [
     "PDFParseError",
     "PDFEncryptedError",
+    "PDFUnsupportedCMapError",
     "extract_pdf_text",
     "PDFDocument",
 ]
@@ -67,6 +68,14 @@ _DELIMS = b"()<>[]{}/%"
 
 class PDFParseError(Exception):
     """Raised on any structural problem in the PDF byte stream."""
+
+
+class PDFUnsupportedCMapError(PDFParseError):
+    """Text was shown through a predefined CID CMap (e.g. UniGB-UCS2-H)
+    with no embedded /ToUnicode — out of contract (module docstring), but
+    COUNTABLE: callers surface a distinct 'unsupported_cmap' row status
+    instead of folding the remaining CJK gap into 'parse_failed'. Raised
+    lazily, only when a show op actually uses such a font."""
 
 
 class PDFEncryptedError(PDFParseError):
@@ -1010,7 +1019,15 @@ class PDFDocument:
             if is_type0:
                 # Type0/Identity-H: show strings are 2-byte CIDs; decode
                 # pairwise through the wide ToUnicode map (unmapped → �,
-                # which is honest — latin-1 on CID bytes is mojibake)
+                # which is honest — latin-1 on CID bytes is mojibake).
+                # A PREDEFINED non-Identity CMap with no ToUnicode cannot
+                # be decoded at all: mark the font so a show op through
+                # it raises the countable unsupported_cmap status.
+                if not wide and isinstance(enc, _Name) and str(enc) not in (
+                    "Identity-H", "Identity-V",
+                ):
+                    out[str(fname)] = _UnsupportedCMap(str(enc))
+                    continue
                 out[str(fname)] = _WideMap(wide)
                 continue
             m.update(narrow)  # ToUnicode wins over Differences (pdfjs order)
@@ -1286,6 +1303,16 @@ class _WideMap(dict):
     extractor consumes show-string bytes pairwise when it sees one."""
 
 
+class _UnsupportedCMap:
+    """Sentinel font map: a show op through it raises (lazily, so a doc
+    merely EMBEDDING such a font without using it still extracts)."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
 def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], dict[int, str]]:
     """bfchar/bfrange sections of a /ToUnicode CMap → (narrow, wide):
     1-byte source codes land in `narrow`, 2-byte codes (CID fonts) in
@@ -1420,6 +1447,11 @@ def _extract_page_text(
         if cur_map is None:
             return b.decode("latin-1")
         m = cur_map
+        if type(m) is _UnsupportedCMap:
+            raise PDFUnsupportedCMapError(
+                f"text shown through predefined CID CMap /{m.name} "
+                "without ToUnicode"
+            )
         if type(m) is _WideMap:  # Type0: consume 2-byte CIDs
             return "".join(
                 m.get((b[i] << 8) | b[i + 1], "�")

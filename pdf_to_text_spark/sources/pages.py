@@ -61,6 +61,12 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             from tools.make_pdf import encrypted_pdf
 
             return url, ts, encrypted_pdf(), None, lang
+        if i % 270 == 111:
+            # ~0.4% CJK PDFs with a predefined CID CMap and no ToUnicode →
+            # distinct countable 'unsupported_cmap' status
+            from tools.make_pdf import predefined_cmap_pdf
+
+            return url, ts, predefined_cmap_pdf(used=True), None, lang
         if i % 90 == 39:
             # ~1% standard-security PDFs with an EMPTY user password —
             # the kernel decrypts these transparently (status 'ok')

@@ -15,7 +15,9 @@ GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in FIXTURES if n not in ("corrupt", "encrypted", "encrypted_password")]
+    "name",
+    [n for n in FIXTURES
+     if n not in ("corrupt", "encrypted", "encrypted_password", "unsupported_cmap")]
 )
 def test_golden_parity(name):
     """Writer output re-parsed must match the committed golden byte-for-byte."""
@@ -457,3 +459,16 @@ def test_wrong_u_entry_rejected():
     bad = good[: m.start(1)] + u.hex().encode() + good[m.end(1):]
     with pytest.raises(PDFEncryptedError):
         extract_pdf_text(bad)
+
+
+def test_predefined_cmap_distinct_status_lazy():
+    """A predefined CID CMap without ToUnicode raises the countable
+    PDFUnsupportedCMapError — but only when text actually uses the font;
+    an unused embedding still extracts (empty page here)."""
+    from pdf_to_text_spark.kernels.pdf import PDFUnsupportedCMapError
+    from tools.make_pdf import predefined_cmap_pdf
+
+    with pytest.raises(PDFUnsupportedCMapError):
+        extract_pdf_text(predefined_cmap_pdf(used=True))
+    text, n = extract_pdf_text(predefined_cmap_pdf(used=False))
+    assert (text, n) == ("", 1)

@@ -494,6 +494,25 @@ def build_encrypted_pdf(
     return bytes(buf)
 
 
+def predefined_cmap_pdf(*, used: bool = True) -> bytes:
+    """Type0 font with a PREDEFINED CID CMap (/UniGB-UCS2-H) and no
+    /ToUnicode. With `used`, a show op goes through it → the kernel's
+    distinct unsupported_cmap status; without, the font is merely
+    embedded and the document must still extract."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+        b"/Encoding /UniGB-UCS2-H /DescendantFonts "
+        b"[<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        b"/Supplement 2 >> >>] >>"
+    )
+    if used:
+        stream = b"BT /F1 12 Tf 72 720 Td <4F60597D> Tj ET"
+    else:
+        stream = b"BT /F1 12 Tf 72 720 Td ET"
+    return build_pdf([stream], font_obj=font)
+
+
 def encrypted_pdf() -> bytes:
     """Valid structure + /Encrypt in the trailer → PDFEncryptedError
     ('encrypted' row status), never a confusing downstream failure."""
@@ -705,6 +724,7 @@ FIXTURES = {
         [content_stream_for_lines(["truly locked away"])],
         method="rc4_128", user_pw=b"hunter2",
     ),
+    "unsupported_cmap": predefined_cmap_pdf,
 }
 
 
