@@ -281,3 +281,44 @@ def test_lsh_topk_recall_vs_brute_force(embeddings):
     labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
     for qid, vid in b:
         assert labels[vid] == labels[qid]
+
+
+def test_hot_bucket_cap_bounds_pair_space(spark):
+    """A crafted corpus of 10k docs falling in ONE band bucket per band
+    must complete with a BOUNDED pair count under the cap (the 100 TB
+    LSH-skew guard), and the stats relation makes the drop visible —
+    no silent caps."""
+    n = 10_000
+    # identical text → identical signature → every band bucket holds all n
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    sigs = dedup.minhash_signatures(rows)
+    capped = dedup.minhash_candidate_pairs(sigs, max_bucket=1000)
+    assert capped.count() == 0  # every bucket oversized → all dropped
+    stats = dedup.minhash_band_bucket_stats(sigs, max_bucket=1000).collect()[0]
+    assert stats["n_buckets"] == 16          # 16 bands, one bucket each
+    assert stats["oversized_buckets"] == 16  # the drop is countable
+    assert stats["max_bucket_size"] == n
+    assert stats["dropped_rows"] == 16 * n
+
+
+def test_hot_bucket_cap_default_keeps_normal_buckets(docs):
+    """At normal bucket sizes the cap is a no-op: same pairs with and
+    without an explicit generous cap."""
+    base = {(r["doc_a"], r["doc_b"]) for r in
+            dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    loose = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_dedup_pairs(docs, threshold=0.5,
+                                       max_bucket=10**9).collect()}
+    assert base == loose and (0, 1) in base
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Same guard on the simhash pigeonhole join."""
+    rows = spark.range(3000).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    assert dedup.simhash_near_pairs(rows, max_bucket=500).count() == 0
+    stats = dedup.simhash_band_bucket_stats(rows, max_bucket=500).collect()[0]
+    assert stats["oversized_buckets"] == 4 and stats["max_bucket_size"] == 3000
