@@ -264,9 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.lsh_topk(e, similarity.queries_from_corpus(e, 8), dim=64, k=5)
 
     def q_knn_ivf(spark, sf):
+        # sample_pct=50: the gate exercises the SAMPLED train path (the
+        # 100 TB design — k-means never scans the full corpus per iter)
         e = _emb(spark, sf)
         return similarity.ivf_topk(
-            e, similarity.queries_from_corpus(e, 8), dim=64, k=5, n_cells=8, n_probe=3
+            e, similarity.queries_from_corpus(e, 8), dim=64, k=5, n_cells=8,
+            n_probe=3, sample_pct=50,
         )
 
     def q_point_lookup(spark, sf):
@@ -974,7 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=8),
         "knn_lsh": _ov.knn_lsh_oracle(_ov.oracle_sf_dir(), n_queries=8, dim=64, k=5),
         "knn_ivf": _ov.knn_ivf_oracle(
-            _ov.oracle_sf_dir(), n_queries=8, dim=64, k=5, n_cells=8, n_probe=3
+            _ov.oracle_sf_dir(), n_queries=8, dim=64, k=5, n_cells=8, n_probe=3,
+            sample_pct=50,
         ),
         "embedding_near_pairs": _ov.embedding_near_pairs_oracle(
             _ov.oracle_sf_dir(), threshold=0.3, dim=64

@@ -322,3 +322,23 @@ def test_simhash_hot_bucket_cap(spark):
     assert dedup.simhash_near_pairs(rows, max_bucket=500).count() == 0
     stats = dedup.simhash_band_bucket_stats(rows, max_bucket=500).collect()[0]
     assert stats["oversized_buckets"] == 4 and stats["max_bucket_size"] == 3000
+
+
+def test_ivf_sampled_training_recall_and_prebuilt_index(embeddings):
+    """Sampled k-means training (the 100 TB path) must keep the recall
+    gate, and a prebuilt index must serve identical results without
+    retraining."""
+    q = similarity.queries_from_corpus(embeddings, 4)
+    brute = {(r["query_id"], r["vec_id"]) for r in
+             similarity.brute_force_topk(embeddings, q, k=5).collect()}
+    index = similarity.ivf_train(embeddings, dim=16, n_cells=8, sample_pct=50)
+    served = similarity.ivf_topk(
+        embeddings, q, dim=16, k=5, n_cells=8, n_probe=3, index=index
+    )
+    a = {(r["query_id"], r["vec_id"]) for r in served.collect()}
+    assert len(a & brute) / len(brute) >= 0.8
+    # prebuilt index == inline sampled training, bit-identically
+    inline = similarity.ivf_topk(
+        embeddings, q, dim=16, k=5, n_cells=8, n_probe=3, sample_pct=50
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))

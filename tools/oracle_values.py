@@ -602,16 +602,30 @@ def _assign_one(v: tuple[float, ...], centroids) -> int:
     return best
 
 
+def _md5_bucket(key, buckets: int = 100) -> int:
+    """Replicates text_analysis.md5_bucket: first 4 md5 hex digits of
+    str(key), mod buckets."""
+    import hashlib
+
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16) % buckets
+
+
 @functools.lru_cache(maxsize=4)
 def _ivf_centroids_and_cells(
-    sf: str, dim: int, n_cells: int, n_iters: int = 5
+    sf: str, dim: int, n_cells: int, n_iters: int = 5,
+    sample_pct: int | None = None,
 ):
     """Replays similarity.ivf_train's Lloyd recursion exactly: same seed,
-    same float64 assignment math, decimal (exact) per-cell sums."""
+    same float64 assignment math, decimal (exact) per-cell sums; with
+    sample_pct, training sees only the md5-bucket sample (the final
+    assignment stays full-corpus), mirroring the sampled train path."""
     import numpy as np
 
     emb = _read_emb(sf)
-    vecs = [v for _id, v in emb]
+    vecs = [
+        v for _id, v in emb
+        if sample_pct is None or _md5_bucket(_id) < sample_pct
+    ]
     rng = np.random.RandomState(0xCE11)
     centroids = rng.standard_normal((n_cells, dim))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -637,8 +651,8 @@ def _ivf_centroids_and_cells(
                     new[c] = vec / norm
         centroids = new
 
-    cells = [_assign_one(v, centroids) for v in vecs]
-    return centroids, {emb[i][0]: cells[i] for i in range(len(emb))}
+    # final assignment is always full-corpus, regardless of the train sample
+    return centroids, {_id: _assign_one(v, centroids) for _id, v in emb}
 
 
 @functools.lru_cache(maxsize=4)
@@ -649,11 +663,12 @@ def knn_ivf_oracle(
     k: int = 5,
     n_cells: int = 8,
     n_probe: int = 3,
+    sample_pct: int | None = None,
 ) -> str:
     import numpy as np
 
     emb_by_id = dict(_read_emb(sf))
-    C, cell_by_id = _ivf_centroids_and_cells(sf, dim, n_cells)
+    C, cell_by_id = _ivf_centroids_and_cells(sf, dim, n_cells, sample_pct=sample_pct)
     qids = sorted(emb_by_id)[:n_queries]
     # probe selection replicates ivf_topk.probes: one (n_queries, dim)
     # matrix against C.T, argsort descending — queries_from_corpus is a
