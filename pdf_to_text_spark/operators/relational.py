@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -239,7 +240,15 @@ def as_of_join(
     so results are deterministic under equal timestamps — it must exist
     on BOTH sides (a right side without it would have no order among
     equal-(key, ts) rows and the attached value would be
-    partitioning-dependent). Appended columns are named asof_<col>."""
+    partitioning-dependent). Appended columns are named asof_<col>.
+
+    NULL contract (ADVICE r2 #3): the fill carries ONE struct of all
+    value columns, so a right row whose value column is genuinely NULL
+    still wins as "the most recent right row" (its NULL is attached —
+    per-column ignore-nulls would silently substitute an older value).
+    Right rows with a NULL timestamp have no position on the as-of axis
+    and are dropped; left rows with a NULL timestamp get NULL asof
+    values (Spark sorts nulls first → nothing precedes them)."""
     for side, df in (("left", left), ("right", right)):
         if order_tiebreak not in df.columns:
             raise ValueError(
@@ -247,14 +256,21 @@ def as_of_join(
                 f"{side} columns {df.columns} — determinism under timestamp "
                 "ties requires a total order on both sides"
             )
-    l_tag = left.withColumn("_side", F.lit(1)).withColumns(
-        {f"asof_{c}": F.lit(None).cast(right.schema[c].dataType) for c in value_cols}
+    val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_asof_v",
+        F.lit(None).cast(
+            T.StructType([
+                T.StructField(c, right.schema[c].dataType) for c in value_cols
+            ])
+        ),
     )
     r_cols = [*keys, ts_col, order_tiebreak]
-    r_tag = right.select(
-        *r_cols,
-        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
-    ).withColumn("_side", F.lit(0))
+    r_tag = (
+        right.where(F.col(ts_col).isNotNull())
+        .select(*r_cols, val_struct.alias("_asof_v"))
+        .withColumn("_side", F.lit(0))
+    )
     for c in l_tag.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
@@ -265,18 +281,14 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_asof_v", ignorenulls=True).over(w).alias("_f")
     )
     out_cols = [c for c in left.columns] + [f"asof_{c}" for c in value_cols]
     return (
         filled.where(F.col("_side") == 1)
         .select(
             *[c for c in left.columns],
-            *[F.col(f"_f_{c}").alias(f"asof_{c}") for c in value_cols],
+            *[F.col("_f")[c].alias(f"asof_{c}") for c in value_cols],
         )
         .select(*out_cols)
     )

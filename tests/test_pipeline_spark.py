@@ -265,3 +265,27 @@ def test_local1_equals_local4(spark, pages):
     )
     assert ha.count() == 0
     assert a.count() == b.count()
+
+
+def test_as_of_join_null_contract(spark):
+    """ADVICE r2 #3: a right row whose VALUE is genuinely NULL must win
+    as 'the most recent right row' (attach NULL, not an older value);
+    right rows with NULL ts are dropped from the axis; left rows with
+    NULL ts get NULL asof values."""
+    from pdf_to_text_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, None, 102)],
+        "user_id int, ts int, event_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 900, 7.0), (1, 15, 901, None), (1, None, 902, 99.0)],
+        "user_id int, ts int, event_id int, pv double",
+    )
+    out = {r["event_id"]: r["asof_pv"] for r in as_of_join(
+        left, right, keys=["user_id"], ts_col="ts", value_cols=["pv"],
+        order_tiebreak="event_id",
+    ).collect()}
+    assert out[100] == 7.0      # most recent at ts<=10 is ts=5
+    assert out[101] is None     # ts=15 row IS most recent; its NULL attaches
+    assert out[102] is None     # NULL-ts left row: nothing precedes it
