@@ -114,24 +114,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_set_ops(spark, sf):
         return relational.set_ops_demo(_docs(spark, sf))
 
-    def q_corpus_sketches(spark, sf):
+    def q_corpus_stats(spark, sf):
+        # round 3: corpus_sketches ∪ corpus_percentiles, ONE grouped pass
         from pdf_to_text_spark.operators import sketches
 
-        # project the engine-portable subset: percentile_approx(10000) is
-        # exact below 10k rows/group (matches DuckDB quantile_disc), and the
-        # moment stats come from exact integer sums. The HLL columns
-        # (approx_sources/approx_docs) stay in the operator + pytest — HLL
-        # estimates are ±rsd of exact, so no SQL oracle can pin them.
-        sk = sketches.corpus_sketches(_docs(spark, sf))
-        return sk.select(
-            "lang", "docs", "p50_approx", "p90_approx", "p99_approx",
-            "avg_chars", "std_chars",
+        return sketches.corpus_stats(_docs(spark, sf))
+
+    def q_extraction_status_metrics(spark, sf):
+        """metrics_rollup's driver-checkable face: status-level rollup of
+        the 120-row extraction (docs/pages/chars/failures per status —
+        the bucket/task axes are runtime-shaped, status is stable)."""
+        _ensure_shipped(spark)
+        ex = extraction.run_extraction(pages_df(spark, 120, num_partitions=4))
+        return ex.groupBy("parse_status").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("n_pages").cast("long")).alias("pages"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
         )
-
-    def q_corpus_percentiles(spark, sf):
-        from pdf_to_text_spark.operators import sketches
-
-        return sketches.corpus_percentiles(_docs(spark, sf))
 
     def q_sessionize_events(spark, sf):
         return relational.sessionize_events(_t(spark, sf, "events"))
@@ -155,10 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_analysis.token_counts(_docs(spark, sf))
 
     def q_quality_stats(spark, sf):
-        return text_analysis.quality_stats(_docs(spark, sf))
-
-    def q_quality_score(spark, sf):
-        return text_analysis.quality_score(_docs(spark, sf))
+        # round 3: stats + the composite score, one scan (was two queries)
+        return text_analysis.quality_profile(_docs(spark, sf))
 
     def q_language_id(spark, sf):
         return text_analysis.language_id(_docs(spark, sf))
@@ -421,6 +419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extraction_pdf_e2e": q_extraction_pdf_e2e,
+        "extraction_status_metrics": q_extraction_status_metrics,
+        # streaming queries sit early on purpose: the driver records at
+        # most ~50 rows and round 2 lost the then-51st (last) entry
+        "streaming_minute_metrics": q_streaming_minute_metrics,
+        "streaming_dedup_by_url": q_streaming_dedup_by_url,
         "pricing_summary": q_pricing_summary,
         "top_nation_revenue": q_top_nation_revenue,
         "latest_event_per_user": q_latest_event_per_user,
@@ -431,8 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_rollup": q_lang_source_rollup,
         "lang_pivot": q_lang_pivot,
         "set_ops": q_set_ops,
-        "corpus_sketches": q_corpus_sketches,
-        "corpus_percentiles": q_corpus_percentiles,
+        "corpus_stats": q_corpus_stats,
         "sessionize_events": q_sessionize_events,
         "events_asof_last_purchase": q_events_asof_last_purchase,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -440,7 +442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_value_order_lines": q_high_value_order_lines,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
-        "quality_score": q_quality_score,
         "language_id": q_language_id,
         "text_profile": q_text_profile,
         "redact_pii": q_redact_pii,
@@ -468,8 +469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "llm_record_ingest": q_llm_record_ingest,
         "csv_serialization": q_csv_serialization,
-        "streaming_minute_metrics": q_streaming_minute_metrics,
-        "streaming_dedup_by_url": q_streaming_dedup_by_url,
     }
 
 
@@ -588,33 +587,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'long_and_en' AS tag
             FROM (SELECT doc_id FROM long_docs INTERSECT ALL SELECT doc_id FROM en_docs)
         """,
-        "corpus_sketches": """
+        "corpus_stats": """
             -- percentile_approx(accuracy=10000) is exact for <10k rows per
             -- group == quantile_disc; avg/std mirror the exact-bigint-sum +
-            -- floor-scaling arithmetic op for op (identical IEEE doubles)
+            -- floor-scaling arithmetic op for op (identical IEEE doubles);
+            -- p50/p90/p99 are the exact interpolated percentiles
             WITH s AS (
               SELECT lang, count(*) AS docs,
                      quantile_disc(n_chars, 0.5) AS p50_approx,
                      quantile_disc(n_chars, 0.9) AS p90_approx,
                      quantile_disc(n_chars, 0.99) AS p99_approx,
+                     round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                     round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                     round(quantile_cont(n_chars, 0.99), 4) AS p99,
+                     min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                      sum(n_chars::bigint) AS s1,
                      sum((n_chars * n_chars)::bigint) AS s2
               FROM documents GROUP BY lang)
             SELECT lang, docs, p50_approx, p90_approx, p99_approx,
+                   p50, p90, p99, min_chars, max_chars,
                    floor((s1::double / docs::double) * 100) / 100 AS avg_chars,
                    floor(sqrt(greatest(
                      s2::double / docs::double
                        - (s1::double / docs::double) * (s1::double / docs::double),
                      0.0)) * 100) / 100 AS std_chars
             FROM s
-        """,
-        "corpus_percentiles": """
-            SELECT lang, count(*) AS docs,
-                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
-                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
-                   round(quantile_cont(n_chars, 0.99), 4) AS p99,
-                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
-            FROM documents GROUP BY lang
         """,
         "sessionize_events": """
             WITH flagged AS (
@@ -697,24 +694,17 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                        w -> list_contains({_STOPWORDS_SQL}, w)))::int AS stop_hits,
                    list_max(list_transform(string_split_regex(lower(trim(text)), '\s+'),
-                       w -> len(w)))::int AS max_word_len
+                       w -> len(w)))::int AS max_word_len,
+                   floor((0.4 * least(len(string_split_regex(lower(trim(text)), '\s+')) / 50.0, 1.0)
+                       + 0.3 * (len(regexp_extract_all(text, '[A-Za-z]'))
+                           / greatest(1, len(regexp_extract_all(text, '[A-Za-z]'))
+                               + len(regexp_extract_all(text, '[0-9]'))
+                               + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))))
+                       + 0.3 * least(5.0 * len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           w -> list_contains({_STOPWORDS_SQL}, w)))
+                           / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 1.0))
+                       * 10000) / 10000 AS quality
             FROM documents
-        """,
-        "quality_score": rf"""
-            WITH s AS (
-              SELECT doc_id,
-                     len(string_split_regex(lower(trim(text)), '\s+')) AS words,
-                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
-                     len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
-                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_chars,
-                     len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                         w -> list_contains({_STOPWORDS_SQL}, w))) AS stop_hits
-              FROM documents)
-            SELECT doc_id, words::int AS words,
-                   floor((0.4 * least(words / 50.0, 1.0)
-                       + 0.3 * (alpha_chars / greatest(1, alpha_chars + digit_chars + punct_chars))
-                       + 0.3 * least(5.0 * stop_hits / greatest(words, 1), 1.0)) * 10000) / 10000 AS quality
-            FROM s
         """,
         "language_id": f"""
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
@@ -961,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         # with the SAME deterministic kernels and pinned as a VALUES table
         # (tools/oracle_values.py documents why each replication is exact).
         "extraction_pdf_e2e": _ov.extraction_e2e_oracle(120),
+        "extraction_status_metrics": _ov.extraction_status_metrics_oracle(120),
         "winnow_fingerprints": _ov.winnow_oracle(_ov.oracle_sf_dir()),
         "media_features": _ov.media_oracle(60),
         "image_resize": _ov.image_resize_oracle(60),

@@ -67,3 +67,40 @@ def corpus_percentiles(documents: DataFrame) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """corpus_sketches ∪ corpus_percentiles in ONE grouped pass — the
+    driver-facing merge (round 3): approx sketches, exact moment stats,
+    exact interpolated percentiles, and min/max, all from a single
+    (lang)-keyed aggregation with map-side partials. Scalar columns
+    only; same floor-scaling / exact-int-sum rationale as
+    corpus_sketches."""
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("n_chars").cast("long"))
+    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("long"))
+    agg = documents.groupBy("lang").agg(
+        n.alias("docs"),
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("_p"),
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("_pe"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("docs").cast("double")
+    var = F.col("_s2").cast("double") / F.col("docs").cast("double") - mean * mean
+    return agg.select(
+        "lang",
+        "docs",
+        F.element_at("_p", 1).alias("p50_approx"),
+        F.element_at("_p", 2).alias("p90_approx"),
+        F.element_at("_p", 3).alias("p99_approx"),
+        F.round(F.element_at("_pe", 1), 4).alias("p50"),
+        F.round(F.element_at("_pe", 2), 4).alias("p90"),
+        F.round(F.element_at("_pe", 3), 4).alias("p99"),
+        "min_chars",
+        "max_chars",
+        (F.floor(mean * 100) / 100).alias("avg_chars"),
+        (F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * 100) / 100).alias("std_chars"),
+    )

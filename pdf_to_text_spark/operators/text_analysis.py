@@ -340,3 +340,20 @@ def winnow_fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         winnow_udf(F.col("text")).alias("winnow"),
     ).select("doc_id", F.size("winnow").alias("n_grams"), "winnow")
+
+
+def quality_profile(documents: DataFrame) -> DataFrame:
+    """quality_stats + the composite quality score in one projection
+    (one scan, zero joins) — the driver-facing merge of quality_stats
+    and quality_score (round 3)."""
+    s = quality_stats(documents)
+    return s.select(
+        "*",
+        _quality_expr(
+            F.col("words"),
+            F.col("alpha_chars"),
+            F.col("digit_chars"),
+            F.col("punct_chars"),
+            F.col("stop_hits"),
+        ).alias("quality"),
+    )

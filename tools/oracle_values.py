@@ -262,6 +262,46 @@ def extraction_e2e_oracle(n: int = 120) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def extraction_status_metrics_oracle(n: int = 120) -> str:
+    """Status-level metrics rollup over the same replayed extraction as
+    extraction_e2e_oracle — the driver-checkable face of metrics_rollup
+    (north_rule: per-partition lineage + metrics; the bucket/task axes
+    are runtime-shaped, the status axis is oracle-stable)."""
+    from pdf_to_text_spark.functions.udfs import _extract_one
+    from pdf_to_text_spark.sources.pages import build_pages_pdf
+
+    pdf = build_pages_pdf(list(range(n)))
+    latest: dict[str, tuple] = {}
+    for url, ts, html, text, _lang in pdf.itertuples(index=False, name=None):
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html, text)
+    agg: dict[str, list[int]] = {}
+    for url, (_ts, html, text) in latest.items():
+        is_pdf = bool(
+            url.endswith(".pdf") and html is not None and bytes(html[:5]) == b"%PDF-"
+        )
+        out, n_pages, status, failed = _extract_one(html, text, is_pdf)
+        a = agg.setdefault(status, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_pages
+        a[2] += len(out)
+        a[3] += failed
+    rows = [
+        (status, a[0], a[1], a[2], a[3]) for status, a in sorted(agg.items())
+    ]
+    return values_sql(
+        [
+            ("parse_status", "VARCHAR"),
+            ("docs", "BIGINT"),
+            ("pages", "BIGINT"),
+            ("chars", "BIGINT"),
+            ("parse_failures", "BIGINT"),
+        ],
+        rows,
+    )
+
+
 # ── streaming queries (same kernels, replayed over the synthetic feed) ──────
 
 
