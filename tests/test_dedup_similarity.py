@@ -342,3 +342,18 @@ def test_ivf_sampled_training_recall_and_prebuilt_index(embeddings):
         embeddings, q, dim=16, k=5, n_cells=8, n_probe=3, sample_pct=50
     )
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_kernel_minhash_estimates_track_spark_exact_jaccard(docs):
+    """Independent-oracle cross-check (VERDICT r2 #7): the Arrow/numpy
+    minhash estimate must track the EXACT 5-gram Jaccard computed by the
+    pure-JVM shingle-join operator — two unrelated implementations, and
+    ngram_jaccard_pairs is itself DuckDB-oracled, so a shared
+    kernel/oracle bug cannot pass silently."""
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+           dedup.minhash_dedup_pairs(docs, threshold=0.35).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.0).collect()}
+    assert (0, 1) in est and (0, 4) in est
+    for p, e in est.items():
+        assert abs(e - exact.get(p, 0.0)) <= 0.2, (p, e, exact.get(p))  # 64 perms ≈ 3σ
