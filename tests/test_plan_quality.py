@@ -164,3 +164,22 @@ def test_relational_agg_plan_shape(spark):
     assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
     assert "partial_sum" in plan  # map-side combine before the exchange
     assert plan.index("partial_sum") < plan.index("hashpartitioning")
+
+
+def test_merged_profile_queries_stay_single_pass(spark):
+    """The round-3 merged driver queries must keep the one-pass shapes
+    they were merged FOR: corpus_stats = one scan + one keyed Exchange
+    (the groupBy), quality_stats(+score) = map-only, zero Exchange."""
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "en", "s0", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pdf_to_text_spark.operators.sketches import corpus_stats
+    from pdf_to_text_spark.operators.text_analysis import quality_profile
+
+    cs = corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert cs.count("Exchange") == 1 and "Join" not in cs
+    qp = quality_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in qp and "Join" not in qp
