@@ -1368,9 +1368,9 @@ def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], dict[int, str]]:
 # the slow path falls back to the exact _Lexer parser, so semantics are
 # byte-identical to the reference rules either way.
 _CTOK_RE = re.compile(
-    rb"""[\x00\t\n\x0c\r ]+            # whitespace
-      | %[^\r\n]*                      # comment
-      | (?P<str>\((?:[^()\\]|\\.)*\))  # literal string, no nested parens
+    rb"""(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+  # ws/comments folded into every
+                                       # token (halves hot-loop iterations)
+    (?: (?P<str>\((?:[^()\\]|\\.)*\))  # literal string, no nested parens
       | (?P<strop>\()                  # literal string needing full parse
       | <<                             # dict open (operand soup; skipped)
       | >>
@@ -1381,8 +1381,15 @@ _CTOK_RE = re.compile(
       | (?P<brace>[{}])                # PostScript-calculator braces (type-4
                                        # function bodies): explicit no-op
       | (?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
+    )?
     """,
     re.VERBOSE,
+)
+
+# group indices for the int-dispatch hot loop in _extract_page_text
+_CTOK_GI = tuple(
+    _CTOK_RE.groupindex[g]
+    for g in ("str", "strop", "hex", "arro", "arrc", "name", "num", "brace", "op")
 )
 
 # inline-image payload terminator (§8.9.7): EI preceded by whitespace and
@@ -1467,29 +1474,42 @@ def _extract_page_text(
 
     n = len(content)
     pos = 0
+    # hot loop: int dispatch on m.lastindex (group numbers, see _CTOK_GI)
+    # instead of string-comparing m.lastgroup — one C-level match + one
+    # int compare chain per token, ordered by token frequency
+    match = _CTOK_RE.match
+    GI_STR, GI_STROP, GI_HEX, GI_ARRO, GI_ARRC, GI_NAME, GI_NUM, GI_BRACE, GI_OP = _CTOK_GI
     while pos < n:
-        m = _CTOK_RE.match(content, pos)
-        if m is None:  # stray delimiter ({, }) — skip one byte
+        m = match(content, pos)
+        end = m.end()
+        if end == pos:  # stray delimiter the grammar rejects — skip one byte
             pos += 1
             continue
-        pos = m.end()
-        lastgroup = m.lastgroup
-        if lastgroup is None:
+        pos = end
+        gi = m.lastindex
+        if gi is None:  # trailing ws / comment / << >>
             continue
-        if lastgroup == "str":
-            s = _unescape_literal(m.group("str")[1:-1])
+        if gi == GI_NUM:
+            tok = m.group(GI_NUM)
+            last_num = float(tok) if (b"." in tok) else int(tok)
+            continue
+        if gi == GI_STR:
+            s = _unescape_literal(m.group(GI_STR)[1:-1])
             if arr is not None:
                 arr_strs.append(s)
             last_str = s
-        elif lastgroup == "strop":
-            lx = _Lexer(content, m.start())
+        elif gi == GI_NAME:
+            last_name = m.group(GI_NAME)[1:].decode("latin-1")
+            continue
+        elif gi == GI_STROP:
+            lx = _Lexer(content, m.start(GI_STROP))
             s = lx._parse_literal_string()
             pos = lx.pos
             if arr is not None:
                 arr_strs.append(s)
             last_str = s
-        elif lastgroup == "hex":
-            digits = re.sub(rb"[\x00\t\n\x0c\r ]", b"", m.group("hex")[1:-1])
+        elif gi == GI_HEX:
+            digits = re.sub(rb"[\x00\t\n\x0c\r ]", b"", m.group(GI_HEX)[1:-1])
             if len(digits) % 2:
                 digits += b"0"
             try:
@@ -1499,17 +1519,12 @@ def _extract_page_text(
             if arr is not None:
                 arr_strs.append(s)
             last_str = s
-        elif lastgroup == "num":
-            tok = m.group("num")
-            last_num = float(tok) if (b"." in tok) else int(tok)
-        elif lastgroup == "name":
-            last_name = m.group("name")[1:].decode("latin-1")
-        elif lastgroup == "arro":
+        elif gi == GI_ARRO:
             arr = []
             arr_strs = []
-        elif lastgroup == "arrc":
+        elif gi == GI_ARRC:
             arr = None
-        elif lastgroup == "op":
+        elif gi == GI_OP:
             op = m.group("op")
             if op == b"BT" or op == b"T*":
                 flush()
