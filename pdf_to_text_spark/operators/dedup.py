@@ -112,13 +112,16 @@ DEFAULT_MAX_BUCKET = 4096
 def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     """Filter band-exploded rows to buckets with ≤ max_bucket members.
 
-    One extra aggregation keyed EXACTLY like the candidate join (same
-    shuffle partitioning, map-side partial counts), so at scale the cap
-    costs one cheap pass over the band relation — vs an unbounded
-    quadratic blow-up inside a single task without it."""
-    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    ONE window count partitioned EXACTLY like the candidate join (vs an
+    agg + re-join, which would shuffle the band relation twice), so at
+    scale the cap costs a single keyed pass — against the unbounded
+    quadratic blow-up inside one task without it. A hot bucket's rows
+    land in one window partition, but they are (id, hash) pairs — tiny —
+    and counting them is linear; forming their n²/2 pairs is not."""
+    w = Window.partitionBy(*keys)
     return (
-        bands.join(sizes.where(F.col("_bucket_n") <= max_bucket), keys)
+        bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bucket_n") <= max_bucket)
         .drop("_bucket_n")
     )
 
