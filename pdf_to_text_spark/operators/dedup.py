@@ -186,8 +186,14 @@ def minhash_dedup_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs verified by the signature Jaccard estimate
-    (fraction of equal minhash positions) ≥ threshold."""
-    sigs = minhash_signatures(documents, n_perm, n_bands)
+    (fraction of equal minhash positions) ≥ threshold.
+
+    The signature relation is the plan's fan-out point (band explode +
+    both verify sides): persist it so the Arrow kernel runs ONCE per
+    doc, not three times. At 100 TB the same move is writing the
+    signature table once and joining against it — signatures are
+    ~0.5 KB/doc, tiny next to the text they index."""
+    sigs = minhash_signatures(documents, n_perm, n_bands).persist()
     pairs = minhash_candidate_pairs(sigs, max_bucket)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -442,7 +448,7 @@ def minhash_dedup_pairs_sql(
 ) -> DataFrame:
     """LSH candidates + signature-estimate verify over the pure-JVM
     signatures — same banding join shape as minhash_dedup_pairs."""
-    sigs = minhash_signatures_sql(documents, n_perm, n_bands)
+    sigs = minhash_signatures_sql(documents, n_perm, n_bands).persist()
     pairs = minhash_candidate_pairs(sigs)  # default hot-bucket cap applies
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -517,7 +523,9 @@ def simhash_near_pairs(
     split 64 bits into 4 bands of 16; distance ≤3 ⇒ ≥1 band equal.
     Buckets larger than `max_bucket` are dropped (DEFAULT_MAX_BUCKET;
     audit with simhash_band_bucket_stats)."""
-    sigs = simhash_signatures(documents)
+    # the band self-join references the signature subtree twice (a/b
+    # aliases): persist so the text scan + kernel run once per doc
+    sigs = simhash_signatures(documents).persist()
     banded = _cap_buckets(
         _simhash_banded(sigs), ["band_idx", "band_val"], max_bucket
     )
@@ -675,7 +683,7 @@ def embedding_near_pairs(
 
     n_planes = n_planes or N_PLANES
     n_tables = n_tables or N_TABLES
-    sig = lsh_signatures(embeddings, dim, n_planes, n_tables)
+    sig = lsh_signatures(embeddings, dim, n_planes, n_tables).persist()
     # same hot-bucket guard as the text-LSH paths: a degenerate bucket
     # (e.g. a zero-vector cluster) must not form n² pairs in one task
     sig = _cap_buckets(sig, ["table", "bucket"], max_bucket)
