@@ -586,7 +586,9 @@ def ngram_jaccard_pairs(
     an O(candidates) relation instead of all shingle-sharing pairs —
     the documented LSH-then-exact-verify composition. Standalone
     (candidates=None) it is the audit/oracle path."""
-    sh = ngram_shingles(documents, n)
+    # the shingle relation fans out three ways (both join sides + the
+    # per-doc totals): persist so the split/transform/explode runs once
+    sh = ngram_shingles(documents, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     if candidates is not None:
