@@ -70,11 +70,20 @@ class _BlockCollector(HTMLParser):
 
     # ── block lifecycle ─────────────────────────────────────────────────
 
+    # position bookkeeping is never read (errors are wrapped wholesale);
+    # stdlib updatepos is ~10% of parse time on boilerplate-heavy pages
+    def updatepos(self, i: int, j: int) -> int:
+        return j
+
     def _flush(self) -> None:
+        if not self._buf:  # consecutive block tags: nothing buffered
+            self._link_chars = 0
+            return
         raw = "".join(self._buf)
         text = _WS_RE.sub(" ", raw).strip()
-        # collapse internal newline runs left by nested flushes
-        text = re.sub(r"\s*\n\s*", " ", text)
+        if "\n" in text:
+            # collapse internal newline runs left by nested flushes
+            text = re.sub(r"\s*\n\s*", " ", text)
         link = self._link_chars
         self._buf.clear()
         self._link_chars = 0
