@@ -472,3 +472,19 @@ def test_predefined_cmap_distinct_status_lazy():
         extract_pdf_text(predefined_cmap_pdf(used=True))
     text, n = extract_pdf_text(predefined_cmap_pdf(used=False))
     assert (text, n) == ("", 1)
+
+
+@pytest.mark.parametrize("name", ["encrypted_rc4_128", "encrypted_aes_128"])
+def test_bitflip_sweep_encrypted_never_escapes_contract(name):
+    """Corrupting single bytes across an encrypted PDF (keys, ciphertext,
+    padding, /Encrypt dict) must yield a parse or a PDFParseError — never
+    an untyped exception from the crypto layer."""
+    good = bytearray(FIXTURES[name]())
+    for pos in range(0, len(good), max(1, len(good) // 41)):
+        bad = bytearray(good)
+        bad[pos] ^= 0xFF
+        try:
+            text, _ = extract_pdf_text(bytes(bad))
+            assert isinstance(text, str)
+        except PDFParseError:
+            pass
