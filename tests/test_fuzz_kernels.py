@@ -63,3 +63,35 @@ def test_html_tag_soup(parts):
     out = extract_html_text("".join(parts))
     assert isinstance(out, str)
     assert "SHOULD" not in out  # nothing hallucinated
+
+
+@given(
+    st.binary(min_size=0, max_size=400),
+    st.binary(min_size=16, max_size=16),
+    st.binary(min_size=16, max_size=16),
+)
+def test_aes_cbc_roundtrip_and_tamper(data, key, iv):
+    """CBC encrypt→decrypt is identity for any payload/key/iv; flipping
+    any ciphertext byte must raise or change the plaintext, never return
+    the original silently."""
+    from pdf_to_text_spark.kernels.crypto import (
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+    )
+
+    wire = aes128_cbc_encrypt(key, iv, data)
+    assert aes128_cbc_decrypt(key, wire) == data
+    bad = bytearray(wire)
+    bad[len(bad) // 2] ^= 0x01
+    try:
+        out = aes128_cbc_decrypt(key, bytes(bad))
+        assert out != data or len(data) == 0
+    except ValueError:
+        pass
+
+
+@given(st.binary(min_size=1, max_size=64), st.binary(min_size=0, max_size=400))
+def test_rc4_is_an_involution(key, data):
+    from pdf_to_text_spark.kernels.crypto import rc4
+
+    assert rc4(key, rc4(key, data)) == data
