@@ -228,6 +228,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         return dedup.strip_duplicate_lines(df, min_words=5)
 
+    def q_strip_duplicate_substrings(spark, sf):
+        """ExactSubstr-style k-token duplicate-span removal (Lee et al.
+        ACL'22) over crafted docs: cross-doc repeats, intra-doc repeats,
+        short docs, and a fully-duplicate doc that empties."""
+        rows = [
+            (1, "intro zero b0 b1 b2 b3 b4 b5 tail zero"),
+            (2, "intro one b0 b1 b2 b3 b4 b5 end one"),
+            (3, "totally unique text that is not repeated"),
+            (4, "short doc"),
+            (5, "b0 b1 b2 b3 b4 b5"),
+            (6, "r0 r1 r2 r3 r4 r5 pad r0 r1 r2 r3 r4 r5"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return dedup.strip_duplicate_substrings(df, k=6)
+
     def q_near_dup_clusters(spark, sf):
         # connected components of the near-dup graph (min-label propagation)
         return dedup.near_dup_clusters(_docs(spark, sf), threshold=0.5)
@@ -440,7 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_props_rollup": q_events_props_rollup,
         "high_value_order_lines": q_high_value_order_lines,
-        "token_counts": q_token_counts,
+        "strip_duplicate_substrings": q_strip_duplicate_substrings,
         "quality_stats": q_quality_stats,
         "language_id": q_language_id,
         "text_profile": q_text_profile,
@@ -678,12 +693,38 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
             GROUP BY l_returnflag ORDER BY l_returnflag
         """,
-        "token_counts": r"""
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\s+'))::int AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))::int AS bpe_tokens,
-                   len(text)::int AS chars
-            FROM documents
+        "strip_duplicate_substrings": r"""
+            WITH t(doc_id, text) AS (VALUES
+              (1, 'intro zero b0 b1 b2 b3 b4 b5 tail zero'),
+              (2, 'intro one b0 b1 b2 b3 b4 b5 end one'),
+              (3, 'totally unique text that is not repeated'),
+              (4, 'short doc'),
+              (5, 'b0 b1 b2 b3 b4 b5'),
+              (6, 'r0 r1 r2 r3 r4 r5 pad r0 r1 r2 r3 r4 r5')),
+            w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM t),
+            toks AS (
+              SELECT doc_id, pos, word FROM (
+                SELECT doc_id, i::int AS pos, ws[i + 1] AS word
+                FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w))
+              WHERE len(word) > 0),
+            grams AS (
+              SELECT doc_id, i::int AS pos, array_to_string(ws[i + 1 : i + 6], ' ') AS sh
+              FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 5)) AS i FROM w)),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+              FROM grams),
+            covered AS (
+              SELECT DISTINCT doc_id, unnest(range(pos, pos + 6))::int AS pos
+              FROM ranked WHERE rn > 1),
+            kept AS (
+              SELECT toks.doc_id, toks.pos, toks.word
+              FROM toks LEFT JOIN covered USING (doc_id, pos)
+              WHERE covered.pos IS NULL),
+            agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id::bigint AS doc_id, coalesce(agg.text, '') AS text
+            FROM t LEFT JOIN agg USING (doc_id)
         """,
         "quality_stats": rf"""
             SELECT doc_id,

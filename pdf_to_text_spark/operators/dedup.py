@@ -1,6 +1,6 @@
 """Deduplication operators for a web-scale corpus.
 
-Five dedup families, each with the scale-path layout a 100 TB run needs:
+Six dedup families, each with the scale-path layout a 100 TB run needs:
 
   * exact            — md5(normalized text) groupBy; one shuffle keyed by
                        fingerprint, map-side partial agg
@@ -16,6 +16,9 @@ Five dedup families, each with the scale-path layout a 100 TB run needs:
                        operator in its own right)
   * embedding cosine — near-dup via cosine ≥ τ over an embedding column;
                        JVM-side dot products (F.aggregate/zip_with)
+  * exact substrings — ExactSubstr-style duplicate-span removal
+                       (strip_duplicate_substrings; plus the line-granular
+                       strip_duplicate_lines)
 
 At bench scale (sf0.1: 5k docs) all run comfortably; at 100 TB exact and
 minhash_lsh are the production paths (linear shuffles), ngram_jaccard is
@@ -712,4 +715,82 @@ def embedding_near_pairs(
         .withColumn("cosine", F.round(sim, 4))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ── duplicate-substring removal (ExactSubstr-style, Lee et al. ACL'22) ──────
+
+
+def strip_duplicate_substrings(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-global duplicate-SPAN removal at token granularity — the
+    DataFrame form of ExactSubstr dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. '22; suffix arrays there,
+    k-token rolling shingles here): any k-token window whose exact text
+    occurs elsewhere in the corpus keeps only its FIRST occurrence
+    (ordered by doc_id, then position); every other occurrence's k
+    tokens are removed, and each doc is reassembled from its surviving
+    tokens. Complements strip_duplicate_lines (line granularity) for
+    boilerplate that ignores line breaks.
+
+    Scale shape — every stage is a keyed shuffle, nothing quadratic:
+      1. tokenize + posexplode          (map)
+      2. k-gram shingle hash per pos    (map; xxhash64 of the joined window)
+      3. min-(doc,pos) per shingle      (ONE agg keyed on the 64-bit hash,
+                                         map-side partials)
+      4. non-first occurrences          (join occurrences → firsts: the
+                                         build side has exactly ONE row
+                                         per key, so even a corpus-hot
+                                         boilerplate shingle fans out
+                                         linearly, never n²)
+      5. covered-position explode       (≤k rows per duplicate span)
+      6. anti-join tokens, reassemble   (doc_id-keyed)
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    toks = documents.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    ).where(F.length("word") > 0)
+    # shingle hash at every start position with a full k-token window
+    # (n_words - k + 1 starts; docs shorter than k have no shingles)
+    n_words = F.size(words)
+    grams = (
+        documents.where(n_words >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_words - k),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, k), " ")),
+                )
+            ).alias("pos", "shash"),
+        )
+    )
+    firsts = grams.groupBy("shash").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("occ"),
+    ).where(F.col("occ") > 1)
+    dup_spans = (
+        grams.join(firsts, "shash")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = dup_spans.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("pos")
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return (
+        documents.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )

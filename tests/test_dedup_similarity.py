@@ -357,3 +357,25 @@ def test_kernel_minhash_estimates_track_spark_exact_jaccard(docs):
     assert (0, 1) in est and (0, 4) in est
     for p, e in est.items():
         assert abs(e - exact.get(p, 0.0)) <= 0.2, (p, e, exact.get(p))  # 64 perms ≈ 3σ
+
+
+def test_strip_duplicate_substrings_exactsubstr_semantics(spark):
+    """ExactSubstr-style span dedup: a k-token window repeated across the
+    corpus keeps only its first (doc_id, pos) occurrence; unique text
+    survives; short docs pass through untouched."""
+    boiler = " ".join(f"b{i}" for i in range(6))          # 6-token boilerplate
+    rows = [
+        (0, f"intro zero {boiler} tail zero"),
+        (1, f"intro one {boiler} end one"),               # repeats ONLY the span
+        (2, "totally unique text that is not repeated"),
+        (3, "short doc"),
+        (4, f"{boiler}"),                                 # doc IS the span
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_duplicate_substrings(docs, k=6).collect()}
+    assert out[0] == f"intro zero {boiler} tail zero"     # first occurrence kept
+    assert out[1] == "intro one end one"                  # exactly the span removed
+    assert out[2] == rows[2][1]
+    assert out[3] == "short doc"                          # < k tokens: untouched
+    assert out[4] == ""                                   # fully-duplicate doc empties
