@@ -726,6 +726,7 @@ class PDFDocument:
         self._objstm_cache: dict[int, tuple[bytes, int, list[tuple[int, int]]]] = {}
         self._objstm_loading: set[int] = set()
         self._crypt: _StdCrypt | None = None
+        self._form_cache: dict[int, tuple] = {}
         self._load_xref()
 
     # ── xref / trailer ──────────────────────────────────────────────────
@@ -1040,7 +1041,11 @@ class PDFDocument:
     def page_extraction_context(self, page):
         """(fonts, form_xobjects) for one page — everything
         _extract_page_text needs to recurse into /Subtype /Form streams
-        (pdfjs parity: getTextContent walks form XObjects too)."""
+        (pdfjs parity: getTextContent walks form XObjects too).
+
+        Decoded form triples are cached per document by object number:
+        real crawls repeat one header/footer form on every page, and
+        re-decoding it per page would be O(pages × form bytes)."""
         res = self.resolve(page.get("Resources"))
         return self._font_decoders_from_res(res), self._form_xobjects(res, 0, frozenset())
 
@@ -1062,6 +1067,9 @@ class PDFDocument:
             num = ref.num if isinstance(ref, _Ref) else -1
             if num in seen:
                 continue  # self/ancestor reference: drawing is undefined; skip
+            if depth == 0 and num in self._form_cache:
+                out[str(name)] = self._form_cache[num]
+                continue
             st = self.resolve(ref)
             if not isinstance(st, _Stream):
                 continue
@@ -1070,11 +1078,17 @@ class PDFDocument:
             content = self._decode_stream(st)
             sub_res_raw = st.dict.get("Resources")
             sub_res = self.resolve(sub_res_raw) if sub_res_raw is not None else res
-            out[str(name)] = (
+            triple = (
                 content,
                 self._font_decoders_from_res(sub_res),
                 self._form_xobjects(sub_res, depth + 1, seen | {num}),
             )
+            # cache only self-contained forms (own /Resources) built from
+            # the top level — an inheriting form's triple depends on the
+            # CALLER's resources and must not be shared across pages
+            if depth == 0 and num >= 0 and sub_res_raw is not None:
+                self._form_cache[num] = triple
+            out[str(name)] = triple
         return out or None
 
     # ── page tree ───────────────────────────────────────────────────────

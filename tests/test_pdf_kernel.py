@@ -488,3 +488,41 @@ def test_bitflip_sweep_encrypted_never_escapes_contract(name):
             assert isinstance(text, str)
         except PDFParseError:
             pass
+
+
+def test_shared_form_decoded_once_across_pages():
+    """A header form referenced by every page decodes once (doc-level
+    cache) and extracts on every page."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument, _extract_page_text
+    from tools.make_pdf import build_pdf, content_stream_for_lines
+
+    form = b"BT /F1 9 Tf 72 760 Td (shared header) Tj ET"
+    form_obj = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> "
+        b"/Length %d >>\nstream\n" % len(form) + form + b"\nendstream"
+    )
+    streams = [
+        content_stream_for_lines([f"body page {p}"]) + b"\n/FxH Do" for p in range(3)
+    ]
+    pdf = build_pdf(
+        streams,
+        extra_objects=(form_obj,),
+        resources_extra=b"/XObject << /FxH 10 0 R >> ",
+    )
+    doc = PDFDocument(pdf)
+    texts = []
+    calls = {"n": 0}
+    orig = doc._decode_stream
+
+    def counting(st):
+        if str(st.dict.get("Subtype", "")) == "Form":
+            calls["n"] += 1
+        return orig(st)
+
+    doc._decode_stream = counting
+    for p in doc.pages():
+        fonts, xobjs = doc.page_extraction_context(p)
+        texts.append(_extract_page_text(doc.page_content(p), fonts, xobjs))
+    assert texts == [f"body page {p}\nshared header" for p in range(3)]
+    assert calls["n"] == 1  # decoded once, reused on pages 2-3
