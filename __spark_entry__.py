@@ -151,9 +151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
         )
 
-    def q_token_counts(spark, sf):
-        return text_analysis.token_counts(_docs(spark, sf))
-
     def q_quality_stats(spark, sf):
         # round 3: stats + the composite score, one scan (was two queries)
         return text_analysis.quality_profile(_docs(spark, sf))

@@ -373,6 +373,7 @@ class _StdCrypt:
         self.encrypt_metadata = enc.get("EncryptMetadata", True) is not False
         self.aes_strings = False
         self.aes_streams = False
+        self.aes_stdcf = False  # the StdCF method, independent of StmF/StrF
         self.identity_strings = False
         self.identity_streams = False
         if v in (1, 2) and r in (2, 3):
@@ -393,9 +394,19 @@ class _StdCrypt:
             strf = str(enc.get("StrF", "Identity"))
             self.identity_streams = stmf == "Identity"
             self.identity_strings = strf == "Identity"
+            self.aes_stdcf = aes
             self.aes_streams = aes and not self.identity_streams
             self.aes_strings = aes and not self.identity_strings
-            key_bits = length if isinstance(length, int) else 128
+            # V4 key length lives in the crypt-filter dict, in BYTES per
+            # ISO 32000-1 Table 25 (legacy writers used bits); the
+            # top-level /Length is a fallback, and AESV2 is 128-bit
+            stdcf_len = stdcf.get("Length")
+            if isinstance(stdcf_len, int) and stdcf_len > 0:
+                key_bits = stdcf_len * 8 if stdcf_len <= 40 else stdcf_len
+            elif isinstance(length, int) and length >= 40:
+                key_bits = length
+            else:
+                key_bits = 128
         else:
             raise PDFEncryptedError(f"unsupported encryption V={v} R={r}")
         key = crypto.file_key(
@@ -426,7 +437,14 @@ class _StdCrypt:
                 raise PDFParseError(f"AES stream decryption failed: {e}") from None
         return self._crypto.rc4(self._okey(num, gen, False), data)
 
-    def decrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
+    def decrypt_stream(
+        self, num: int, gen: int, data: bytes, *, force_stdcf: bool = False
+    ) -> bytes:
+        """`force_stdcf` applies the StdCF method even when the document
+        default StmF is /Identity — a per-stream /Filter /Crypt
+        /Name /StdCF overrides the default (§7.4.10)."""
+        if force_stdcf:
+            return self._apply(num, gen, data, self.aes_stdcf)
         if self.identity_streams:
             return data
         return self._apply(num, gen, data, self.aes_streams)
@@ -726,7 +744,8 @@ class PDFDocument:
         self._objstm_cache: dict[int, tuple[bytes, int, list[tuple[int, int]]]] = {}
         self._objstm_loading: set[int] = set()
         self._crypt: _StdCrypt | None = None
-        self._form_cache: dict[int, tuple] = {}
+        self._form_cache: dict[tuple, tuple] = {}
+        self._form_decodes = 0
         self._load_xref()
 
     # ── xref / trailer ──────────────────────────────────────────────────
@@ -765,6 +784,16 @@ class PDFDocument:
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
             raise PDFEncryptedError("/Encrypt is not a dict")
+        # writers may store O/U/P/Length/CF as indirect references —
+        # shallow-resolve the dict (and the CF/StdCF level) before the
+        # handler reads it
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        if isinstance(enc.get("CF"), dict):
+            enc["CF"] = {
+                k: ({kk: self.resolve(vv) for kk, vv in self.resolve(v).items()}
+                    if isinstance(self.resolve(v), dict) else self.resolve(v))
+                for k, v in enc["CF"].items()
+            }
         id0 = b""
         ids = self.trailer.get("ID")
         if isinstance(ids, list) and ids:
@@ -1049,6 +1078,14 @@ class PDFDocument:
         res = self.resolve(page.get("Resources"))
         return self._font_decoders_from_res(res), self._form_xobjects(res, 0, frozenset())
 
+    # adversarial guard: a page may reference k inheriting sibling forms
+    # whose shared resources re-expose all k — without a memo the triple
+    # tree is k^depth nodes. The memo collapses repeated (form, resource-
+    # context) pairs, and the budget fail-louds anything still pathological
+    # (parse_failed row, never an executor hang — same contract as the
+    # ref-cycle and RLE-bomb guards).
+    _MAX_FORMS_PER_DOC = 256
+
     def _form_xobjects(self, res, depth: int, seen: frozenset):
         """name → (content, fonts, nested_xobjects) for every /Subtype
         /Form entry of res's /XObject dict. A form without /Resources
@@ -1056,7 +1093,14 @@ class PDFDocument:
         and cycle-guarded on the stream's object number; image XObjects
         are skipped (no text). Structural faults in a referenced form
         propagate as PDFParseError — partial text with status 'ok' would
-        be silent divergence."""
+        be silent divergence.
+
+        Triples are memoized per (form, resource-context) and total
+        decodes are budgeted (_MAX_FORMS_PER_DOC, fail-loud) so sibling
+        inheritance graphs cannot go k^depth. Known trade: a memoized
+        inheriting form built under one ancestor chain reuses its pruned
+        nested map in other chains, so MUTUALLY-referencing sibling forms
+        (a drawing-undefined construct) may skip one nesting level."""
         if not isinstance(res, dict) or depth >= _MAX_FORM_DEPTH:
             return None
         xo = self.resolve(res.get("XObject"))
@@ -1067,27 +1111,37 @@ class PDFDocument:
             num = ref.num if isinstance(ref, _Ref) else -1
             if num in seen:
                 continue  # self/ancestor reference: drawing is undefined; skip
-            if depth == 0 and num in self._form_cache:
-                out[str(name)] = self._form_cache[num]
-                continue
+            # memo key: the form plus its effective resource context —
+            # self-contained forms (own /Resources) depend only on num;
+            # inheriting forms depend on the caller's resolved res dict.
+            # Collapses the sibling DAG that would otherwise be k^depth.
+            memo_key = (num, None) if num >= 0 else None
             st = self.resolve(ref)
             if not isinstance(st, _Stream):
                 continue
             if str(st.dict.get("Subtype", "")) != "Form":
                 continue
-            content = self._decode_stream(st)
             sub_res_raw = st.dict.get("Resources")
+            if sub_res_raw is None and memo_key is not None:
+                memo_key = (num, id(res))
+            if memo_key is not None and memo_key in self._form_cache:
+                out[str(name)] = self._form_cache[memo_key]
+                continue
+            self._form_decodes += 1
+            if self._form_decodes > self._MAX_FORMS_PER_DOC:
+                raise PDFParseError(
+                    f"more than {self._MAX_FORMS_PER_DOC} form XObject "
+                    "decodes in one document (adversarial nesting)"
+                )
+            content = self._decode_stream(st)
             sub_res = self.resolve(sub_res_raw) if sub_res_raw is not None else res
             triple = (
                 content,
                 self._font_decoders_from_res(sub_res),
                 self._form_xobjects(sub_res, depth + 1, seen | {num}),
             )
-            # cache only self-contained forms (own /Resources) built from
-            # the top level — an inheriting form's triple depends on the
-            # CALLER's resources and must not be shared across pages
-            if depth == 0 and num >= 0 and sub_res_raw is not None:
-                self._form_cache[num] = triple
+            if memo_key is not None:
+                self._form_cache[memo_key] = triple
             out[str(name)] = triple
         return out or None
 
@@ -1134,19 +1188,21 @@ class PDFDocument:
             chunks.append(self._decode_stream(part))
         return b"\n".join(chunks)
 
-    def _has_identity_crypt_filter(self, st: _Stream) -> bool:
+    def _explicit_crypt_name(self, st: _Stream) -> str | None:
+        """The /Name of the stream's explicit /Crypt filter (default
+        'Identity' when the filter has no parms), or None when the stream
+        has no /Crypt filter and the document default applies."""
         filt = self.resolve(st.dict.get("Filter"))
         filters = filt if isinstance(filt, list) else [filt]
         if not any(str(self.resolve(f)) == "Crypt" for f in filters if f is not None):
-            return False
+            return None
         parms = self.resolve(st.dict.get("DecodeParms", st.dict.get("DP")))
         parms_list = parms if isinstance(parms, list) else [parms]
         for f, p in zip(filters, parms_list + [None] * len(filters)):
             if str(self.resolve(f)) == "Crypt":
                 p = self.resolve(p)
-                name = str(p.get("Name", "Identity")) if isinstance(p, dict) else "Identity"
-                return name == "Identity"
-        return False
+                return str(p.get("Name", "Identity")) if isinstance(p, dict) else "Identity"
+        return "Identity"
 
     def _decode_stream(self, st: _Stream) -> bytes:
         filt = self.resolve(st.dict.get("Filter"))
@@ -1156,11 +1212,18 @@ class PDFDocument:
             raw = raw[:length]
         if self._crypt is not None and st.objnum is not None:
             # streams parsed outside the object table (xref streams)
-            # have objnum None and are never encrypted (§7.5.8.2); a
-            # /Crypt filter naming /Identity opts the stream out of the
-            # default stream cipher (§7.4.10)
-            if not self._has_identity_crypt_filter(st):
+            # have objnum None and are never encrypted (§7.5.8.2); an
+            # explicit /Crypt filter overrides the document default
+            # (§7.4.10): /Identity opts out, /StdCF opts IN even when
+            # the default StmF is /Identity
+            explicit = self._explicit_crypt_name(st)
+            if explicit == "StdCF":
+                raw = self._crypt.decrypt_stream(
+                    st.objnum, st.gen, raw, force_stdcf=True
+                )
+            elif explicit is None:
                 raw = self._crypt.decrypt_stream(st.objnum, st.gen, raw)
+            # explicit Identity (or an unknown name, rejected below): no-op
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
@@ -1411,6 +1474,10 @@ _CTOK_GI = tuple(
 # never reach the tokenizer — a stray '(' inside image bytes would open a
 # bogus literal string and swallow subsequent show operators.
 _EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
+# lenient fallback: some writers emit the payload ABUTTING EI (the spec
+# only mandates whitespace after ID) — without this, such a page would
+# silently drop every operator after the image
+_EI_BARE_RE = re.compile(rb"EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
 
 _MAX_FORM_DEPTH = 8  # Form-XObject recursion guard (cycles break out earlier)
 
@@ -1571,8 +1638,9 @@ def _extract_page_text(
             elif op == b"ID":
                 # inline image (BI … ID <binary> EI): skip the payload to
                 # the whitespace-delimited EI so image bytes never reach
-                # the tokenizer
-                m2 = _EI_RE.search(content, pos)
+                # the tokenizer; fall back to a bare token-boundary EI for
+                # writers whose payload abuts the delimiter
+                m2 = _EI_RE.search(content, pos) or _EI_BARE_RE.search(content, pos)
                 pos = m2.end() if m2 is not None else n
             # BX/EX compatibility sections are explicit no-ops: they only
             # toggle unknown-operator tolerance, which this lenient

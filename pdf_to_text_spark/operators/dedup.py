@@ -135,11 +135,15 @@ def _bucket_stats(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFra
     _cap_buckets; log or assert on it wherever a cap is in force."""
     sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     over = F.col("n") > max_bucket
+    # coalesce: an empty corpus must report zeros, not NULLs — callers
+    # assert on these columns
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(over.cast("long")).alias("oversized_buckets"),
-        F.max("n").alias("max_bucket_size"),
-        F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))).alias("dropped_rows"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("oversized_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_size"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("dropped_rows"),
     )
 
 
@@ -195,7 +199,15 @@ def minhash_dedup_pairs(
     both verify sides): persist it so the Arrow kernel runs ONCE per
     doc, not three times. At 100 TB the same move is writing the
     signature table once and joining against it — signatures are
-    ~0.5 KB/doc, tiny next to the text they index."""
+    ~0.5 KB/doc, tiny next to the text they index.
+
+    Persisted relations here (and in the simhash/ngram/embedding
+    operators) are NOT unpersisted — the returned DataFrame is lazy, so
+    the cache must outlive this call. MEMORY_AND_DISK blocks are evicted
+    LRU by Spark under pressure; long sessions chaining many dedup calls
+    trade a bounded block-manager footprint for the 2-3× recompute. Call
+    spark.catalog.clearCache() between unrelated jobs if that footprint
+    matters."""
     sigs = minhash_signatures(documents, n_perm, n_bands).persist()
     pairs = minhash_candidate_pairs(sigs, max_bucket)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

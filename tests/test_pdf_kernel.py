@@ -526,3 +526,77 @@ def test_shared_form_decoded_once_across_pages():
         texts.append(_extract_page_text(doc.page_content(p), fonts, xobjs))
     assert texts == [f"body page {p}\nshared header" for p in range(3)]
     assert calls["n"] == 1  # decoded once, reused on pages 2-3
+
+
+def test_sibling_inheriting_forms_do_not_blow_up():
+    """k inheriting sibling forms whose shared resources re-expose all k
+    must resolve in O(k) decodes (memo + budget), not k^depth
+    (review r3 #1)."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument
+
+    k = 10
+    forms = []
+    for i in range(k):
+        body = b"BT /F1 9 Tf 72 %d Td (form %d) Tj ET" % (700 - 12 * i, i)
+        forms.append(
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            b"/Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
+        )
+    xmap = b" ".join(b"/Fx%d %d 0 R" % (i, 6 + i) for i in range(k))
+    pdf = build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (page) Tj ET\n/Fx0 Do"],
+        extra_objects=tuple(forms),
+        resources_extra=b"/XObject << " + xmap + b" >> ",
+    )
+    doc = PDFDocument(pdf)
+    text, n = extract_pdf_text(pdf)
+    assert "page" in text and "form 0" in text
+    assert doc._MAX_FORMS_PER_DOC == 256  # the budget exists and is modest
+
+
+def test_inline_image_payload_abutting_ei():
+    """Payload directly abutting EI (no preceding whitespace — spec only
+    mandates whitespace AFTER ID) must not swallow the page tail
+    (review r3 #4)."""
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET\n"
+        b"BI /W 1 /H 1 /CS /G /BPC 8 ID \xfa>EI\n"
+        b"BT /F1 12 Tf 72 700 Td (after) Tj ET"
+    )
+    text, _ = extract_pdf_text(build_pdf([stream]))
+    assert text == "before\nafter"
+
+
+def test_v4_key_length_from_crypt_filter_dict():
+    """A V4/AESV2 doc whose key length lives ONLY in /CF /StdCF /Length
+    (bytes) must still decrypt (review r3 #3)."""
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    good = build_encrypted_pdf(
+        [content_stream_for_lines(["cf length secret"])], method="aes_128"
+    )
+    # drop the top-level /Length 128, padding to keep offsets stable
+    assert b"/Length 128 /CF" in good
+    patched = good.replace(b"/Length 128 /CF", b"            /CF")
+    text, n = extract_pdf_text(patched)
+    assert text == "cf length secret" and n == 1
+
+
+def test_per_stream_stdcf_overrides_identity_stmf():
+    """decrypt_stream(force_stdcf=True) must apply the StdCF cipher even
+    when the document default StmF is /Identity (review r3 #2)."""
+    from pdf_to_text_spark.kernels import crypto
+    from pdf_to_text_spark.kernels.pdf import PDFDocument
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    pdf = build_encrypted_pdf(
+        [content_stream_for_lines(["x"])], method="aes_128"
+    )
+    doc = PDFDocument(pdf)
+    c = doc._crypt
+    c.identity_streams = True  # simulate /StmF /Identity
+    secret = b"stream body payload"
+    okey = crypto.object_key(c.key, 9, 0, aes=True)
+    wire = crypto.aes128_cbc_encrypt(okey, bytes(16), secret)
+    assert c.decrypt_stream(9, 0, wire) == wire          # default: identity
+    assert c.decrypt_stream(9, 0, wire, force_stdcf=True) == secret

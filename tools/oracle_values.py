@@ -233,7 +233,11 @@ def audio_resample_oracle(n: int = 60, target: int = 16000) -> str:
 
 
 @functools.lru_cache(maxsize=1)
-def extraction_e2e_oracle(n: int = 120) -> str:
+def _replay_extraction(n: int = 120) -> tuple[tuple, ...]:
+    """ONE shared replay of the driver's 120-row extraction (latest-row
+    dedup + is_pdf dispatch + kernel), consumed by both extraction
+    oracles so the dispatch/tiebreak rules cannot silently diverge
+    between them. Rows: (url, ctype, out_text, n_pages, status, failed)."""
     from pdf_to_text_spark.functions.udfs import _extract_one
     from pdf_to_text_spark.sources.pages import build_pages_pdf
 
@@ -248,8 +252,17 @@ def extraction_e2e_oracle(n: int = 120) -> str:
             url.endswith(".pdf") and html is not None and bytes(html[:5]) == b"%PDF-"
         )
         ctype = None if html is None else ("application/pdf" if is_pdf else "text/html")
-        out, n_pages, status, _failed = _extract_one(html, text, is_pdf)
-        rows.append((url, ctype, n_pages, len(out), status))
+        out, n_pages, status, failed = _extract_one(html, text, is_pdf)
+        rows.append((url, ctype, out, n_pages, status, failed))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=1)
+def extraction_e2e_oracle(n: int = 120) -> str:
+    rows = [
+        (url, ctype, n_pages, len(out), status)
+        for url, ctype, out, n_pages, status, _failed in _replay_extraction(n)
+    ]
     return values_sql(
         [
             ("url", "VARCHAR"),
@@ -267,21 +280,11 @@ def extraction_status_metrics_oracle(n: int = 120) -> str:
     """Status-level metrics rollup over the same replayed extraction as
     extraction_e2e_oracle — the driver-checkable face of metrics_rollup
     (north_rule: per-partition lineage + metrics; the bucket/task axes
-    are runtime-shaped, the status axis is oracle-stable)."""
-    from pdf_to_text_spark.functions.udfs import _extract_one
-    from pdf_to_text_spark.sources.pages import build_pages_pdf
-
-    pdf = build_pages_pdf(list(range(n)))
-    latest: dict[str, tuple] = {}
-    for url, ts, html, text, _lang in pdf.itertuples(index=False, name=None):
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html, text)
+    are runtime-shaped, the status axis is oracle-stable). Shares
+    _replay_extraction with extraction_e2e_oracle so the dispatch/
+    tiebreak replay exists exactly once."""
     agg: dict[str, list[int]] = {}
-    for url, (_ts, html, text) in latest.items():
-        is_pdf = bool(
-            url.endswith(".pdf") and html is not None and bytes(html[:5]) == b"%PDF-"
-        )
-        out, n_pages, status, failed = _extract_one(html, text, is_pdf)
+    for _url, _ctype, out, n_pages, status, failed in _replay_extraction(n):
         a = agg.setdefault(status, [0, 0, 0, 0])
         a[0] += 1
         a[1] += n_pages
