@@ -1,0 +1,157 @@
+"""WARC ingestion source (sources/warc.py): pure-bytes kernel round-trip,
+leniency under corruption, and the distributed binaryFile → pages path
+feeding the extraction pipeline byte-identically."""
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from pdf_to_text_spark.sources.pages import build_pages_pdf
+from pdf_to_text_spark.sources.warc import (
+    MAX_RECORD_BYTES,
+    build_warc_bytes,
+    iter_warc_records,
+    warc_to_page_rows,
+)
+
+TS = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+
+def _sample_rows(n=40, offset=0):
+    pdf = build_pages_pdf(list(range(offset, offset + n)))
+    return [
+        (r.url, r.warc_ts.to_pydatetime().replace(tzinfo=dt.timezone.utc), bytes(r.html))
+        for r in pdf.itertuples()
+        if r.html is not None
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_byte_identical(gz):
+    rows = _sample_rows()
+    data = build_warc_bytes(rows, gzip_per_record=gz)
+    got = warc_to_page_rows(data)
+    assert [(u, ts, h) for u, ts, h, _, _ in got] == rows
+    # payload bytes exact → extraction over WARC-ingested rows cannot diverge
+    assert all(h == orig[2] for (_, _, h, _, _), orig in zip(got, rows))
+
+
+def test_writer_is_deterministic():
+    rows = _sample_rows(10)
+    assert build_warc_bytes(rows) == build_warc_bytes(rows)
+
+
+def test_non_document_records_skipped():
+    rows = _sample_rows(6)
+    data = build_warc_bytes(rows, gzip_per_record=False)
+    # warcinfo leads the file and must not surface as a page
+    kinds = [h.get("warc-type") for h, _ in iter_warc_records(data)]
+    assert kinds[0] == "warcinfo"
+    assert len(warc_to_page_rows(data)) == len(rows)
+
+
+def test_non_200_responses_dropped():
+    rows = _sample_rows(4)
+    data = build_warc_bytes(rows, gzip_per_record=False)
+    data = data.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 404 NF", 1)
+    assert len(warc_to_page_rows(data)) == len(rows) - 1
+
+
+def test_corrupt_record_resyncs_not_fails():
+    rows = _sample_rows(8)
+    plain = build_warc_bytes(rows, gzip_per_record=False)
+    # mangle the 2nd record's Content-Length so it no longer parses
+    first_end = plain.index(b"WARC/1.0", 10)
+    second_end = plain.index(b"WARC/1.0", first_end + 10)
+    broken = (
+        plain[:second_end]
+        + plain[second_end:].replace(b"Content-Length: ", b"Content-Length: x", 1)
+    )
+    got = warc_to_page_rows(broken)
+    # the broken record is dropped; later records still parse
+    assert 0 < len(got) < len(rows) + 1
+    assert got[-1][0] == rows[-1][0]
+
+
+def test_truncated_gzip_member_keeps_prior_records():
+    rows = _sample_rows(8, offset=1)  # offset skips row 0's megabyte PDF
+    data = build_warc_bytes(rows, gzip_per_record=True)
+    got = warc_to_page_rows(data[: len(data) - len(data) // 4])
+    assert 0 < len(got) < len(rows)
+
+
+def test_oversized_content_length_skipped():
+    big = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/a\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + b"Content-Length: " + str(MAX_RECORD_BYTES + 1).encode() + b"\r\n\r\n"
+    )
+    rows = _sample_rows(3)
+    tail = build_warc_bytes(rows, gzip_per_record=False)
+    assert len(warc_to_page_rows(big + tail)) == len(rows)
+
+
+def test_conversion_record_and_content_language():
+    body = b"plain converted text"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://x/conv\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Language: de-DE, en\r\nContent-Length: 2\r\n\r\nhi"
+    )
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/lang\r\nWARC-Date: 2024-01-01T00:00:01Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    got = warc_to_page_rows(rec + rec2)
+    assert [(r[0], r[2]) for r in got] == [
+        ("https://x/conv", body),
+        ("https://x/lang", b"hi"),
+    ]
+    assert got[0][4] is None and got[1][4] == "de"
+
+
+def test_spark_warc_pages_matches_parquet_path(spark, tmp_path):
+    """binaryFile → warc_pages equals the same rows via the synthetic
+    table, and the extraction kernel output over both is identical."""
+    from pdf_to_text_spark.operators.extraction import run_extraction
+    from pdf_to_text_spark.sources.warc import warc_pages
+
+    rows_a, rows_b = _sample_rows(30), _sample_rows(30, offset=60)
+    (tmp_path / "seg-0.warc.gz").write_bytes(build_warc_bytes(rows_a))
+    (tmp_path / "seg-1.warc").write_bytes(
+        build_warc_bytes(rows_b, gzip_per_record=False)
+    )
+    (tmp_path / "ignored.txt").write_bytes(b"not a warc")
+
+    pages = warc_pages(spark, str(tmp_path))
+    assert pages.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+    )
+    got = {
+        (r["url"], bytes(r["html"])) for r in pages.collect()
+    }
+    assert got == {(u, h) for u, _, h in rows_a + rows_b}
+
+    extracted_warc = {
+        (r["url"], r["extracted_text"], r["parse_status"])
+        for r in run_extraction(pages, dedup=False).select(
+            "url", "extracted_text", "parse_status"
+        ).collect()
+    }
+    from pdf_to_text_spark.sources.pages import PAGES_SCHEMA
+
+    ref_pdf = build_pages_pdf(list(range(30)) + list(range(60, 90)))
+    ref_pdf = ref_pdf[ref_pdf["html"].notna()].reset_index(drop=True)
+    ref_pages = spark.createDataFrame(ref_pdf, schema=PAGES_SCHEMA)
+    extracted_ref = {
+        (r["url"], r["extracted_text"], r["parse_status"])
+        for r in run_extraction(ref_pages, dedup=False).select(
+            "url", "extracted_text", "parse_status"
+        ).collect()
+    }
+    assert extracted_warc == extracted_ref
