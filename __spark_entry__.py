@@ -525,11 +525,14 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_roundtrip": (
             "SELECT doc_id, text AS extracted_text FROM documents"
         ),
+        # decimal sums in BOTH engines: double sums are partition-order
+        # dependent, so a 2dp round near a .005 boundary could flip vs the
+        # oracle (both engines round decimal half-away-from-zero)
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   cast(round(sum(cast(l_quantity as decimal(18,6))), 2) as double) AS sum_qty,
+                   cast(round(sum(cast(l_extendedprice as decimal(18,6))), 2) as double) AS sum_base_price,
+                   cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))), 2) as double) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -537,7 +540,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "top_nation_revenue": """
-            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+            SELECT n_name,
+                   cast(round(sum(cast(o_totalprice as decimal(18,6))), 2) as double) AS revenue,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -683,7 +687,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "high_value_order_lines": """
             SELECT l_returnflag, count(*) AS n_lines,
-                   round(sum(l_extendedprice), 2) AS total_price
+                   cast(round(sum(cast(l_extendedprice as decimal(18,6))), 2) as double) AS total_price
             FROM lineitem
             WHERE l_orderkey IN (
               SELECT o_orderkey FROM orders

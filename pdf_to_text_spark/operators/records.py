@@ -81,14 +81,27 @@ def records_df(blocks_with_chunk: DataFrame) -> DataFrame:
 # ── CSV serialization (JVM-side, quirks preserved) ──────────────────────────
 
 
+# Java's \s is ASCII-only; the kernel strips via Python str.strip(), whose
+# whitespace set adds NBSP & friends (and JS parseFloat skips NBSP too) —
+# spell the full set out so " 42" parses as 42 on both paths.
+_WS = (
+    "[\\s\u001c-\u001f\u0085\u00a0\u1680\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]*"
+)
+
+
 def _js_int_col(c):
     """`parseInt(x, 10) || 0` as a built-in expression.
 
     try_cast, not cast: Spark 4 runs ANSI mode by default, where a plain
     cast on a non-numeric string aborts the job instead of yielding null.
-    """
-    lead = F.regexp_extract(F.coalesce(F.col(c), F.lit("")), r"^\s*([+-]?\d+)", 1)
-    return F.coalesce(lead.try_cast("long"), F.lit(0))
+    Returns a STRING column: decimal(38,0) keeps digit-for-digit parity
+    with the kernel's unbounded Python int beyond Long range (a long
+    try_cast would silently fold 2^63 to the 0 fallback)."""
+    lead = F.regexp_extract(
+        F.coalesce(F.col(c), F.lit("")), r"^" + _WS + r"([+-]?\d+)", 1
+    )
+    return F.coalesce(lead.try_cast("decimal(38,0)").cast("string"), F.lit("0"))
 
 
 def _js_float_col(c):
@@ -96,15 +109,18 @@ def _js_float_col(c):
 
     parseFloat accepts leading Infinity literals too (truthy, so they
     survive ||0); format_string('%.2f') then renders Java's 'Infinity' /
-    '-Infinity', same as the kernel's pinned toFixed behavior."""
+    '-Infinity', same as the kernel's pinned toFixed behavior. The `|| 0`
+    also swallows -0 (falsy in JS), so a parsed negative zero ("-0",
+    "-0e9") is normalized to +0.0 exactly as the kernel does."""
     s = F.coalesce(F.col(c), F.lit(""))
     lead = F.regexp_extract(
-        s, r"^\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)", 1
+        s, r"^" + _WS + r"([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)", 1
     )
+    v = F.coalesce(lead.try_cast("double"), F.lit(0.0))
     return (
-        F.when(s.rlike(r"^\s*[+]?Infinity"), F.lit(float("inf")))
-        .when(s.rlike(r"^\s*-Infinity"), F.lit(float("-inf")))
-        .otherwise(F.coalesce(lead.try_cast("double"), F.lit(0.0)))
+        F.when(s.rlike(r"^" + _WS + r"[+]?Infinity"), F.lit(float("inf")))
+        .when(s.rlike(r"^" + _WS + r"-Infinity"), F.lit(float("-inf")))
+        .otherwise(F.when(v == 0, F.lit(0.0)).otherwise(v))
     )
 
 
@@ -112,7 +128,7 @@ def csv_line_col():
     """One record → one CSV line; format_string('%.2f') = Java HALF_UP,
     matching the pinned toFixed(2) round-half-away-from-zero contract."""
     return F.format_string(
-        '"%s","%s",%d,%.2f',
+        '"%s","%s",%s,%.2f',
         F.coalesce(F.col("SucursalName"), F.lit("")),
         F.coalesce(F.col("EAN"), F.lit("")),
         _js_int_col("CantidadVendida"),
@@ -177,13 +193,17 @@ def records_from_llm_responses(responses: DataFrame) -> DataFrame:
         parsed.alias("recs"),
         F.when(parsed.isNotNull(), 1).otherwise(0).alias("parse_ok"),
     )
-    good = base.where(F.col("parse_ok") == 1).select(
+    # ONE pass: posexplode_outer on a NULL array (parse_ok=0) emits exactly
+    # the (record_pos=null, all-null-fields) marker row the old
+    # filter-split union built — same rows, half the scans/parses, no
+    # union exchange.
+    exploded = base.select(
         "url",
         "chunk_id",
-        F.lit(1).alias("parse_ok"),
+        "parse_ok",
         F.posexplode_outer("recs").alias("record_pos", "rec"),
     )
-    return good.select(
+    return exploded.select(
         "url",
         "chunk_id",
         "record_pos",
@@ -192,15 +212,6 @@ def records_from_llm_responses(responses: DataFrame) -> DataFrame:
         F.col("rec.EAN").alias("EAN"),
         F.col("rec.CantidadVendida").alias("CantidadVendida"),
         F.col("rec.Importe").alias("Importe"),
-    ).unionByName(
-        base.where(F.col("parse_ok") == 0).select(
-            "url",
-            "chunk_id",
-            F.lit(None).cast("int").alias("record_pos"),
-            F.lit(0).alias("parse_ok"),
-            *[F.lit(None).cast("string").alias(c)
-              for c in ("SucursalName", "EAN", "CantidadVendida", "Importe")],
-        )
     )
 
 
@@ -221,7 +232,10 @@ def json_documents(records: DataFrame) -> DataFrame:
             F.transform(
                 F.sort_array(F.collect_list(F.struct("ord", "rec"))),
                 lambda s: s["rec"],
-            )
+            ),
+            # JSON.stringify renders null fields as "key": null; Spark's
+            # to_json default DROPS them — pin the stringify behavior
+            {"ignoreNullFields": "false"},
         ).alias("compact_json")
     )
     return assembled.select("url", pretty_json_udf(F.col("compact_json")).alias("json"))

@@ -17,6 +17,17 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
+def _dec6(c: str):
+    """Exact, order-independent summand (ANSI-safe)."""
+    return F.col(c).try_cast("decimal(18,6)")
+
+
+def _round2(c):
+    """round(…, 2) on a decimal sum, published as double (exact: 2dp
+    decimals < 2^53/100 convert losslessly)."""
+    return F.round(c, 2).cast("double")
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 shape: big scan → map-side partial agg → tiny shuffle.
 
@@ -27,10 +38,18 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # decimal sums, not double: double addition is partition-order
+            # dependent, so a 2dp round sitting near a .005 boundary can
+            # flip across runs/partition counts (the flake class fixed in
+            # sessionize_events). Decimal is exact and order-independent;
+            # final cast back to double keeps the published schema.
+            _round2(F.sum(_dec6("l_quantity"))).alias("sum_qty"),
+            _round2(F.sum(_dec6("l_extendedprice"))).alias("sum_base_price"),
+            _round2(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .try_cast("decimal(18,6)")
+                )
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -49,7 +68,8 @@ def top_nation_revenue(orders: DataFrame, customer: DataFrame, nation: DataFrame
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # decimal sum: order-independent (see pricing_summary)
+            _round2(F.sum(_dec6("o_totalprice"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc())
@@ -256,6 +276,14 @@ def as_of_join(
                 f"{side} columns {df.columns} — determinism under timestamp "
                 "ties requires a total order on both sides"
             )
+    # internal scratch columns: a left relation already using these names
+    # would be silently overwritten (withColumn replaces) — fail loud
+    reserved = {"_side", "_asof_v", "_f"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"as_of_join: left columns {sorted(reserved)} collide with "
+            "internal names (_side, _asof_v, _f) — rename them first"
+        )
     val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
     l_tag = left.withColumn("_side", F.lit(1)).withColumn(
         "_asof_v",
@@ -353,7 +381,8 @@ def high_value_order_lines(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            # decimal sum: order-independent (see pricing_summary)
+            _round2(F.sum(_dec6("l_extendedprice"))).alias("total_price"),
         )
         .orderBy("l_returnflag")
     )

@@ -61,13 +61,17 @@ class ManifestTable:
         return [f for s in self.snapshots() for f in s["files"]]
 
     def commit(self, buckets: list[int], files: list[str], metrics: list[dict]) -> int:
-        """Atomically append snapshot N+1. Returns the snapshot id."""
+        """Atomically append snapshot N+1. Returns the snapshot id.
+
+        The id is stamped into the metrics rows HERE — a caller-side
+        derivation could drift from this one (and would re-parse every
+        prior manifest per wave)."""
         sid = len(list(self.manifest_dir.glob("snapshot-*.json")))
         payload = {
             "snapshot_id": sid,
             "buckets": sorted(buckets),
             "files": sorted(files),
-            "metrics": metrics,
+            "metrics": [dict(m, snapshot_id=sid) for m in metrics],
         }
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
@@ -109,6 +113,7 @@ def run_resumable_extraction(
     n_buckets: int = N_BUCKETS,
     buckets_per_commit: int = 8,
     num_partitions: int | None = None,
+    shuffle_payloads: bool = False,
     fail_after_commits: int | None = None,
 ) -> ManifestTable:
     """Extract `pages` into a snapshot-checkpointed table, resuming past
@@ -118,7 +123,17 @@ def run_resumable_extraction(
     At cluster scale each commit wave is one Spark job over ~1/W of the
     buckets; bucket pruning happens at the scan via the pushed-down
     `bucket IN (...)` predicate on the derived column.
+
+    `num_partitions` takes effect only with `shuffle_payloads=True`
+    (run_extraction's contract: the default layout is scan-split-driven
+    and deliberately has no pre-kernel repartition to size).
     """
+    if num_partitions is not None and not shuffle_payloads:
+        raise ValueError(
+            "run_resumable_extraction: num_partitions only applies with "
+            "shuffle_payloads=True — without it the kernel maps over scan "
+            "splits and the value would be silently ignored"
+        )
     mt = ManifestTable(table_path)
     done = mt.committed_buckets()
     todo = [b for b in range(n_buckets) if b not in done]
@@ -128,10 +143,12 @@ def run_resumable_extraction(
     for i in range(0, len(todo), buckets_per_commit):
         wave = todo[i : i + buckets_per_commit]
         subset = pages_b.where(F.col("bucket").isin(wave))
-        extracted = run_extraction(subset, num_partitions=num_partitions)
+        extracted = run_extraction(
+            subset, num_partitions=num_partitions, shuffle_payloads=shuffle_payloads
+        )
         files = _write_wave(extracted, mt.data_dir)
         metrics = [
-            dict(r.asDict(), snapshot_id=len(mt.snapshots()))
+            r.asDict()
             for r in metrics_rollup(spark.read.parquet(*files)).collect()
         ] if files else []
         mt.commit(wave, files, metrics)

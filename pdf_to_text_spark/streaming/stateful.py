@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
@@ -74,7 +75,12 @@ def dedup_stream_by_url(pages_stream: DataFrame) -> DataFrame:
     crawls of each url; duplicates and stale re-crawls are dropped across
     microbatches via per-url state."""
     return (
+        # NULL warc_ts rows have no position on the crawl-time axis and
+        # would surface as NaT/int64-min sentinels inside the state fn —
+        # drop them here (the batch window's desc_nulls_last never lets
+        # them win either)
         pages_stream.select("url", "warc_ts", "lang")
+        .where(F.col("warc_ts").isNotNull())
         .groupBy("url")
         .applyInPandasWithState(
             _dedup_fn,
@@ -130,6 +136,7 @@ def url_crawl_stats_stream(pages_stream: DataFrame) -> DataFrame:
     """Running per-url crawl statistics, state-backed."""
     return (
         pages_stream.select("url", "warc_ts")
+        .where(F.col("warc_ts").isNotNull())  # see dedup_stream_by_url
         .groupBy("url")
         .applyInPandasWithState(
             _stats_fn,

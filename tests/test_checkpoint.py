@@ -69,3 +69,17 @@ def test_rerun_is_noop(spark, pages, tmp_path):
     n_snaps = len(mt.snapshots())
     run_resumable_extraction(spark, pages, table, buckets_per_commit=16)
     assert len(ManifestTable(table).snapshots()) == n_snaps  # nothing to do
+
+
+def test_num_partitions_without_payload_shuffle_is_loud(spark, tmp_path):
+    """num_partitions is consumed only by the shuffle_payloads layout —
+    passing it alone used to be silently dead (r3 review)."""
+    import pytest
+
+    from pdf_to_text_spark.plans.checkpoint import run_resumable_extraction
+    from pdf_to_text_spark.sources.pages import pages_df
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_resumable_extraction(
+            spark, pages_df(spark, 10), str(tmp_path / "t"), num_partitions=4
+        )

@@ -206,6 +206,11 @@ def test_csv_kernel_jvm_parity_at_boundaries(spark):
         ("A", "1", "7", "1.005"), ("B", "2", "xx", "2.675"),
         ("C", "3", "-5", "Infinity"), ("D", "4", "0", "-Infinity"),
         ("E", "5", "3.9", "-1.125"), ("F", "6", "1", "junk"),
+        # r3 review: JS `||0` swallows -0 (never "-0.00"); NBSP is
+        # whitespace to str.strip()/parseFloat but not Java \s; ints
+        # beyond Long range must keep full digits (kernel = Python int)
+        ("G", "7", "-0", "-0"), ("H", "8", "\u00a042", "\u00a0-0.0e9"),
+        ("I", "9", "9223372036854775808", " .5"),
     ]
     rows = [("u", 0, 0, i) + v for i, v in enumerate(values)]
     df = spark.createDataFrame(
@@ -253,6 +258,12 @@ def test_as_of_join_semantics(spark):
     with _pytest.raises(ValueError, match="order_tiebreak"):
         as_of_join(left, right.drop("event_id"), keys=["user_id"],
                    ts_col="ts", value_cols=["pv"], order_tiebreak="event_id")
+    # a left column named like an internal scratch column would be
+    # silently overwritten — loud error instead (r3 review)
+    with _pytest.raises(ValueError, match="_side"):
+        as_of_join(left.withColumn("_side", F.lit(9)), right,
+                   keys=["user_id"], ts_col="ts", value_cols=["pv"],
+                   order_tiebreak="event_id")
 
 
 def test_local1_equals_local4(spark, pages):
@@ -289,3 +300,20 @@ def test_as_of_join_null_contract(spark):
     assert out[100] == 7.0      # most recent at ts<=10 is ts=5
     assert out[101] is None     # ts=15 row IS most recent; its NULL attaches
     assert out[102] is None     # NULL-ts left row: nothing precedes it
+
+
+def test_json_documents_renders_null_fields(spark):
+    """JSON.stringify renders missing/None fields as `"key": null`; Spark's
+    to_json default silently DROPS null struct fields — pinned here so
+    nullable records (e.g. LLM-ingested) keep stringify parity (r3 review)."""
+    recs = spark.createDataFrame(
+        [("u1", 0, 0, 0, "A", None, "2", None)],
+        "url string, chunk_id int, block_pos int, record_pos int, "
+        "SucursalName string, EAN string, CantidadVendida string, Importe string",
+    )
+    got = json_documents(recs).collect()[0]["json"]
+    want = records_to_pretty_json(
+        [{"SucursalName": "A", "EAN": None, "CantidadVendida": "2", "Importe": None}]
+    )
+    assert got == want
+    assert '"EAN": null' in got
