@@ -805,7 +805,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": r"""
             WITH w AS (
-              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              SELECT doc_id, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
               FROM documents),
             wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
             per_doc AS (
@@ -816,7 +816,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b FROM (
                 SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM (
                   SELECT doc_id,
-                         string_split_regex(lower(trim(text)), '\s+') AS ws
+                         string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
                   FROM documents)
                 WHERE len(ws) >= 2)),
             bc AS (SELECT doc_id, max(cnt) AS top_bigram_count FROM (

@@ -34,7 +34,11 @@ from ..kernels.pdf import (
 def content_type_col(url="url", html="html"):
     """application/pdf iff url ends .pdf AND bytes start %PDF-, else text/html.
 
-    Pure built-in expression — stays inside WholeStageCodegen.
+    Pure built-in expression — stays inside WholeStageCodegen. THE single
+    definition of the dispatch rule: operators.extraction.
+    content_type_dispatch uses this expression and extract_batches
+    mirrors it row-wise (a NULL url with html bytes is text/html on both
+    paths — r3 review pinned the two copies together).
     """
     is_pdf = F.col(url).endswith(".pdf") & (
         F.substring(F.col(html).cast("binary"), 1, 5) == F.lit(b"%PDF-")
@@ -113,8 +117,12 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         texts = b["text"].tolist()
         langs = b["lang"].tolist()
         for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
+            # (url or ""): a NULL url must cost a text/html fallback, not
+            # an AttributeError that fails the task (per-row error rule)
             is_pdf = bool(
-                url.endswith(".pdf") and html is not None and html[:5] == b"%PDF-"
+                (url or "").endswith(".pdf")
+                and html is not None
+                and html[:5] == b"%PDF-"
             )
             ctype = (
                 None

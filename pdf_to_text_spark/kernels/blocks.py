@@ -29,7 +29,6 @@ from decimal import Decimal as _Decimal
 from ..config import (
     BLOCK_END_REGEX,
     BLOCK_START_PREFIX,
-    CHUNK_BLOCK_DELIM,
     CSV_HEADER,
     MAX_BLOCKS_PER_CHUNK,
 )
@@ -174,7 +173,10 @@ def _to_fixed_2(f: float) -> str:
     spec-exact JS toFixed only where the shortest repr sits on a .xx5
     boundary the exact binary expansion doesn't (e.g. 1.005 stored as
     1.00499…): pinned out-of-contract, same as the r1 test note.
-    Non-finite: Infinity/-Infinity/NaN render like JS toFixed."""
+    Non-finite: Infinity/-Infinity/NaN render like JS toFixed.
+    Magnitudes ≥ 1e21 are OUT OF CONTRACT: spec toFixed falls back to
+    exponent-notation ToString there, while this (and the JVM %.2f path)
+    print full digits — no realistic Importe field reaches 1e21."""
     if f != f:
         return "NaN"
     if math.isinf(f):

@@ -38,7 +38,6 @@ from ..config import (
 __all__ = ["HTMLParseFailed", "extract_html_text", "Block"]
 
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
-_VOID_DROP = frozenset()  # drop tags are never void in practice; keep simple
 
 
 class HTMLParseFailed(Exception):

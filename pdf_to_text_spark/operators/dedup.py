@@ -646,7 +646,12 @@ def ngram_jaccard_pairs(
 
 
 def cosine_sim_col(a: str, b: str):
-    """cosine(a, b) with JVM higher-order functions — no Python."""
+    """cosine(a, b) with JVM higher-order functions — no Python.
+
+    A zero-norm vector is defined to have cosine 0 to EVERYTHING: the
+    naive 0.0/0.0 is NaN, and Spark orders NaN above every real double,
+    so one all-zero corpus vector would otherwise rank #1 for every
+    query in all top-k paths (r3 review)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -656,7 +661,8 @@ def cosine_sim_col(a: str, b: str):
     nb = F.sqrt(
         F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
 
 
 def embedding_near_pairs_exact(

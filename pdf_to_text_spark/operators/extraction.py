@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.udfs import EXTRACT_SCHEMA, extract_batches
+from ..functions.udfs import EXTRACT_SCHEMA, content_type_col, extract_batches
 from ..plans.layout import salted_repartition, with_bucket
 
 PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
@@ -152,14 +152,9 @@ def content_type_dispatch(pages: DataFrame) -> DataFrame:
     Built-in expressions only — exercises pushdown/codegen, used by the
     driver oracle checks as a SQL-expressible stand-in for the UDF path.
     """
-    is_pdf = F.col("url").endswith(".pdf") & (
-        F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-")
-    )
     return pages.select(
         "url",
-        F.when(F.col("html").isNull(), F.lit(None).cast("string"))
-        .otherwise(F.when(is_pdf, "application/pdf").otherwise("text/html"))
-        .alias("content_type"),
+        content_type_col().alias("content_type"),
         F.when(F.col("html").isNull() & F.col("text").isNull(), 1)
         .otherwise(0)
         .alias("is_empty"),

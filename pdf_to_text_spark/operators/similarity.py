@@ -6,7 +6,8 @@ Two paths (SURVEY training-data ops):
     dot products, per-query window row_number. The correctness baseline
     and the small-corpus path.
   * lsh_topk         — random-hyperplane LSH (SimHash for vectors,
-    Charikar '02): 16 deterministic hyperplanes → bucket signature;
+    Charikar '02): N_PLANES=8 deterministic hyperplanes → 8-bit bucket
+    signature, over N_TABLES=4 independent tables;
     candidates = same bucket (multi-probe: hamming-1 neighbors too),
     then exact rerank inside buckets. The 100 TB path: the join is keyed
     on the bucket, so pair space is bucket-local; probes trade recall
@@ -188,7 +189,11 @@ def ivf_train(embeddings: DataFrame, dim: int, n_cells: int = 16,
             counts = {}
             acc = {}
             for r in sums:
-                acc[(r["cell"], r["i"])] = float(r["s"])
+                # a (cell, dim) whose every component try_cast'ed to null
+                # (all-NaN/Inf) sums to NULL — treat as 0 contribution
+                # instead of a driver TypeError (r3 review)
+                if r["s"] is not None:
+                    acc[(r["cell"], r["i"])] = float(r["s"])
                 counts[r["cell"]] = r["n"]
             for c in range(n_cells):
                 if counts.get(c):
@@ -266,11 +271,15 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
     q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv"))
     q_probes = q.mapInPandas(probes, schema="query_id long, cell int")
+    # candidate pairs are unique by construction (one cell per vec_id,
+    # n_probe DISTINCT cells per query via argsort) — no distinct()
+    # needed, which would add a full shuffle carrying both arrays at the
+    # widest point of the plan (r3 review; contrast lsh_topk, where
+    # multiple tables CAN co-bucket a pair and dedup is required)
     cand = (
         q.join(q_probes, "query_id")
         .join(corpus, "cell")
         .select("query_id", "qv", "vec_id", "v")
-        .distinct()
     )
     sim = cosine_sim_col("qv", "v")
     scored = cand.select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))

@@ -227,8 +227,10 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     Shape: explode → (doc, term) count → per-doc max/sum — two keyed
     aggregations whose shuffles carry (doc, term) partials (map-side
     combine), the scalable form of a per-doc mode. Fractions are
-    floor-scaled to 4 decimals (engine-portable)."""
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    floor-scaled to 4 decimals (engine-portable). NULL text coalesces to
+    '' so the doc keeps a row (explode(NULL) would silently drop it —
+    the no-vanishing rule every other operator here follows)."""
+    words = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
     wc = (
         documents.select("doc_id", F.explode(words).alias("w"))
         .groupBy("doc_id", "w")

@@ -39,6 +39,15 @@ def colocated_join(
 
 
 def plan_has_exchange(df: DataFrame) -> bool:
+    """True iff the plan contains a SHUFFLE exchange.
+
+    BroadcastExchange is not a shuffle — in a default-config session a
+    small bucketed side legitimately broadcasts, and the co-location
+    claim ("no data movement keyed on the join key") still holds; a bare
+    'Exchange' substring match would flag it (r3 review)."""
     jvm = df.sparkSession._jvm
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    return "Exchange" in plan
+    return any(
+        "Exchange" in line and "BroadcastExchange" not in line
+        for line in plan.splitlines()
+    )

@@ -379,3 +379,20 @@ def test_strip_duplicate_substrings_exactsubstr_semantics(spark):
     assert out[2] == rows[2][1]
     assert out[3] == "short doc"                          # < k tokens: untouched
     assert out[4] == ""                                   # fully-duplicate doc empties
+
+
+def test_zero_vector_never_ranks(spark):
+    """An all-zero corpus vector used to score cosine NaN, which Spark
+    orders above every real double — i.e. rank #1 for every query
+    (r3 review). Defined as cosine 0 instead."""
+    from pdf_to_text_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, qv array<double>")
+    got = {r["rank"]: (r["vec_id"], r["cosine"]) for r in
+           brute_force_topk(emb, q, k=3).collect()}
+    assert got[1][0] == 1
+    assert got[3] == (3, 0.0)  # zero vector ranks LAST with cosine 0

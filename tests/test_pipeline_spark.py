@@ -317,3 +317,18 @@ def test_json_documents_renders_null_fields(spark):
     )
     assert got == want
     assert '"EAN": null' in got
+
+
+def test_null_url_rows_extract_not_crash(spark):
+    """A NULL url must cost a text/html fallback row, not an
+    AttributeError that fails the task (r3 review)."""
+    from tools.make_html import article_page
+
+    html = article_page(7, n_paras=4, para_words=30).encode()
+    df = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1), html, None, "en")],
+        schema=PAGES_SCHEMA,
+    )
+    rows = run_extraction(df, dedup=False).collect()
+    assert len(rows) == 1 and rows[0]["content_type"] == "text/html"
+    assert rows[0]["parse_status"] == "ok" and rows[0]["n_chars"] > 100

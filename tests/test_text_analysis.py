@@ -233,3 +233,16 @@ def test_streaming_extraction_available_now(spark, tmp_path):
     assert spark.read.parquet(out).count() == want
     statuses = {r["parse_status"] for r in got.select("parse_status").distinct().collect()}
     assert "ok" in statuses
+
+
+def test_repetition_stats_keeps_null_text_docs(spark):
+    """explode(NULL) emits nothing — a NULL-text doc must still get a row
+    (the no-silent-vanishing rule; r3 review)."""
+    from pdf_to_text_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["top_word_count"] == 2
