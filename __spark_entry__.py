@@ -251,7 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_dedup_pairs(_docs(spark, sf), threshold=0.2)
 
     def q_simhash_near_pairs(spark, sf):
-        return dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=8)
+        # 3 = the pigeonhole completeness bound of the 4x16 banding
+        # (Manku WWW'07 operating point); >3 is a loud error in the op
+        return dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
 
     def q_embedding_near_pairs(spark, sf):
         # the 100 TB path: LSH bucket candidates → exact rerank ≥ τ
@@ -1007,7 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _ov.near_dup_clusters_oracle(
             _ov.oracle_sf_dir(), threshold=0.5
         ),
-        "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=8),
+        "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=3),
         "knn_lsh": _ov.knn_lsh_oracle(_ov.oracle_sf_dir(), n_queries=8, dim=64, k=5),
         "knn_ivf": _ov.knn_ivf_oracle(
             _ov.oracle_sf_dir(), n_queries=8, dim=64, k=5, n_cells=8, n_probe=3,

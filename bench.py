@@ -84,7 +84,7 @@ def main() -> int:
         "fingerprint_dedup_exact": lambda: dedup.dedup_exact_groups(docs),
         "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(docs, threshold=0.2),
         "minhash_sql_pairs": lambda: dedup.minhash_dedup_pairs_sql(docs, threshold=0.2),
-        "simhash_near_pairs": lambda: dedup.simhash_near_pairs(docs, max_hamming=8),
+        "simhash_near_pairs": lambda: dedup.simhash_near_pairs(docs, max_hamming=3),
         "ngram_jaccard_1k": lambda: dedup.ngram_jaccard_pairs(docs_1k, threshold=0.02),
         "knn_brute_force": lambda: similarity.brute_force_topk(
             emb, similarity.queries_from_corpus(emb, 16), k=10
@@ -103,6 +103,12 @@ def main() -> int:
     for name, fn in headline.items():
         best = float("inf")
         for _ in range(max(1, reps)):
+            # the dedup operators .persist() their fan-out relations and
+            # Spark's CacheManager dedupes by canonicalized plan — without
+            # this, rep 2 reuses rep 1's cached signatures/shingles and
+            # best-of-N reports a cache hit, not the engine (r3 review).
+            # Also bounds cache growth across the suite.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(fn())
             best = min(best, time.perf_counter() - t0)

@@ -248,13 +248,17 @@ def dedup_corpus(
 
     Every stage is a keyed shuffle (fingerprint, band bucket) — the pair
     space never approaches corpus²."""
-    with_fp = documents.select(
-        "doc_id", "text", fingerprint_col().alias("fingerprint")
-    )
-    reps = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_doc_id"))
-    tagged = with_fp.join(reps, "fingerprint")
-    survivors = tagged.where(F.col("doc_id") == F.col("rep_doc_id")).select(
-        "doc_id", "text"
+    fp = documents.select("doc_id", fingerprint_col().alias("fingerprint"))
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_doc_id"))
+    # persist the TINY (doc_id, fingerprint, rep_doc_id) projection at its
+    # plan fan-out (survivor filter + final keep-list): the full-text
+    # normalization regex + md5 then runs once per doc, and the final
+    # select never re-scans text (r3 review; same persist-at-fan-out rule
+    # as the signature/shingle relations)
+    tagged = fp.join(reps, "fingerprint").persist()
+    survivors = documents.select("doc_id", "text").join(
+        tagged.where(F.col("doc_id") == F.col("rep_doc_id")).select("doc_id"),
+        "doc_id",
     )
     near_pairs = minhash_dedup_pairs(
         survivors, threshold=near_threshold, n_perm=n_perm, n_bands=n_bands,
@@ -459,12 +463,14 @@ def minhash_signatures_sql(
 
 
 def minhash_dedup_pairs_sql(
-    documents: DataFrame, threshold: float = 0.5, n_perm: int = 64, n_bands: int = 16
+    documents: DataFrame, threshold: float = 0.5, n_perm: int = 64,
+    n_bands: int = 16, max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates + signature-estimate verify over the pure-JVM
-    signatures — same banding join shape as minhash_dedup_pairs."""
+    signatures — same banding join shape (and hot-bucket cap knob) as
+    minhash_dedup_pairs."""
     sigs = minhash_signatures_sql(documents, n_perm, n_bands).persist()
-    pairs = minhash_candidate_pairs(sigs)  # default hot-bucket cap applies
+    pairs = minhash_candidate_pairs(sigs, max_bucket)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -535,9 +541,20 @@ def simhash_near_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Hamming-≤k pairs via the pigeonhole band join (Manku et al., WWW'07):
-    split 64 bits into 4 bands of 16; distance ≤3 ⇒ ≥1 band equal.
-    Buckets larger than `max_bucket` are dropped (DEFAULT_MAX_BUCKET;
-    audit with simhash_band_bucket_stats)."""
+    split 64 bits into 4 bands of 16; distance ≤3 ⇒ ≥1 band equal, so
+    candidate recall is COMPLETE only for max_hamming ≤ 3 (Manku's
+    near-dup operating point). k > 3 is a loud error — a distance-4 pair
+    can differ in every band and silently vanish (r3 review caught the
+    old default-8 callers relying on exactly that). Buckets larger than
+    `max_bucket` are dropped (DEFAULT_MAX_BUCKET; audit with
+    simhash_band_bucket_stats)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming={max_hamming} exceeds the "
+            "4x16-bit pigeonhole guarantee (complete only for <= 3) — "
+            "results would silently miss pairs; use more/narrower bands "
+            "or exact ngram_jaccard_pairs for looser thresholds"
+        )
     # the band self-join references the signature subtree twice (a/b
     # aliases): persist so the text scan + kernel run once per doc
     sigs = simhash_signatures(documents).persist()

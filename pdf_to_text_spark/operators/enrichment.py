@@ -97,10 +97,22 @@ class HTTPEnricher:
     def extract(self, chunk_texts: list[str]) -> list[tuple[list[dict], str]]:
         requests = [build_request(c) for c in chunk_texts]
         responses = self.transport(requests)
+        if len(responses) < len(requests):
+            # a transport short-read must not SILENTLY drop trailing
+            # chunks (enrich_chunks zips rows to results) — pad so each
+            # missing response surfaces as an enrich_failed row
+            responses = list(responses) + [None] * (len(requests) - len(responses))
         out = []
         for resp in responses:
             try:
-                out.append((json.loads(extract_json_fenced(resp)), "ok"))
+                recs = json.loads(extract_json_fenced(resp))
+                # any valid JSON parses; only a list of objects is the
+                # contract shape — a dict/str/list-of-str response would
+                # otherwise crash enumerate/r.get inside the Spark task
+                if not (isinstance(recs, list)
+                        and all(isinstance(r, dict) for r in recs)):
+                    raise ValueError("response is not a list of records")
+                out.append((recs, "ok"))
             except Exception:
                 # reference fail-stops the whole request (main.ts:222-226);
                 # at scale a bad chunk must not kill the job

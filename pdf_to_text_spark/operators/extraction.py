@@ -107,14 +107,20 @@ def wrap_documents_as_pages(documents: DataFrame) -> DataFrame:
     import pandas as pd
 
     def gen(batches):
+        import html as _html
+
         nav = "".join(f'<a href="/s/{i}">section link {i}</a> | ' for i in range(8))
         for b in batches:
+            # escape markup chars (the kernel decodes entities, so the
+            # round-trip inverts); a raw '<' in text would otherwise open
+            # a bogus tag the extractor cannot recover byte-identically,
+            # and a NULL text would render as the literal 'None'
             htmls = [
                 (
                     "<!DOCTYPE html><html><head><title>d</title>"
                     "<style>p{margin:0}</style><script>var x=1;</script></head>"
                     f"<body><nav><div>{nav}</div></nav>"
-                    f"<article><p>{t}</p></article>"
+                    f"<article><p>{_html.escape(t or '', quote=False)}</p></article>"
                     '<footer><div><a href="/a">about</a> <a href="/b">legal</a>'
                     " &copy; 2024</div></footer></body></html>"
                 ).encode()

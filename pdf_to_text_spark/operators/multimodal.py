@@ -213,13 +213,17 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     part: a video row fans out to ceil(n_frames / every_n) frame tasks.
     """
     return (
-        media.where(F.col("kind") == "video")
+        # n_frames >= 1 required: NULL (unknown) or 0 (empty container)
+        # would otherwise emit a phantom frame_idx=0 row for a frame that
+        # does not exist (greatest(-1, 0) clamp + sequence(0,0) — r3
+        # review); such videos contribute zero plan rows
+        media.where((F.col("kind") == "video") & (F.col("meta.n_frames") >= 1))
         .select(
             "media_id",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.col("meta.n_frames") - 1,
                     F.lit(every_n),
                 )
             ).alias("frame_idx"),

@@ -30,7 +30,10 @@ def corpus_sketches(documents: DataFrame) -> DataFrame:
     """
     n = F.count(F.lit(1))
     s1 = F.sum(F.col("n_chars").cast("long"))
-    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("long"))
+    # squares accumulate in decimal(38,0): a BIGINT running sum overflows
+    # at ~1e9 docs x (1e5 chars)^2 — inside the 10^12-doc design point —
+    # and ANSI mode turns that into a hard job failure (r3 review)
+    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
     agg = documents.groupBy("lang").agg(
         n.alias("docs"),
         F.approx_count_distinct("source", rsd=0.02).alias("approx_sources"),
@@ -78,7 +81,10 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     corpus_sketches."""
     n = F.count(F.lit(1))
     s1 = F.sum(F.col("n_chars").cast("long"))
-    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("long"))
+    # squares accumulate in decimal(38,0): a BIGINT running sum overflows
+    # at ~1e9 docs x (1e5 chars)^2 — inside the 10^12-doc design point —
+    # and ANSI mode turns that into a hard job failure (r3 review)
+    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
     agg = documents.groupBy("lang").agg(
         n.alias("docs"),
         F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("_p"),

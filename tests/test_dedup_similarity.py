@@ -169,10 +169,16 @@ def test_lsh_candidates_then_exact_jaccard_composition(docs):
 
 def test_simhash_near_pairs(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
-             dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+             dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
     assert (0, 4) in pairs and pairs[(0, 4)] == 0  # normalization-identical
     assert (0, 1) in pairs
     assert not any(3 in (a, b) for (a, b) in pairs)
+    # beyond the 4x16 pigeonhole guarantee (<=3) recall is silently
+    # partial — loud error instead (r3 review)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(docs, max_hamming=8)
 
 
 def test_ngram_jaccard_exact_math(docs, spark):

@@ -76,3 +76,16 @@ def test_http_enricher_with_mock_transport(spark, chunks):
     assert len(ok) == 2 and all(r["SucursalName"] == "M" for r in ok)
     assert len(failed) == 1  # bad response → status row, job survives
     assert all(r["EAN"] == "3" for r in ok)  # all 3 chunks in one transport call
+
+def test_non_list_json_and_short_transport_degrade_not_crash(spark, chunks):
+    """A dict/list-of-str response is valid JSON but not the record shape
+    — it must become an enrich_failed row, not an AttributeError inside
+    the task; a transport returning FEWER responses than requests must
+    not silently drop the trailing chunks (r3 review)."""
+    def bad_transport(requests):
+        out = ['```json {"SucursalName": "x"} ```', '```json ["a", "b"] ```']
+        return out[: max(0, len(requests) - 1)]  # short-read too
+
+    rows = enrich_chunks(chunks.coalesce(1), HTTPEnricher(bad_transport)).collect()
+    assert len(rows) == 3  # one status row per chunk, none vanished
+    assert all(r["enrich_status"] == "enrich_failed" for r in rows)

@@ -486,7 +486,7 @@ def dedup_corpus_oracle(
 
 
 @functools.lru_cache(maxsize=4)
-def simhash_oracle(sf: str, max_hamming: int = 8) -> str:
+def simhash_oracle(sf: str, max_hamming: int = 3) -> str:
     from pdf_to_text_spark.kernels.textstats import simhash64
 
     # Spark stores simhash as (h - 2^63); band equality and XOR popcount
