@@ -501,7 +501,12 @@ _LANG_PROFILES_SQL = {
 }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(_only: set | None = None) -> dict[str, str]:
+    """The driver calls this with no arguments and gets the full dict
+    (contract unchanged). `_only` is a local-tooling fast path: the
+    VALUES oracles at the bottom each replay a kernel/k-means pass at
+    build time, so tools.check_oracle passes the requested query names to
+    skip the multi-minute builds it isn't going to compare."""
     from tools import oracle_values as _ov
     from pdf_to_text_spark.operators.text_analysis import PII_PATTERNS as _PII
 
@@ -523,7 +528,7 @@ def oracle_sql() -> dict[str, str]:
         f"w -> list_contains({prof}, w))) AS {lang}_hits"
         for lang, prof in _LANG_PROFILES_SQL.items()
     )
-    return {
+    out = {
         "extract_html_roundtrip": (
             "SELECT doc_id, text AS extracted_text FROM documents"
         ),
@@ -990,34 +995,47 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY chunk_id, block_pos, record_pos) AS csv
             FROM lines GROUP BY url
         """,
-        # Non-SQL-expressible operators (custom kernels / signature hashing /
-        # iterative k-means): the expected output is recomputed in-process
-        # with the SAME deterministic kernels and pinned as a VALUES table
-        # (tools/oracle_values.py documents why each replication is exact).
-        "extraction_pdf_e2e": _ov.extraction_e2e_oracle(120),
-        "extraction_status_metrics": _ov.extraction_status_metrics_oracle(120),
-        "winnow_fingerprints": _ov.winnow_oracle(_ov.oracle_sf_dir()),
-        "media_features": _ov.media_oracle(60),
-        "image_resize": _ov.image_resize_oracle(60),
-        "audio_resample_plan": _ov.audio_resample_oracle(60),
-        "minhash_dedup_pairs": _ov.minhash_oracle(
+    }
+    # Non-SQL-expressible operators (custom kernels / signature hashing /
+    # iterative k-means): the expected output is recomputed in-process
+    # with the SAME deterministic kernels and pinned as a VALUES table
+    # (tools/oracle_values.py documents why each replication is exact).
+    # Built as thunks so `_only` can skip the expensive replays.
+    lazy = {
+        "extraction_pdf_e2e": lambda: _ov.extraction_e2e_oracle(120),
+        "extraction_status_metrics": lambda: _ov.extraction_status_metrics_oracle(120),
+        "winnow_fingerprints": lambda: _ov.winnow_oracle(_ov.oracle_sf_dir()),
+        "media_features": lambda: _ov.media_oracle(60),
+        "image_resize": lambda: _ov.image_resize_oracle(60),
+        "audio_resample_plan": lambda: _ov.audio_resample_oracle(60),
+        "minhash_dedup_pairs": lambda: _ov.minhash_oracle(
             _ov.oracle_sf_dir(), threshold=0.2
         ),
-        "dedup_corpus": _ov.dedup_corpus_oracle(
+        "dedup_corpus": lambda: _ov.dedup_corpus_oracle(
             _ov.oracle_sf_dir(), near_threshold=0.5
         ),
-        "near_dup_clusters": _ov.near_dup_clusters_oracle(
+        "near_dup_clusters": lambda: _ov.near_dup_clusters_oracle(
             _ov.oracle_sf_dir(), threshold=0.5
         ),
-        "simhash_near_pairs": _ov.simhash_oracle(_ov.oracle_sf_dir(), max_hamming=3),
-        "knn_lsh": _ov.knn_lsh_oracle(_ov.oracle_sf_dir(), n_queries=8, dim=64, k=5),
-        "knn_ivf": _ov.knn_ivf_oracle(
+        "simhash_near_pairs": lambda: _ov.simhash_oracle(
+            _ov.oracle_sf_dir(), max_hamming=3
+        ),
+        "knn_lsh": lambda: _ov.knn_lsh_oracle(
+            _ov.oracle_sf_dir(), n_queries=8, dim=64, k=5
+        ),
+        "knn_ivf": lambda: _ov.knn_ivf_oracle(
             _ov.oracle_sf_dir(), n_queries=8, dim=64, k=5, n_cells=8, n_probe=3,
             sample_pct=50,
         ),
-        "embedding_near_pairs": _ov.embedding_near_pairs_oracle(
+        "embedding_near_pairs": lambda: _ov.embedding_near_pairs_oracle(
             _ov.oracle_sf_dir(), threshold=0.3, dim=64
         ),
-        "streaming_minute_metrics": _ov.streaming_minute_oracle(200),
-        "streaming_dedup_by_url": _ov.streaming_dedup_oracle(200),
+        "streaming_minute_metrics": lambda: _ov.streaming_minute_oracle(200),
+        "streaming_dedup_by_url": lambda: _ov.streaming_dedup_oracle(200),
     }
+    for _k, _thunk in lazy.items():
+        if _only is None or _k in _only:
+            out[_k] = _thunk()
+    if _only is not None:
+        out = {k: v for k, v in out.items() if k in _only}
+    return out

@@ -6,7 +6,8 @@ same input (32-core box, no real cluster — task instructions). Each
 measurement is a COLD JVM (fresh subprocess), ≥3 repetitions, median.
 
 Usage:  python -m bench.scaling [--pages 2000] [--reps 3]
-Writes: BENCH/BASELINE.md (+ prints a JSON summary line)
+Writes: BENCH/LAST_RUN.md (+ prints a JSON summary line); the committed
+BENCH/BASELINE.md is the curated multi-window report.
 """
 
 from __future__ import annotations
@@ -35,7 +36,11 @@ n = pages.count()          # warm the file listing, outside the timed region
 # Warm the Python worker pool (daemon fork + pyspark/pandas/numpy/engine
 # imports, ~4-6s across the pool) — on a real cluster executors are
 # long-lived, so cold interpreter start is not part of throughput.
-run_extraction(pages.limit(8 * cores)).write.format("noop").mode("overwrite").save()
+# repartition(cores) matters: a bare limit() collapses to ONE partition
+# (LocalLimit -> Exchange SinglePartition), which warmed a single worker
+# and left cores-1 cold starts INSIDE the timed region, deflating the
+# high-core run disproportionately (r3 review).
+run_extraction(pages.limit(8 * cores).repartition(cores)).write.format("noop").mode("overwrite").save()
 t0 = time.perf_counter()
 run_extraction(pages).write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
@@ -94,14 +99,25 @@ def _pool_control(pages_path: str, low: int, high: int, n_docs: int = 24000) -> 
     out = {}
     for procs in (low, high):
         chunks = [payloads[i :: procs * 4] for i in range(procs * 4)]
-        with mp.Pool(procs) as p:
-            p.map(_pool_work, chunks[:procs])  # warm imports
+        # initializer warms EVERY worker at spawn — a warm-up map of
+        # `procs` tasks has no worker affinity, so a fast worker could
+        # take two and leave another to cold-import inside the timed
+        # region (r3 review)
+        with mp.Pool(procs, initializer=_pool_warm) as p:
+            p.map(_pool_work, chunks[:procs])  # warm the map codepath too
             t0 = __import__("time").perf_counter()
             p.map(_pool_work, chunks)
             dt = __import__("time").perf_counter() - t0
         out[procs] = len(payloads) / dt
     out["efficiency"] = (out[high] / out[low]) / (high / low)
     return out
+
+
+def _pool_warm():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import pdf_to_text_spark.functions.udfs  # noqa: F401 — pulls the kernels
 
 
 def _pool_work(chunk):
@@ -172,10 +188,11 @@ def main() -> int:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     lines = [
-        "# BENCH/BASELINE.md — measured throughput + scaling (BASELINE.md §protocol)",
+        "# BENCH/LAST_RUN.md — raw data of the latest scaling run "
+        "(curated multi-window report: BENCH/BASELINE.md)",
         "",
         f"Input: deterministic synthetic pages table, {docs} docs "
-        f"(~33% PDF incl. 1% 50-page megadocs, ~66% HTML; seed-pinned).",
+        f"(~33% PDF incl. 1% 100-page megadocs, ~66% HTML; seed-pinned).",
         "Job: full extraction pipeline (Arrow-batched PDF/HTML kernels over",
         "size-bounded scan splits → dedup window on extracted rows → noop",
         f"sink). Cold JVM per run, warm Python worker pool, {args.reps} reps.",
@@ -208,7 +225,8 @@ def main() -> int:
         "measured on identical jobs) — the least-interfered rep is the honest",
         "estimate of engine capability at each parallelism level.",
         "",
-        "Evidenced as local[8] vs local[32] on identical input per the task",
+        f"Evidenced as local[{args.low}] vs local[{args.high}] (N vs "
+        f"{ratio:.0f}N cores) on identical input per the task",
         "instructions (32-core sandbox; no real cluster). On a real cluster the",
         "same job is `spark-submit --py-files dist/engine.zip --master <N|4N>`.",
     ]

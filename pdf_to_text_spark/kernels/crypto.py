@@ -280,8 +280,13 @@ def verify_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
 
 
 def object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
-    """Algorithm 1: the per-object RC4/AES key."""
-    ext = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    """Algorithm 1: the per-object RC4/AES key.
+
+    ISO 32000-1 appends the LOW-ORDER 3 bytes of the object number and 2
+    of the generation — mask rather than to_bytes so a >2^24 object
+    number (or lenient-parsed generation) derives the spec key instead of
+    raising OverflowError (r3 review)."""
+    ext = (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
     if aes:
         ext += b"sAlT"
     return hashlib.md5(key + ext).digest()[: min(len(key) + 5, 16)]

@@ -378,6 +378,12 @@ class _StdCrypt:
         self.identity_streams = False
         if v in (1, 2) and r in (2, 3):
             key_bits = 40 if v == 1 else (length if isinstance(length, int) else 40)
+            # spec bounds (40-128, byte-aligned): /Length 0 would derive
+            # an EMPTY file key and rc4 would ZeroDivisionError its way
+            # into parse_failed instead of the 'encrypted' status (r3
+            # review) — out-of-range lengths are "cannot decrypt"
+            if not 40 <= key_bits <= 128 or key_bits % 8:
+                raise PDFEncryptedError(f"invalid /Length {key_bits}")
         elif v == 4 and r == 4:
             cf = enc.get("CF")
             cf = cf if isinstance(cf, dict) else {}
@@ -407,6 +413,8 @@ class _StdCrypt:
                 key_bits = length
             else:
                 key_bits = 128
+            if not 40 <= key_bits <= 128 or key_bits % 8:
+                raise PDFEncryptedError(f"invalid V4 key length {key_bits}")
         else:
             raise PDFEncryptedError(f"unsupported encryption V={v} R={r}")
         key = crypto.file_key(

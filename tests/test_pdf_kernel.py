@@ -600,3 +600,32 @@ def test_per_stream_stdcf_overrides_identity_stmf():
     wire = crypto.aes128_cbc_encrypt(okey, bytes(16), secret)
     assert c.decrypt_stream(9, 0, wire) == wire          # default: identity
     assert c.decrypt_stream(9, 0, wire, force_stdcf=True) == secret
+
+
+def test_encrypt_length_zero_is_encrypted_not_parse_failed():
+    """/Encrypt /Length 0 would derive an empty file key and crash rc4
+    with ZeroDivisionError -> blanket 'parse_failed'; the round-3 status
+    vocabulary demands 'encrypted' (cannot decrypt) for it (r3 review)."""
+    import pytest
+
+    from pdf_to_text_spark.kernels.pdf import PDFEncryptedError, extract_pdf_text
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    pdf = build_encrypted_pdf(
+        [content_stream_for_lines(["hello world"])], method="rc4_128"
+    )
+    broken = pdf.replace(b"/Standard /V 2 /R 3 /Length 128",
+                         b"/Standard /V 2 /R 3 /Length 0  ")
+    assert broken != pdf
+    with pytest.raises(PDFEncryptedError, match="Length"):
+        extract_pdf_text(broken)
+
+
+def test_object_key_large_object_number_uses_low_order_bytes():
+    """ISO 32000-1 Algorithm 1 appends the LOW-ORDER 3 bytes of the
+    object number — >2^24 must not OverflowError (r3 review)."""
+    from pdf_to_text_spark.kernels import crypto
+
+    k = crypto.object_key(b"0123456789", (1 << 24) + 7, 70001, True)
+    assert k == crypto.object_key(b"0123456789", 7, 70001 & 0xFFFF, True)
+    assert len(k) == 15

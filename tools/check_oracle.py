@@ -85,7 +85,15 @@ def main(argv: list[str]) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    unknown = only - qs.keys()
+    if unknown:
+        # a typo'd name silently filtering every query out would print
+        # 'ALL OK' having checked NOTHING (r3 review) — fail loud
+        print(f"ERROR: unknown queries: {sorted(unknown)}")
+        spark.stop()
+        return 2
+    # _only skips building the expensive VALUES oracles we won't compare
+    oracles = entrymod.oracle_sql(_only=only or None)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -99,7 +107,9 @@ def main(argv: list[str]) -> int:
         if name not in oracles:
             try:
                 hs = frame_hash(spdf)
-            except TypeError as e:
+            # ndarray cells raise ValueError ('truth value is ambiguous'),
+            # list cells TypeError — both are driver-canonicalizer crashes
+            except (TypeError, ValueError) as e:
                 print(f"FAIL  {name}: driver-canonicalizer crash: {e}")
                 failures += 1
                 continue
@@ -121,7 +131,7 @@ def main(argv: list[str]) -> int:
         else:
             try:
                 hs, ho = frame_hash(spdf), frame_hash(opdf)
-            except TypeError as e:
+            except (TypeError, ValueError) as e:
                 problems.append(f"driver-canonicalizer crash: {e}")
             else:
                 if hs != ho:

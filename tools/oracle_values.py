@@ -73,7 +73,10 @@ def fold_cosine(a: list[float], b: list[float]) -> float:
     nb = 0.0
     for y in b:
         nb = nb + y * y
-    return dot / (math.sqrt(na) * math.sqrt(nb))
+    denom = math.sqrt(na) * math.sqrt(nb)
+    # zero-norm guard mirrors the operator (cosine vs a zero vector is
+    # DEFINED as 0.0 there; a bare divide would ZeroDivisionError here)
+    return dot / denom if denom != 0 else 0.0
 
 
 def _lit(v) -> str:
@@ -385,6 +388,8 @@ def _minhash_pairs_for(
     minhash-derived oracle (pairs / corpus keep-list / clusters)."""
     from pdf_to_text_spark.kernels.textstats import minhash_bands, minhash_signature
 
+    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
     sigs = {}
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs:
@@ -394,6 +399,8 @@ def _minhash_pairs_for(
             buckets.setdefault((bi, bh), []).append(doc_id)
     pairs = set()
     for ids in buckets.values():
+        if len(ids) > DEFAULT_MAX_BUCKET:
+            continue  # replicate the operator's hot-bucket cap exactly
         ids.sort()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -492,6 +499,8 @@ def simhash_oracle(sf: str, max_hamming: int = 3) -> str:
     # Spark stores simhash as (h - 2^63); band equality and XOR popcount
     # are invariant under that constant top-bit flip, so raw unsigned h
     # replicates the banded join exactly.
+    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
     sh = {doc_id: simhash64(text or "") for doc_id, text in _read_docs(sf)}
     buckets: dict[tuple[int, int], list[int]] = {}
     for d, h in sh.items():
@@ -499,6 +508,8 @@ def simhash_oracle(sf: str, max_hamming: int = 3) -> str:
             buckets.setdefault((bi, (h >> (16 * bi)) & 0xFFFF), []).append(d)
     pairs = set()
     for ids in buckets.values():
+        if len(ids) > DEFAULT_MAX_BUCKET:
+            continue  # replicate the operator's hot-bucket cap exactly
         ids.sort()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -613,8 +624,12 @@ def embedding_near_pairs_oracle(
     for vec_id, bks in _lsh_buckets(sf, dim, n_planes, n_tables):
         for t, bk in enumerate(bks):
             by_bucket.setdefault((t, bk), []).append(vec_id)
+    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
     pairs = set()
     for ids in by_bucket.values():
+        if len(ids) > DEFAULT_MAX_BUCKET:
+            continue  # replicate the operator's hot-bucket cap exactly
         ids.sort()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
