@@ -408,7 +408,10 @@ class _StdCrypt:
             # top-level /Length is a fallback, and AESV2 is 128-bit
             stdcf_len = stdcf.get("Length")
             if isinstance(stdcf_len, int) and stdcf_len > 0:
-                key_bits = stdcf_len * 8 if stdcf_len <= 40 else stdcf_len
+                # CF /Length is BYTES (5-16) per Table 25; legacy writers
+                # used bits — pivot at 16, not 40: a legacy bits-value 40
+                # must read as 40-bit RC4, not 40 bytes = 320 bits
+                key_bits = stdcf_len * 8 if stdcf_len <= 16 else stdcf_len
             elif isinstance(length, int) and length >= 40:
                 key_bits = length
             else:
@@ -658,7 +661,14 @@ class _Lexer:
                     raise PDFParseError("unterminated stream")
                 raw = self.data[self.pos : end]
                 self.pos = end + len(b"endstream")
-                return _Stream(out, raw.rstrip(b"\r\n"))
+                # strip exactly ONE pre-endstream EOL: rstrip would eat
+                # payload bytes when the stream data itself ends in \n or
+                # \r (~1/64 of compressed streams — r3 review)
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith((b"\n", b"\r")):
+                    raw = raw[:-1]
+                return _Stream(out, raw)
             if not isinstance(length, int):
                 raise PDFParseError("stream without integer /Length")
             raw = self.data[self.pos : self.pos + length]
@@ -741,8 +751,16 @@ class PDFDocument:
     """Minimal PDF document model: xref walk + object resolution + page tree."""
 
     def __init__(self, data: bytes):
-        if b"%PDF-" not in data[:1024]:
+        h = data[:1024].find(b"%PDF-")
+        if h < 0:
             raise PDFParseError("missing %PDF- header")
+        if h:
+            # preamble-prefixed file (saved HTTP headers, mail wrapper):
+            # writers compute xref offsets relative to the header, so
+            # rebase — admitting the header without rebasing made every
+            # such file a guaranteed parse_failed (r3 review; pdfjs
+            # rebases the same way)
+            data = data[h:]
         self.data = data
         self.xref: dict[int, int] = {}
         # obj num → (container ObjStm number, index inside it) — PDF 1.5+
@@ -754,6 +772,8 @@ class PDFDocument:
         self._crypt: _StdCrypt | None = None
         self._form_cache: dict[tuple, tuple] = {}
         self._form_decodes = 0
+        self._page_count = 0
+        self._font_dec_cache: dict[int, object] = {}
         self._load_xref()
 
     # ── xref / trailer ──────────────────────────────────────────────────
@@ -1026,8 +1046,20 @@ class PDFDocument:
             return None
         out: dict[str, dict[int, str]] = {}
         for fname, fref in fonts.items():
+            # decoder depends only on the font object, not page context —
+            # cache per object number so a 500-page doc parses its CJK
+            # /ToUnicode CMap once, not 500 times (r3 review; same
+            # rationale as _form_cache)
+            fnum = fref.num if isinstance(fref, _Ref) else None
+            if fnum is not None and fnum in self._font_dec_cache:
+                cached = self._font_dec_cache[fnum]
+                if cached is not None:
+                    out[str(fname)] = cached
+                continue
             f = self.resolve(fref)
             if not isinstance(f, dict):
+                if fnum is not None:
+                    self._font_dec_cache[fnum] = None
                 continue
             is_type0 = str(f.get("Subtype", "")) == "Type0"
             m: dict[int, str] = {}
@@ -1064,13 +1096,16 @@ class PDFDocument:
                 if not wide and isinstance(enc, _Name) and str(enc) not in (
                     "Identity-H", "Identity-V",
                 ):
-                    out[str(fname)] = _UnsupportedCMap(str(enc))
-                    continue
-                out[str(fname)] = _WideMap(wide)
-                continue
-            m.update(narrow)  # ToUnicode wins over Differences (pdfjs order)
-            if m:
-                out[str(fname)] = m
+                    dec = _UnsupportedCMap(str(enc))
+                else:
+                    dec = _WideMap(wide)
+            else:
+                m.update(narrow)  # ToUnicode wins over Differences (pdfjs)
+                dec = m or None
+            if fnum is not None:
+                self._font_dec_cache[fnum] = dec
+            if dec is not None:
+                out[str(fname)] = dec
         return out or None
 
     # ── form XObjects (§8.10): text drawn via the `Do` operator ─────────
@@ -1136,9 +1171,13 @@ class PDFDocument:
                 out[str(name)] = self._form_cache[memo_key]
                 continue
             self._form_decodes += 1
-            if self._form_decodes > self._MAX_FORMS_PER_DOC:
+            # page-scaled: a valid long doc with one inheriting form per
+            # page (fresh direct /Resources per page → memo miss) needs
+            # O(pages) decodes and must not trip the adversarial guard
+            cap = max(self._MAX_FORMS_PER_DOC, 4 * self._page_count)
+            if self._form_decodes > cap:
                 raise PDFParseError(
-                    f"more than {self._MAX_FORMS_PER_DOC} form XObject "
+                    f"more than {cap} form XObject "
                     "decodes in one document (adversarial nesting)"
                 )
             content = self._decode_stream(st)
@@ -1164,20 +1203,33 @@ class PDFDocument:
         self._walk_pages(pages_node, out, depth=0)
         if not out:
             raise PDFParseError("document has no pages")
+        # the form-decode budget scales with page count: per-page direct
+        # /Resources dicts legitimately miss the memo, so a long valid
+        # doc with one letterhead form per page needs O(pages) decodes
+        self._page_count = max(self._page_count, len(out))
         return out
 
-    def _walk_pages(self, node, out: list, depth: int) -> None:
+    def _walk_pages(self, node, out: list, depth: int, inherited_res=None) -> None:
         if depth > 64:
             raise PDFParseError("page tree too deep")
         node = self.resolve(node)
         if not isinstance(node, dict):
             raise PDFParseError("bad page-tree node")
         t = str(node.get("Type", ""))
+        # /Resources is an INHERITABLE page attribute (ISO 32000-1
+        # §7.7.3.4): a Page without its own takes the nearest ancestor's.
+        # Ignoring that silently dropped parent-defined fonts and form
+        # XObjects with status 'ok' (r3 review; pdfjs walks the chain).
+        own_res = node.get("Resources", None)
+        eff_res = own_res if own_res is not None else inherited_res
         if t == "Page":
+            if own_res is None and inherited_res is not None:
+                node = dict(node)  # copy — never mutate the object cache
+                node["Resources"] = inherited_res
             out.append(node)
         elif t == "Pages" or "Kids" in node:
             for kid in self.resolve(node.get("Kids", [])):
-                self._walk_pages(kid, out, depth + 1)
+                self._walk_pages(kid, out, depth + 1, eff_res)
         else:
             raise PDFParseError(f"unknown page-tree node type {t!r}")
 
@@ -1347,14 +1399,20 @@ def _glyph_to_char(name: str) -> str:
     ch = _GLYPH_MAP.get(name)
     if ch is not None:
         return ch
+    # surrogate codepoints (D800-DFFF) are clamped to U+FFFD exactly like
+    # _parse_tounicode: a lone surrogate in extracted text is unencodable
+    # and would kill the task at Arrow-serialization time, OUTSIDE the
+    # per-row except (r3 review)
     if name.startswith("uni") and len(name) >= 7:
         try:
-            return chr(int(name[3:7], 16))
+            cp = int(name[3:7], 16)
+            return chr(cp) if not 0xD800 <= cp <= 0xDFFF else "�"
         except ValueError:
             pass
     if name.startswith("u") and 5 <= len(name) <= 7:
         try:
-            return chr(int(name[1:], 16))
+            cp = int(name[1:], 16)
+            return chr(cp) if not 0xD800 <= cp <= 0xDFFF else "�"
         except ValueError:
             pass
     return "�"
@@ -1588,7 +1646,18 @@ def _extract_page_text(
                 arr_strs.append(s)
             last_str = s
         elif gi == GI_NAME:
-            last_name = m.group(GI_NAME)[1:].decode("latin-1")
+            raw_name = m.group(GI_NAME)[1:]
+            if b"#" in raw_name:
+                # #xx escapes are legal in ANY name, including operands —
+                # resource-dict keys are unescaped by _Lexer._parse_name,
+                # so an escaped /F#31 Tf must also resolve to 'F1' or the
+                # font/XObject lookup silently misses (r3 review)
+                raw_name = re.sub(
+                    rb"#([0-9A-Fa-f]{2})",
+                    lambda mm: bytes([int(mm.group(1), 16)]),
+                    raw_name,
+                )
+            last_name = raw_name.decode("latin-1")
             continue
         elif gi == GI_STROP:
             lx = _Lexer(content, m.start(GI_STROP))

@@ -221,8 +221,21 @@ def build_pdf(page_streams: list[bytes], *, compress: bool = False,
             b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
         )
     objects.extend(extra_objects)  # numbered after the page objects
+    return assemble_classic_xref(objects, trailer_extra=trailer_extra)
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+
+def assemble_classic_xref(
+    objects: list[bytes],
+    *,
+    header: bytes = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n",
+    trailer_extra: bytes = b"",
+) -> bytes:
+    """Shared object-list → bytes assembly (classic xref table).
+
+    ONE copy of the body/xref/trailer framing for build_pdf AND
+    build_encrypted_pdf (the two used to carry drifting duplicates —
+    r3 review); byte-for-byte identical to the round-1 writer."""
+    buf = bytearray(header)
     offsets = [0]  # object 0 is the free head
     for num, body in enumerate(objects, start=1):
         offsets.append(len(buf))
@@ -419,11 +432,16 @@ def build_encrypted_pdf(
 
     from pdf_to_text_spark.kernels import crypto
 
-    v, r, bits = {
-        "rc4_40": (1, 2, 40),
-        "rc4_128": (2, 3, 128),
-        "aes_128": (4, 4, 128),
+    v, r, bits, cfm = {
+        "rc4_40": (1, 2, 40, None),
+        "rc4_128": (2, 3, 128, None),
+        "aes_128": (4, 4, 128, b"AESV2"),
+        # legacy writer: V4 crypt filter whose CF /Length holds BITS (40)
+        # where the spec says bytes (5-16) — the kernel's pivot must read
+        # it as 40-bit RC4
+        "rc4_v4_len40": (4, 4, 40, b"V2"),
     }[method]
+    aes = cfm == b"AESV2"
     p = -44  # print+copy denied bits clear; the verifier only hashes it
     id0 = hashlib.md5(b"spark-graft-fixture-id:" + method.encode()).digest()
     o = crypto.compute_o(owner_pw, user_pw, r, bits)
@@ -431,8 +449,8 @@ def build_encrypted_pdf(
     u = crypto.compute_u(key, id0, r)
 
     def enc(num: int, data: bytes) -> bytes:
-        okey = crypto.object_key(key, num, 0, aes=(v == 4))
-        if v == 4:
+        okey = crypto.object_key(key, num, 0, aes=aes)
+        if aes:
             iv = hashlib.md5(b"fixture-iv:%d" % num).digest()
             return crypto.aes128_cbc_encrypt(okey, iv, data)
         return crypto.rc4(okey, data)
@@ -459,9 +477,11 @@ def build_encrypted_pdf(
         )
     enc_num = len(objects) + 1
     if v == 4:
+        cf_len = 16 if aes else bits  # bytes for AESV2; legacy bits for V2
         extra = (
-            b"/Length %d /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
-            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF " % bits
+            b"/Length %d /CF << /StdCF << /CFM /" % bits + cfm
+            + b" /AuthEvent /DocOpen "
+            b"/Length %d >> >> /StmF /StdCF /StrF /StdCF " % cf_len
         )
     elif v == 2:
         extra = b"/Length %d " % bits
@@ -475,23 +495,11 @@ def build_encrypted_pdf(
     trailer_extra = (
         b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (enc_num, id0.hex().encode(), id0.hex().encode())
     )
-
-    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(buf))
-        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
-    xref_pos = len(buf)
-    n_objs = len(objects) + 1
-    buf += b"xref\n0 %d\n" % n_objs
-    buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += b"%010d 00000 n \n" % off
-    buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R " % n_objs + trailer_extra
-        + b">>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    return assemble_classic_xref(
+        objects,
+        header=b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n",
+        trailer_extra=trailer_extra,
     )
-    return bytes(buf)
 
 
 def predefined_cmap_pdf(*, used: bool = True) -> bytes:
