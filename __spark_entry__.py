@@ -23,17 +23,24 @@ def _ensure_shipped(spark: SparkSession) -> None:
     """Make the engine importable on this session's Python workers.
 
     The driver builds its own SparkSession; ship engine.zip to it once
-    (same mechanism as spark-submit --py-files). Safe to call repeatedly."""
-    key = id(spark.sparkContext)
+    (same mechanism as spark-submit --py-files). Safe to call repeatedly.
+    Keyed on applicationId (an id() key can collide when a stopped
+    context's address is recycled) and marked shipped only on SUCCESS —
+    caching a swallowed failure would skip every retry and leave workers
+    with ModuleNotFoundError (r3 review)."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
     try:
         from pdf_to_text_spark.config import package_zip
 
         spark.sparkContext.addPyFile(package_zip())
+        _SHIPPED.add(key)
     except Exception:
-        pass  # already registered, or local sys.path suffices
-    _SHIPPED.add(key)
+        pass  # retried on the next call; local sys.path may suffice
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

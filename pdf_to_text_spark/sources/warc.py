@@ -24,10 +24,15 @@ Scale notes (the part that matters at 10^12 docs):
   Common Crawl's layout (64k × ~1 GB files per crawl) already yields
   ~64k tasks, far above any executor count; no shuffle is introduced.
   ``binaryFile`` gives path-glob/pushdown pruning for free.
-- **Memory is bounded per task** by the largest file (Common Crawl caps
-  segments ~1 GB) plus ``MAX_RECORD_BYTES`` per record; output rows are
-  re-batched in byte-capped slices like every other source here, so
-  Arrow batches stay small even when a file holds megabyte PDFs.
+- **Memory per task is a small multiple of the DECOMPRESSED file
+  size** — the compressed blob (pinned by the Arrow batch), the
+  decompressed buffer, and the payload row copies are live together, so
+  a ~1 GB Common Crawl segment (~4 GB decompressed) peaks around
+  ~9-12 GB per task. Size executors for that (Common Crawl's own
+  processing guidance assumes the same), or split segments upstream;
+  per-record inflation is hard-capped at ``MAX_RECORD_BYTES`` (bombs
+  abort the file, records before them survive). Output rows re-batch
+  in genuinely byte-capped (16 MiB) Arrow slices.
 - **No per-row Python:** one Python invocation per *file*, vectorized
   pandas construction per slice — same Arrow-batch discipline as the
   extraction kernels.
@@ -64,20 +69,40 @@ _CRLF2 = b"\r\n\r\n"
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a multi-member gzip stream (one member per WARC record,
     the Common Crawl convention). A corrupt member truncates the stream
-    there — the records before it still parse."""
+    there — the records before it still parse.
+
+    Inflation is cap-enforced INSIDE the chunk loop and never calls
+    flush(): flush() emits all remaining output uncapped, which let a
+    200 KB gzip bomb inflate to 200 MB straight past MAX_RECORD_BYTES
+    (r3 review, reproduced). An over-cap member aborts the file — its
+    end cannot be located without inflating it."""
     out = []
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        try:
-            chunk = d.decompress(data[pos:], MAX_RECORD_BYTES)
-            chunk += d.flush()
-        except zlib.error:
+        member = bytearray()
+        tail = data[pos:]
+        ok = True
+        while True:
+            try:
+                chunk = d.decompress(tail, 1 << 20)
+            except zlib.error:
+                ok = False
+                break
+            member += chunk
+            tail = d.unconsumed_tail
+            if len(member) > MAX_RECORD_BYTES:
+                ok = False  # bomb / oversized member
+                break
+            if d.eof:
+                break
+            if not chunk and not tail:
+                ok = False  # truncated member: keep its partial output
+                break
+        out.append(bytes(member[: MAX_RECORD_BYTES]))
+        if not ok:
             break
-        if d.unconsumed_tail:  # single member beyond the cap → treat as corrupt
-            break
-        out.append(chunk)
         consumed = (n - pos) - len(d.unused_data)
         if consumed <= 0:  # no forward progress → stop, keep prior members
             break
@@ -176,6 +201,8 @@ def warc_to_page_rows(
         lang = http.get("content-language")
         if lang:
             lang = lang.split(",")[0].strip().split("-")[0].lower() or None
+        else:
+            lang = None  # present-but-empty header must not emit lang=''
         rows.append((url, ts, payload, None, lang))
     return rows
 
@@ -200,12 +227,22 @@ def warc_pages(spark, path: str):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "html", "text", "lang"]
+        max_slice_bytes = 16 * 1024 * 1024
         for b in batches:
             for blob in b["content"]:
                 rows = warc_to_page_rows(bytes(blob))
-                step = 64  # byte-capped Arrow slices, as in pages.pages_df
-                for s in range(0, len(rows), step):
-                    yield pd.DataFrame(rows[s : s + step], columns=cols)
+                # genuinely byte-capped Arrow slices: a row-count cap
+                # alone would let 64 × 64 MB records form one ~4 GB batch
+                buf: list[tuple] = []
+                size = 0
+                for row in rows:
+                    buf.append(row)
+                    size += len(row[2]) if row[2] is not None else 0
+                    if size >= max_slice_bytes or len(buf) >= 64:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf, size = [], 0
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
 
     return files.mapInPandas(gen, schema=PAGES_SCHEMA)
 
@@ -217,7 +254,9 @@ def _warc_record(
     rtype: str, headers: list[tuple[str, str]], body: bytes
 ) -> bytes:
     head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
-    head += [k.encode() + b": " + v.encode() for k, v in headers]
+    # latin-1, mirroring _parse_headers' decode — a UTF-8 write here
+    # would round-trip non-ASCII URIs as mojibake (r3 review)
+    head += [k.encode() + b": " + v.encode("latin-1") for k, v in headers]
     head.append(b"Content-Length: " + str(len(body)).encode())
     return b"\r\n".join(head) + _CRLF2 + body + _CRLF2
 

@@ -69,8 +69,8 @@ def test_corrupt_record_resyncs_not_fails():
         + plain[second_end:].replace(b"Content-Length: ", b"Content-Length: x", 1)
     )
     got = warc_to_page_rows(broken)
-    # the broken record is dropped; later records still parse
-    assert 0 < len(got) < len(rows) + 1
+    # EXACTLY the broken record is dropped; later records still parse
+    assert len(got) == len(rows) - 1
     assert got[-1][0] == rows[-1][0]
 
 
@@ -155,3 +155,36 @@ def test_spark_warc_pages_matches_parquet_path(spark, tmp_path):
         ).collect()
     }
     assert extracted_warc == extracted_ref
+
+
+def test_gzip_bomb_member_capped_not_inflated():
+    """A small gzip bomb must not inflate past MAX_RECORD_BYTES — flush()
+    used to emit ALL remaining output uncapped (r3 review, reproduced at
+    209 MB from 200 KB). Records before the bomb survive."""
+    import gzip as _gz
+    import io as _io
+
+    from pdf_to_text_spark.sources.warc import _gunzip_members
+
+    rows = _sample_rows(4, offset=1)
+    good = build_warc_bytes(rows, gzip_per_record=True)
+    bomb_out = _io.BytesIO()
+    with _gz.GzipFile(fileobj=bomb_out, mode="wb", mtime=0) as gz:
+        for _ in range(220):
+            gz.write(b"A" * (1024 * 1024))
+    data = good + bomb_out.getvalue()
+    buf = _gunzip_members(data)
+    assert len(buf) <= len(_gunzip_members(good)) + MAX_RECORD_BYTES + (1 << 20)
+    got = warc_to_page_rows(data)
+    assert [r[0] for r in got] == [u for u, _, _ in rows]
+
+
+def test_empty_content_language_header_is_null():
+    http = b"HTTP/1.1 200 OK\r\nContent-Language:\r\nContent-Length: 2\r\n\r\nhi"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/e\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    got = warc_to_page_rows(rec)
+    assert len(got) == 1 and got[0][4] is None

@@ -92,11 +92,27 @@ def main(argv: list[str]) -> int:
         print(f"ERROR: unknown queries: {sorted(unknown)}")
         spark.stop()
         return 2
-    # _only skips building the expensive VALUES oracles we won't compare
-    oracles = entrymod.oracle_sql(_only=only or None)
+    # _only skips building the expensive VALUES oracles we won't compare.
+    # A single broken oracle BUILD must surface as that query's FAIL, not
+    # crash the whole gate before any per-query report (r3 review) —
+    # fall back to per-query builds when the batch build raises.
+    broken: dict[str, Exception] = {}
+    try:
+        oracles = entrymod.oracle_sql(_only=only or None)
+    except Exception:
+        oracles = {}
+        for name in (only or qs.keys()):
+            try:
+                oracles.update(entrymod.oracle_sql(_only={name}))
+            except Exception as e:
+                broken[name] = e
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in broken:
+            print(f"FAIL  {name}: oracle build error: {broken[name]}")
+            failures += 1
             continue
         try:
             spdf = fn(spark, sf_dir).toPandas()
