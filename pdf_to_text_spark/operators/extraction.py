@@ -24,6 +24,9 @@ def dedup_latest_by_url(pages: DataFrame) -> DataFrame:
 
     row_number over (url ORDER BY warc_ts DESC) == 1 — SURVEY.md §2.1.
     At scale this is a single hash-shuffle on url; AQE handles stragglers.
+    This is the shuffle-bearing strategy; run_extraction's default "auto"
+    path replaces it with dup_url_stats + a broadcast filter whenever the
+    duplicate-url set is broadcastable (see run_extraction docstring).
     """
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
     return (
@@ -33,11 +36,71 @@ def dedup_latest_by_url(pages: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast ceiling for the prefilter dedup strategy: the duplicated-url
+# relation (url, max warc_ts) is collected and broadcast when it has at
+# most this many rows (~100 MB at 100 B/row). Crawl dup rates run ~2%, so
+# this covers corpora up to ~50M duplicated urls; beyond it run_extraction
+# falls back to the window strategy (which still shuffles only extracted
+# kilobyte rows, never payloads).
+PREFILTER_MAX_DUP_URLS = 1_000_000
+
+
+def dup_url_stats(pages: DataFrame) -> DataFrame:
+    """Per-duplicated-url stats relation: (url, _max_ts, _top_c, _nts).
+
+    Built from ONLY (url, warc_ts) — parquet column pruning makes this a
+    tiny-column scan, and both aggregations combine map-side, so the
+    shuffle carries (url, ts, count) partials, never payloads. Rows come
+    back only for urls that need dedup at all: more than one distinct
+    warc_ts (_nts > 1) or repeated rows at one timestamp (_top_c > 1).
+    _max_ts is the newest warc_ts (NULL ts sorts lowest, matching the
+    window strategy's desc-nulls-last), _top_c the row count at that ts.
+    """
+    per_ts = (
+        pages.select("url", "warc_ts")
+        .groupBy("url", "warc_ts")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # struct max: newest warc_ts first, carrying its row count. A NULL
+    # warc_ts inside the struct compares lowest, so it only wins when
+    # every crawl of the url is timestamp-less — same row the window
+    # strategy's desc (nulls last) ordering keeps.
+    agg = per_ts.groupBy("url").agg(
+        F.max(F.struct("warc_ts", "_c")).alias("_top"),
+        F.count(F.lit(1)).alias("_nts"),
+    )
+    return agg.where((F.col("_nts") > 1) | (F.col("_top._c") > 1)).select(
+        "url",
+        F.col("_top.warc_ts").alias("_max_ts"),
+        F.col("_top._c").alias("_top_c"),
+        "_nts",
+    )
+
+
+def _dedup_prefilter(pages: DataFrame, dup_rows) -> DataFrame:
+    """Drop superseded crawls via a broadcast anti-filter — zero payload
+    shuffle. `dup_rows` is the collected dup_url_stats result (driver-side
+    list of Rows, size-capped by the caller); every row must have
+    _top_c == 1 (no exact (url, warc_ts) ties — those need the window).
+    """
+    spark = pages.sparkSession
+    dup = spark.createDataFrame(
+        [(r["url"], r["_max_ts"]) for r in dup_rows],
+        "url string, _max_ts timestamp",
+    )
+    return (
+        pages.join(F.broadcast(dup), "url", "left_outer")
+        .where(F.col("_max_ts").isNull() | F.col("warc_ts").eqNullSafe(F.col("_max_ts")))
+        .drop("_max_ts")
+    )
+
+
 def run_extraction(
     pages: DataFrame,
     *,
     num_partitions: int | None = None,
     dedup: bool = True,
+    dedup_strategy: str = "auto",
     shuffle_payloads: bool = False,
 ) -> DataFrame:
     """pages → extracted (url, warc_ts, lang, content_type, extracted_text,
@@ -46,25 +109,66 @@ def run_extraction(
     Scale-critical ordering: NEVER shuffle raw payloads. The kernel maps
     directly over the size-bounded scan splits (maxPartitionBytes already
     caps task input, which is what actually balances megabyte-PDF skew at
-    the scan), and the dedup window runs AFTER extraction on the derived
-    rows — extracted text is ~100-1000× smaller than PDF bytes, so the
-    row_number shuffle moves kilobytes per doc instead of megabytes.
-    Extracting a duplicated url twice costs ~2% redundant kernel CPU
-    (FIXTURES dup rate) vs two full-corpus payload shuffles — at 100 TB
-    that trade is not close.
+    the scan).
+
+    dedup_strategy (keep-newest-crawl-per-url semantics, SURVEY §2.1):
+      * "prefilter" — dup_url_stats (a tiny-column scan + map-combined
+        agg, the ONLY shuffle in the job and it carries (url, ts, count)
+        partials) finds the duplicated urls; superseded crawls are then
+        dropped BEFORE the kernel by a broadcast filter. Payloads and
+        extracted text never cross a shuffle, and duplicated urls are no
+        longer redundantly extracted. Requires the dup-url set to fit the
+        broadcast cap (PREFILTER_MAX_DUP_URLS) and no exact
+        (url, warc_ts) collisions — raises ValueError otherwise.
+      * "window" — row_number over (url ORDER BY warc_ts DESC) AFTER
+        extraction: one hash-shuffle of the derived rows (~100-1000×
+        smaller than payloads, the kilobytes-not-megabytes trade) plus
+        ~2% redundant kernel CPU on the dup urls. No driver job, no
+        broadcast cap, handles exact-ts collisions — the unconditional
+        fallback.
+      * "auto" (default) — runs the dup_url_stats job eagerly (metrics-
+        sized collect, same class as checkpoint commit metadata): zero
+        dups → no dedup plan at all; broadcastable and collision-free →
+        prefilter; else window. The decision is logged in the plan shape
+        (tests/test_plan_quality.py pins that no Exchange carries
+        payload or extracted-text columns on the prefilter path).
 
     `shuffle_payloads=True` restores the pre-shuffle layout (bucket +
     salted repartition before the kernel) for inputs that arrive so
     skewed that scan splits can't balance them (e.g. one giant file of
     mega-PDFs with tiny row groups).
     """
+    if dedup_strategy not in ("auto", "prefilter", "window"):
+        raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
     df = pages.select(*PAGES_COLS)
+
+    post_window = False
+    if dedup and dedup_strategy != "window":
+        # cap+1 so overflow is detectable without counting the full set
+        dup_rows = dup_url_stats(df).limit(PREFILTER_MAX_DUP_URLS + 1).collect()
+        broadcastable = len(dup_rows) <= PREFILTER_MAX_DUP_URLS
+        # ties need the window; so does a duplicated NULL url (join keys
+        # never match NULL, so the filter could not drop its extra rows)
+        tie_free = all(r["_top_c"] == 1 and r["url"] is not None for r in dup_rows)
+        if broadcastable and tie_free:
+            if dup_rows:
+                df = _dedup_prefilter(df, dup_rows)
+            # else: no duplicated urls at all — dedup is a no-op
+        elif dedup_strategy == "prefilter":
+            raise ValueError(
+                "dedup_strategy='prefilter' needs a broadcastable, "
+                f"collision-free dup-url set (got {len(dup_rows)} dup urls, "
+                f"tie_free={tie_free}); use 'window' or 'auto'"
+            )
+        else:
+            post_window = True
+
     if shuffle_payloads:
         df = with_bucket(df)
         df = salted_repartition(df, num_partitions or 64).select(*PAGES_COLS)
     extracted = df.mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
     extracted = extracted.withColumn("partition_id", F.spark_partition_id())
-    if dedup:
+    if dedup and (dedup_strategy == "window" or post_window):
         w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
         extracted = (
             extracted.withColumn("_rn", F.row_number().over(w))

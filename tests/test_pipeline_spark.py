@@ -332,3 +332,90 @@ def test_null_url_rows_extract_not_crash(spark):
     rows = run_extraction(df, dedup=False).collect()
     assert len(rows) == 1 and rows[0]["content_type"] == "text/html"
     assert rows[0]["parse_status"] == "ok" and rows[0]["n_chars"] > 100
+
+
+# ── dedup strategies (round 4: broadcast prefilter vs window) ───────────────
+
+
+def test_dedup_strategies_agree_on_corpus(spark, pages):
+    """auto (→prefilter on this corpus) and window must produce the same
+    deduped relation — same urls, same surviving warc_ts, same text."""
+    cols = ["url", "warc_ts", "extracted_text", "parse_status"]
+    a = run_extraction(pages).select(*cols)
+    b = run_extraction(pages, dedup_strategy="window").select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == b.count()
+
+
+def test_dedup_prefilter_keeps_latest_and_null_ts(spark):
+    """Prefilter semantics vs crafted edges: newest wins; NULL warc_ts
+    loses to any real timestamp (desc-nulls-last parity); an all-NULL-ts
+    singleton url survives untouched."""
+    df = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1), b"old", None, "en"),
+            ("u1", dt.datetime(2024, 1, 3), b"new", None, "en"),
+            ("u1", None, b"no-ts", None, "en"),
+            ("u2", None, b"only-null-ts", None, "en"),
+            ("u3", dt.datetime(2024, 1, 1), b"single", None, "en"),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    out = run_extraction(df, dedup_strategy="prefilter")
+    got = {r["url"]: r["warc_ts"] for r in out.collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"] == dt.datetime(2024, 1, 3)
+    win = {r["url"]: r["warc_ts"]
+           for r in run_extraction(df, dedup_strategy="window").collect()}
+    assert got == win
+
+
+def test_dedup_exact_tie_routes_to_window(spark):
+    """An exact (url, warc_ts) collision cannot be broadcast-filtered —
+    'prefilter' must refuse loudly, 'auto' must fall back to the window
+    and still keep exactly one row per url."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 2), b"tie-a", None, "en"),
+            ("u1", dt.datetime(2024, 1, 2), b"tie-b", None, "en"),
+            ("u2", dt.datetime(2024, 1, 1), b"x", None, "en"),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    with _pytest.raises(ValueError, match="prefilter"):
+        run_extraction(df, dedup_strategy="prefilter")
+    out = run_extraction(df)  # auto → window fallback
+    assert out.count() == 2
+    assert "Window" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_duplicated_null_url_routes_to_window(spark):
+    """A duplicated NULL url never matches a broadcast join key, so auto
+    must use the window (which groups NULLs) — one survivor."""
+    df = spark.createDataFrame(
+        [
+            (None, dt.datetime(2024, 1, 1), b"a", None, "en"),
+            (None, dt.datetime(2024, 1, 2), b"b", None, "en"),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    out = run_extraction(df).collect()
+    assert len(out) == 1 and out[0]["warc_ts"] == dt.datetime(2024, 1, 2)
+
+
+def test_dedup_auto_no_dups_is_pure_map(spark):
+    """Zero duplicated urls → auto plans NO dedup at all: no Exchange,
+    no Window — the whole job is scan → kernel → project."""
+    df = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1), b"a", None, "en"),
+            ("u2", dt.datetime(2024, 1, 2), b"b", None, "en"),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    out = run_extraction(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    assert out.count() == 2

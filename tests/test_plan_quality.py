@@ -41,19 +41,35 @@ def test_extraction_scan_prunes_columns(pages):
         assert col in read
 
 
+def _exchange_inputs(plan: str) -> list[str]:
+    """The `Input [..]: [...]` column list of every Exchange node in a
+    formatted plan (includes BroadcastExchange)."""
+    return re.findall(r"\) \w*Exchange\w*[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+
+
 def test_no_payload_shuffle_before_kernel(pages):
+    """The 100 TB invariant, both dedup strategies: NO Exchange ever
+    carries payload bytes. On the default (auto→prefilter) path not even
+    extracted text crosses a shuffle — the only exchange is the broadcast
+    of the collected dup-url relation."""
     from pdf_to_text_spark.operators.extraction import run_extraction
 
-    plan = _plan(run_extraction(pages))
-    # physical ops in order; the kernel must come straight off the scan
-    kernel_pos = plan.find("MapInPandas")
-    first_exchange = plan.find("Exchange")
-    assert kernel_pos != -1
-    # any Exchange must be AFTER the kernel (dedup window on derived rows)
-    assert first_exchange == -1 or first_exchange > 0
-    # stronger: the subtree between Scan and MapInPandas has no Exchange
-    scan_to_kernel = plan[plan.find("Scan parquet") : kernel_pos]
+    plan = _plan(run_extraction(pages))  # auto → prefilter on this corpus
+    assert "MapInPandas" in plan
+    inputs = _exchange_inputs(plan)
+    for cols in inputs:
+        assert "html" not in cols and "extracted_text" not in cols, plan
+    # prefilter: the ONLY exchange is the broadcast of the tiny dup set
+    assert all("Broadcast" in m for m in re.findall(r"\) (\w*Exchange\w*)", plan)), plan
+
+    # window strategy: kernel straight off the scan, the one shuffle is
+    # AFTER the kernel and carries derived rows only (kilobytes, not MB)
+    plan_w = _plan(run_extraction(pages, dedup_strategy="window"))
+    kernel_pos = plan_w.find("MapInPandas")
+    scan_to_kernel = plan_w[plan_w.find("Scan parquet") : kernel_pos]
     assert "Exchange" not in scan_to_kernel
+    for cols in _exchange_inputs(plan_w):
+        assert "html" not in cols, plan_w
 
 
 def test_salted_path_shuffles_by_bucket_and_salt(pages):
