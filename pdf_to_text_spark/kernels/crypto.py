@@ -10,6 +10,10 @@ of crawled "encrypted" PDFs):
   * AES-128 (V4 /AESV2) — forward cipher (fixture writer) and inverse
     cipher (kernel), CBC mode with the 16-byte prepended IV and
     PKCS#5/#7 padding
+  * AES-256 (V5 /AESV3, R5/R6 — ISO 32000-2 §7.6.4, round 4): the same
+    FIPS-197 core with the Nk=8 key schedule, the Algorithm-2.B hardened
+    SHA-2 password hash, /U//UE verification + file-key retrieval, and
+    the /Perms ECB check (plus the writer-side inverses for fixtures)
   * the Algorithm-2 file-key derivation, Algorithm-3 /O computation,
     Algorithm-4/5 /U computation+verification, and the Algorithm-1
     per-object key
@@ -37,6 +41,14 @@ __all__ = [
     "compute_u",
     "verify_user_password",
     "object_key",
+    # AES-256 R5/R6 (ISO 32000-2 §7.6.4) — round 4
+    "hash_2b",
+    "verify_user_password_r6",
+    "retrieve_file_key_r6",
+    "make_u_ue_r6",
+    "make_o_oe_r6",
+    "make_perms_r6",
+    "check_perms_r6",
 ]
 
 # §7.6.3.3 Algorithm 2 padding string
@@ -103,18 +115,24 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule → 11 round keys as 16-byte int lists."""
-    if len(key) != 16:
-        raise ValueError("AES-128 key must be 16 bytes")
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule (FIPS-197 §5.2) → Nr+1 round keys as 16-byte int
+    lists. Nk=4 (AES-128, Nr=10) and Nk=8 (AES-256, Nr=14; the extra
+    SubWord at i≡4 mod Nk) — AES-192 has no PDF use and stays out."""
+    if len(key) not in (16, 32):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _mix_single(col: list[int], m: tuple[int, int, int, int]) -> list[int]:
@@ -130,10 +148,11 @@ def _mix_single(col: list[int], m: tuple[int, int, int, int]) -> list[int]:
 
 def _crypt_block(block: bytes, rks: list[list[int]], inverse: bool) -> bytes:
     # state is column-major: byte i of the block is state[i]
-    s = [b ^ k for b, k in zip(block, rks[0] if not inverse else rks[10])]
+    nr = len(rks) - 1  # 10 (AES-128) or 14 (AES-256)
+    s = [b ^ k for b, k in zip(block, rks[0] if not inverse else rks[nr])]
     box = _INV_SBOX if inverse else _SBOX
     mix = (0x0E, 0x0B, 0x0D, 0x09) if inverse else (0x02, 0x03, 0x01, 0x01)
-    rounds = range(1, 10)
+    rounds = range(1, nr)
     for rnd in rounds:
         if inverse:
             # InvShiftRows then InvSubBytes
@@ -142,7 +161,7 @@ def _crypt_block(block: bytes, rks: list[list[int]], inverse: bool) -> bytes:
                 for r in range(4):
                     t[((c + r) % 4) * 4 + r] = s[c * 4 + r]
             s = [box[b] for b in t]
-            s = [b ^ k for b, k in zip(s, rks[10 - rnd])]
+            s = [b ^ k for b, k in zip(s, rks[nr - rnd])]
             out = []
             for c in range(4):
                 out += _mix_single(s[4 * c : 4 * c + 4], mix)
@@ -170,7 +189,7 @@ def _crypt_block(block: bytes, rks: list[list[int]], inverse: bool) -> bytes:
         for c in range(4):
             for r in range(4):
                 t[c * 4 + r] = s[((c + r) % 4) * 4 + r]
-        s = [b ^ k for b, k in zip(t, rks[10])]
+        s = [b ^ k for b, k in zip(t, rks[nr])]
     return bytes(s)
 
 
@@ -277,6 +296,134 @@ def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
 def verify_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     expect = compute_u(key, id0, r)
     return u[:16] == expect[:16] if r >= 3 else u[:32] == expect[:32]
+
+
+def _cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC over whole blocks — no padding, no IV prepend (the R6
+    hardened hash and /UE//OE layouts)."""
+    if len(data) % 16:
+        raise ValueError("CBC-nopad: data not block-aligned")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _crypt_block(blk, rks, inverse=False)
+        out += prev
+    return bytes(out)
+
+
+def _cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("CBC-nopad: data not block-aligned")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        dec = _crypt_block(blk, rks, inverse=True)
+        out += bytes(a ^ b for a, b in zip(dec, prev))
+        prev = blk
+    return bytes(out)
+
+
+# ── AES-256 revision 5/6 (ISO 32000-2 §7.6.4; PDF 2.0 / Adobe ExtLevel 3) ───
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
+    """Algorithm 2.B: the hardened SHA-2 password hash (R6).
+
+    R5 (the deprecated Adobe AESV3 draft) is the plain first step. R6
+    iterates: K1 = (pw ‖ K ‖ udata)×64, E = AES-128-CBC(K[:16], iv=K[16:32],
+    K1), then SHA-{256,384,512} of E chosen by sum(E[:16]) mod 3 — at
+    least 64 rounds, stopping when the last byte of E ≤ round−32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    count = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_nopad_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        count += 1
+        if count >= 64 and e[-1] <= count - 32:
+            return k[:32]
+
+
+def verify_user_password_r6(password: bytes, u: bytes, r: int = 6) -> bool:
+    """Algorithm 11: /U is hash(32) ‖ validation-salt(8) ‖ key-salt(8)."""
+    if len(u) < 48:
+        return False
+    return hash_2b(password, u[32:40], b"", r) == u[:32]
+
+
+def retrieve_file_key_r6(password: bytes, u: bytes, ue: bytes, r: int = 6) -> bytes:
+    """Algorithm 8(b) retrieval: the 256-bit file key = AES-256-CBC-nopad
+    decrypt of /UE with the intermediate user key (hash over the key
+    salt) and a zero IV. Caller must have verified the password first."""
+    ik = hash_2b(password, u[40:48], b"", r)
+    return _cbc_nopad_decrypt(ik, b"\x00" * 16, ue[:32])
+
+
+def verify_owner_password_r6(password: bytes, o: bytes, u: bytes, r: int = 6) -> bool:
+    """Algorithm 12: /O hashes over the full 48-byte /U as udata."""
+    if len(o) < 48 or len(u) < 48:
+        return False
+    return hash_2b(password, o[32:40], u[:48], r) == o[:32]
+
+
+def retrieve_file_key_r6_owner(
+    password: bytes, o: bytes, u: bytes, oe: bytes, r: int = 6
+) -> bytes:
+    """Algorithm 8(b), owner side: decrypt /OE with the owner
+    intermediate key (key salt + /U as udata)."""
+    ik = hash_2b(password, o[40:48], u[:48], r)
+    return _cbc_nopad_decrypt(ik, b"\x00" * 16, oe[:32])
+
+
+def make_u_ue_r6(
+    password: bytes, file_key: bytes, vsalt: bytes, ksalt: bytes, r: int = 6
+) -> tuple[bytes, bytes]:
+    """Algorithm 8 (writer side): (/U 48 bytes, /UE 32 bytes)."""
+    u = hash_2b(password, vsalt, b"", r) + vsalt + ksalt
+    ik = hash_2b(password, ksalt, b"", r)
+    return u, _cbc_nopad_encrypt(ik, b"\x00" * 16, file_key)
+
+
+def make_o_oe_r6(
+    owner_pw: bytes, file_key: bytes, u: bytes, vsalt: bytes, ksalt: bytes,
+    r: int = 6,
+) -> tuple[bytes, bytes]:
+    """Algorithm 9 (writer side): owner entries hash over the full 48-byte
+    /U as udata."""
+    o = hash_2b(owner_pw, vsalt, u[:48], r) + vsalt + ksalt
+    ik = hash_2b(owner_pw, ksalt, u[:48], r)
+    return o, _cbc_nopad_encrypt(ik, b"\x00" * 16, file_key)
+
+
+def make_perms_r6(p: int, encrypt_metadata: bool, file_key: bytes) -> bytes:
+    """Algorithm 10 (writer side): /Perms = AES-256-ECB(file_key, perms
+    block). Bytes 12-15 are 'random' per spec — fixed here for
+    byte-stable fixtures (readers must ignore them)."""
+    blk = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"pts0"
+    )
+    return _crypt_block(blk, _expand_key(file_key), inverse=False)
+
+
+def check_perms_r6(perms: bytes, file_key: bytes) -> bool:
+    """Algorithm 13 (reader side): decrypt /Perms ECB, require the 'adb'
+    signature at bytes 9-11 (P/metadata consistency is advisory)."""
+    if len(perms) < 16:
+        return False
+    blk = _crypt_block(perms[:16], _expand_key(file_key), inverse=True)
+    return blk[9:12] == b"adb"
 
 
 def object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:

@@ -42,8 +42,14 @@ reference package.json:8-9):
     — round 3, closing the remaining byte-divergence vs pdfjs on
     realistic crawls.
 
-Predefined CID CMaps (e.g. UniGB-UCS2-H without ToUnicode) remain out
-of contract. Any structural error raises :class:`PDFParseError`;
+Predefined CID CMaps (round 4): the Unicode-coded ``Uni*-UCS2-H/V`` and
+``Uni*-UTF16-H/V(-HW)`` family (UniGB-UCS2-H, UniJIS-UCS2-HW-H, …)
+decodes without data tables — their character codes ARE UTF-16BE, per
+the public Adobe CMap naming convention (see :class:`_Utf16BEMap`).
+Legacy-coded predefined CMaps (GBK-EUC-H, 90ms-RKSJ-H, …) need Adobe's
+mapping tables and remain out of contract (countable
+``unsupported_cmap`` status). Any structural error raises
+:class:`PDFParseError`;
 callers map that to a ``parse_failed`` metric row, never a task failure
 (reference behavior #18, src/main.ts:259-262, deliberately softened from
 fail-stop to per-row status).
@@ -71,11 +77,13 @@ class PDFParseError(Exception):
 
 
 class PDFUnsupportedCMapError(PDFParseError):
-    """Text was shown through a predefined CID CMap (e.g. UniGB-UCS2-H)
-    with no embedded /ToUnicode — out of contract (module docstring), but
-    COUNTABLE: callers surface a distinct 'unsupported_cmap' row status
-    instead of folding the remaining CJK gap into 'parse_failed'. Raised
-    lazily, only when a show op actually uses such a font."""
+    """Text was shown through a LEGACY-coded predefined CID CMap (e.g.
+    GBK-EUC-H) with no embedded /ToUnicode — out of contract (module
+    docstring; the Unicode-coded Uni*-UCS2/UTF16 family decodes fine as
+    of round 4), but COUNTABLE: callers surface a distinct
+    'unsupported_cmap' row status instead of folding the remaining CJK
+    gap into 'parse_failed'. Raised lazily, only when a show op actually
+    uses such a font."""
 
 
 class PDFEncryptedError(PDFParseError):
@@ -343,13 +351,17 @@ _FILTER_ALIASES = {
 
 
 class _StdCrypt:
-    """Standard security handler, empty user password only (§7.6.3).
+    """Standard security handler, empty user password only (§7.6.3;
+    ISO 32000-2 §7.6.4 for V5).
 
-    Supports V1/V2 (RC4, R2-R3) and V4 with /StdCF /CFM /V2 (RC4) or
-    /AESV2 (AES-128-CBC); /Identity crypt filters pass through. Anything
-    else — a non-empty user password, public-key handlers, V5/R6 —
-    raises PDFEncryptedError at construction, which callers surface as
-    the distinct 'encrypted' row status."""
+    Supports V1/V2 (RC4, R2-R3), V4 with /StdCF /CFM /V2 (RC4) or
+    /AESV2 (AES-128-CBC), and V5 R5/R6 /AESV3 (AES-256-CBC, round 4 —
+    hardened-hash /U verification, /UE file-key retrieval, /Perms
+    check; the file key encrypts every object directly, no per-object
+    derivation). /Identity crypt filters pass through. Anything else —
+    a non-empty user password, public-key handlers — raises
+    PDFEncryptedError at construction, which callers surface as the
+    distinct 'encrypted' row status."""
 
     def __init__(self, enc: dict, id0: bytes):
         from . import crypto
@@ -376,6 +388,10 @@ class _StdCrypt:
         self.aes_stdcf = False  # the StdCF method, independent of StmF/StrF
         self.identity_strings = False
         self.identity_streams = False
+        self.v5 = False
+        if v == 5 and r in (5, 6):
+            self._init_v5(enc, crypto, bytes(o), bytes(u), r)
+            return
         if v in (1, 2) and r in (2, 3):
             key_bits = 40 if v == 1 else (length if isinstance(length, int) else 40)
             # spec bounds (40-128, byte-aligned): /Length 0 would derive
@@ -430,6 +446,49 @@ class _StdCrypt:
         self._crypto = crypto
         self._okeys: dict[tuple[int, int, bool], bytes] = {}
 
+    def _init_v5(self, enc: dict, crypto, o: bytes, u: bytes, r: int) -> None:
+        """AES-256 (ISO 32000-2 §7.6.4): verify the empty password against
+        /U (user) or /O (owner, udata = the 48-byte /U), retrieve the
+        256-bit file key from /UE or /OE, and sanity-check /Perms."""
+        cf = enc.get("CF")
+        cf = cf if isinstance(cf, dict) else {}
+        stdcf = cf.get("StdCF")
+        stdcf = stdcf if isinstance(stdcf, dict) else {}
+        cfm = str(stdcf.get("CFM", "AESV3"))  # V5 default per §7.6.4.2
+        if cfm != "AESV3":
+            raise PDFEncryptedError(f"unsupported V5 crypt filter method {cfm!r}")
+        stmf = str(enc.get("StmF", "Identity"))
+        strf = str(enc.get("StrF", "Identity"))
+        self.identity_streams = stmf == "Identity"
+        self.identity_strings = strf == "Identity"
+        self.aes_stdcf = True
+        self.aes_streams = not self.identity_streams
+        self.aes_strings = not self.identity_strings
+        ue = enc.get("UE")
+        oe = enc.get("OE")
+        if len(u) >= 48 and crypto.verify_user_password_r6(b"", u, r):
+            if not isinstance(ue, (bytes, bytearray)) or len(ue) < 32:
+                raise PDFEncryptedError("V5: missing /UE")
+            key = crypto.retrieve_file_key_r6(b"", u, bytes(ue), r)
+        elif crypto.verify_owner_password_r6(b"", o, u, r):
+            if not isinstance(oe, (bytes, bytearray)) or len(oe) < 32:
+                raise PDFEncryptedError("V5: missing /OE")
+            key = crypto.retrieve_file_key_r6_owner(b"", o, u, bytes(oe), r)
+        else:
+            raise PDFEncryptedError("document requires a user password")
+        perms = enc.get("Perms")
+        if isinstance(perms, (bytes, bytearray)):
+            if not crypto.check_perms_r6(bytes(perms), key):
+                # a verified password with an inconsistent /Perms means a
+                # corrupt or tampered key chain — refuse rather than emit
+                # garbage plaintext
+                raise PDFEncryptedError("V5: /Perms check failed")
+        self.key = key
+        self.r = r
+        self.v5 = True
+        self._crypto = crypto
+        self._okeys = {}
+
     def _okey(self, num: int, gen: int, aes: bool) -> bytes:
         k = (num, gen, aes)
         out = self._okeys.get(k)
@@ -440,10 +499,15 @@ class _StdCrypt:
 
     def _apply(self, num: int, gen: int, data: bytes, aes: bool) -> bytes:
         if aes:
+            if len(data) < 32:
+                # sub-block AES data (e.g. a writer storing an empty
+                # string as 0 bytes instead of IV+pad block) decrypts to
+                # empty in pdfjs — match that leniency instead of failing
+                # the whole document (ADVICE r3)
+                return b""
+            key = self.key if self.v5 else self._okey(num, gen, True)
             try:
-                return self._crypto.aes128_cbc_decrypt(
-                    self._okey(num, gen, True), data
-                )
+                return self._crypto.aes128_cbc_decrypt(key, data)
             except ValueError as e:
                 raise PDFParseError(f"AES stream decryption failed: {e}") from None
         return self._crypto.rc4(self._okey(num, gen, False), data)
@@ -1090,13 +1154,20 @@ class PDFDocument:
                 # Type0/Identity-H: show strings are 2-byte CIDs; decode
                 # pairwise through the wide ToUnicode map (unmapped → �,
                 # which is honest — latin-1 on CID bytes is mojibake).
-                # A PREDEFINED non-Identity CMap with no ToUnicode cannot
-                # be decoded at all: mark the font so a show op through
-                # it raises the countable unsupported_cmap status.
+                # A PREDEFINED CMap with no ToUnicode splits three ways:
+                # Identity keeps the raw-CID wide map; the Unicode-coded
+                # Uni*-UCS2/UTF16 family decodes as UTF-16BE (round 4 —
+                # codes ARE Unicode, no data table needed); legacy-coded
+                # maps (GBK-EUC-H, …) cannot be decoded at all and mark
+                # the font so a show op raises the countable
+                # unsupported_cmap status.
                 if not wide and isinstance(enc, _Name) and str(enc) not in (
                     "Identity-H", "Identity-V",
                 ):
-                    dec = _UnsupportedCMap(str(enc))
+                    if _UNI_UNICODE_CMAP_RE.match(str(enc)):
+                        dec = _Utf16BEMap()
+                    else:
+                        dec = _UnsupportedCMap(str(enc))
                 else:
                     dec = _WideMap(wide)
             else:
@@ -1312,10 +1383,14 @@ class PDFDocument:
             elif f == "RunLengthDecode":
                 raw = _runlength_decode(raw)
             elif f == "Crypt":
-                # Identity was honored pre-filter (no decryption);
-                # StdCF was applied as the default handler above
+                # Identity was honored pre-filter (no decryption) and is
+                # defined as a no-op (§7.4.10) — legal even in an
+                # UNENCRYPTED document (ADVICE r3); StdCF was applied as
+                # the default handler above and needs a handler to exist
                 name = str(p.get("Name", "Identity"))
-                if self._crypt is None or name not in ("Identity", "StdCF"):
+                if name != "Identity" and (
+                    self._crypt is None or name != "StdCF"
+                ):
                     raise PDFEncryptedError("unsupported /Crypt filter")
             else:
                 raise PDFParseError(f"unsupported stream filter /{f}")
@@ -1444,6 +1519,29 @@ def _utf16be_hex_to_str(h: bytes) -> str:
 class _WideMap(dict):
     """code→str map keyed by 2-byte codes (Type0/Identity-H CIDs) — the
     extractor consumes show-string bytes pairwise when it sees one."""
+
+
+class _Utf16BEMap:
+    """Sentinel font map: show-string bytes ARE big-endian Unicode.
+
+    Adobe's predefined ``Uni<Registry>-UCS2-*`` / ``Uni<Registry>-UTF16-*``
+    CMaps (UniGB-UCS2-H, UniJIS-UCS2-HW-H, UniKS-UTF16-V, …) map
+    UCS-2/UTF-16BE *character codes* to CIDs — so for text extraction the
+    code itself is the Unicode value and no CID→Unicode data table is
+    needed (public Adobe CMap naming convention; pdfjs ships the full
+    map files but extracts the same text for these encodings). UTF16
+    variants may carry surrogate pairs; Python's utf-16-be decoder
+    recombines them, and errors='replace' turns a lone surrogate or an
+    odd trailing byte into U+FFFD instead of failing the page."""
+
+    __slots__ = ()
+
+
+# The Unicode-coded predefined CMap family (extractable without data
+# tables — see _Utf16BEMap). Legacy-coded predefined CMaps (GBK-EUC-H,
+# 90ms-RKSJ-H, B5pc-H, KSC-EUC-H, …) genuinely need Adobe's mapping
+# tables and stay _UnsupportedCMap.
+_UNI_UNICODE_CMAP_RE = re.compile(r"^Uni[A-Za-z0-9]+-(UCS2|UTF16)(-HW)?-[HV]$")
 
 
 class _UnsupportedCMap:
@@ -1606,6 +1704,8 @@ def _extract_page_text(
                 f"text shown through predefined CID CMap /{m.name} "
                 "without ToUnicode"
             )
+        if type(m) is _Utf16BEMap:  # Uni*-UCS2/UTF16: codes ARE Unicode
+            return b.decode("utf-16-be", "replace")
         if type(m) is _WideMap:  # Type0: consume 2-byte CIDs
             return "".join(
                 m.get((b[i] << 8) | b[i + 1], "�")

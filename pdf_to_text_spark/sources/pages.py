@@ -62,20 +62,26 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
 
             return url, ts, encrypted_pdf(), None, lang
         if i % 270 == 111:
-            # ~0.4% CJK PDFs with a predefined CID CMap and no ToUnicode →
-            # distinct countable 'unsupported_cmap' status
+            # ~0.4% CJK PDFs with a predefined CID CMap and no ToUnicode.
+            # Round 4: the Unicode-coded Uni* family (2 of 3 slices)
+            # extracts as UTF-16BE → 'ok'; the legacy-coded GBK-EUC-H
+            # slice keeps the countable 'unsupported_cmap' status.
             from tools.make_pdf import predefined_cmap_pdf
 
-            return url, ts, predefined_cmap_pdf(used=True), None, lang
+            enc = ["UniGB-UCS2-H", "UniJIS-UTF16-H", "GBK-EUC-H"][(i // 270) % 3]
+            return url, ts, predefined_cmap_pdf(used=True, encoding=enc), None, lang
         if i % 90 == 39:
             # ~1% standard-security PDFs with an EMPTY user password —
-            # the kernel decrypts these transparently (status 'ok')
+            # the kernel decrypts these transparently (status 'ok');
+            # round 4 adds an AES-256 V5/R6 slice (ISO 32000-2)
             from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
 
             enc_lines = [_sentence(i * 3571 + j, 9) for j in range(12)]
+            method = ("aes_256" if i % 360 == 309
+                      else "aes_128" if i % 180 == 39 else "rc4_128")
             return url, ts, build_encrypted_pdf(
                 [content_stream_for_lines(enc_lines)],
-                method="aes_128" if i % 180 == 39 else "rc4_128",
+                method=method,
                 compress=True,
             ), None, lang
         if is_mega:

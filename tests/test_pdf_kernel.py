@@ -462,19 +462,168 @@ def test_wrong_u_entry_rejected():
 
 
 def test_predefined_cmap_distinct_status_lazy():
-    """A predefined CID CMap without ToUnicode raises the countable
-    PDFUnsupportedCMapError — but only when text actually uses the font;
-    an unused embedding still extracts (empty page here)."""
+    """A LEGACY-coded predefined CID CMap without ToUnicode raises the
+    countable PDFUnsupportedCMapError — but only when text actually uses
+    the font; an unused embedding still extracts (empty page here)."""
     from pdf_to_text_spark.kernels.pdf import PDFUnsupportedCMapError
     from tools.make_pdf import predefined_cmap_pdf
 
     with pytest.raises(PDFUnsupportedCMapError):
-        extract_pdf_text(predefined_cmap_pdf(used=True))
-    text, n = extract_pdf_text(predefined_cmap_pdf(used=False))
+        extract_pdf_text(predefined_cmap_pdf(used=True, encoding="GBK-EUC-H"))
+    text, n = extract_pdf_text(predefined_cmap_pdf(used=False, encoding="GBK-EUC-H"))
     assert (text, n) == ("", 1)
 
 
-@pytest.mark.parametrize("name", ["encrypted_rc4_128", "encrypted_aes_128"])
+@pytest.mark.parametrize(
+    "encoding",
+    ["UniGB-UCS2-H", "UniJIS-UCS2-HW-H", "UniKS-UCS2-V", "UniCNS-UTF16-H"],
+)
+def test_predefined_unicode_cmap_family_extracts(encoding):
+    """Round 4: the Uni*-UCS2/UTF16 predefined CMaps are Unicode-coded —
+    show strings decode as UTF-16BE with no data table (pdfjs parity on
+    CJK PDFs without embedded ToUnicode)."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    text, n = extract_pdf_text(predefined_cmap_pdf(used=True, encoding=encoding))
+    assert (text, n) == ("你好", 1)
+
+
+def test_predefined_utf16_cmap_surrogates_and_odd_tail():
+    """UTF16 variants recombine surrogate pairs (𠮷 = <D842DFB7>); an odd
+    trailing byte or lone surrogate degrades to U+FFFD, never an error."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    text, _ = extract_pdf_text(
+        predefined_cmap_pdf(used=True, encoding="UniJIS-UTF16-H",
+                            show_hex=b"D842DFB74F60")
+    )
+    assert text == "\U00020bb7你"
+    text, _ = extract_pdf_text(
+        predefined_cmap_pdf(used=True, encoding="UniGB-UCS2-H",
+                            show_hex=b"4F60D842")  # lone high surrogate
+    )
+    assert text == "你�"
+    text, _ = extract_pdf_text(
+        predefined_cmap_pdf(used=True, encoding="UniGB-UCS2-H",
+                            show_hex=b"4F6059")  # odd byte count
+    )
+    assert text == "你�"
+
+
+def test_tounicode_wins_over_predefined_unicode_cmap():
+    """pdfjs precedence: an embedded /ToUnicode stays authoritative even
+    when the predefined encoding name is Unicode-coded."""
+    from tools.make_pdf import build_pdf
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin 1 begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <4F60> <0041> endbfchar\n"
+        b"endcmap\nend end"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+        b"/Encoding /UniGB-UCS2-H /DescendantFonts "
+        b"[<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        b"/Supplement 2 >> >>] /ToUnicode 6 0 R >>"
+    )
+    tu_obj = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    pdf = build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td <4F60> Tj ET"],
+        font_obj=font, extra_objects=(tu_obj,),
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "A"
+
+
+def test_aes256_r6_empty_password_decrypts():
+    """Round 4: a V5/R6 /AESV3 document with an empty user password
+    extracts transparently (pdfjs parity, ISO 32000-2 §7.6.4)."""
+    text, n = extract_pdf_text(FIXTURES["encrypted_aes_256"]())
+    assert text == "aes two fifty six\nhardened hash ø §" and n == 1
+
+
+def test_aes256_r6_real_password_stays_encrypted():
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    locked = build_encrypted_pdf(
+        [content_stream_for_lines(["locked"])], method="aes_256",
+        user_pw=b"hunter2",
+    )
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(locked)
+
+
+def test_aes256_r6_owner_empty_password_path():
+    """Algorithm 12: when the USER password is set but the OWNER password
+    is empty, the /O//OE path must recover the file key."""
+    from pdf_to_text_spark.kernels import crypto
+
+    fk = bytes.fromhex("5c" * 32)
+    u, _ue = crypto.make_u_ue_r6(b"userpw", fk, b"uvsalt_1", b"uksalt_1")
+    o, oe = crypto.make_o_oe_r6(b"", fk, u, b"ovsalt_1", b"oksalt_1")
+    assert crypto.verify_owner_password_r6(b"", o, u)
+    assert crypto.retrieve_file_key_r6_owner(b"", o, u, oe) == fk
+    assert not crypto.verify_owner_password_r6(b"wrong", o, u)
+
+
+def test_aes256_r6_tampered_perms_refused():
+    """A verified password with an inconsistent /Perms means a tampered
+    key chain — must refuse, not emit garbage."""
+    import re as _re
+
+    good = FIXTURES["encrypted_aes_256"]()
+    m = _re.search(rb"/Perms <([0-9a-f]+)>", good)
+    perms = bytearray.fromhex(m.group(1).decode())
+    perms[0] ^= 0xFF
+    bad = good[: m.start(1)] + perms.hex().encode() + good[m.end(1):]
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(bad)
+
+
+def test_aes_sub_block_ciphertext_decrypts_to_empty():
+    """ADVICE r3: AES data shorter than IV+one block (e.g. an empty
+    string stored as 0 bytes) returns b'' like pdfjs, instead of failing
+    the whole document."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument
+
+    doc = PDFDocument(FIXTURES["encrypted_aes_128"]())
+    assert doc._crypt.decrypt_string(7, 0, b"") == b""
+    assert doc._crypt.decrypt_string(7, 0, b"\x01" * 16) == b""
+
+
+def test_identity_crypt_filter_on_unencrypted_doc():
+    """ADVICE r3: /Filter /Crypt with /Name /Identity is a no-op
+    (§7.4.10) even in an UNENCRYPTED document; /StdCF without a security
+    handler still refuses."""
+    from tools.make_pdf import DEFAULT_FONT_OBJ, assemble_classic_xref
+
+    stream = b"BT /F1 12 Tf 72 720 Td (identity pass) Tj ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        DEFAULT_FONT_OBJ,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Filter /Crypt /DecodeParms << /Type /CryptFilterDecodeParms "
+        b"/Name /Identity >> /Length %d >>\nstream\n" % len(stream)
+        + stream + b"\nendstream",
+    ]
+    text, _ = extract_pdf_text(assemble_classic_xref(objects))
+    assert text == "identity pass"
+    # bare /Crypt with no parms defaults to Identity too (§7.4.10)
+    objects[4] = (
+        b"<< /Filter /Crypt /Length %d >>\nstream\n" % len(stream)
+        + stream + b"\nendstream"
+    )
+    text, _ = extract_pdf_text(assemble_classic_xref(objects))
+    assert text == "identity pass"
+
+
+@pytest.mark.parametrize(
+    "name", ["encrypted_rc4_128", "encrypted_aes_128", "encrypted_aes_256"]
+)
 def test_bitflip_sweep_encrypted_never_escapes_contract(name):
     """Corrupting single bytes across an encrypted PDF (keys, ciphertext,
     padding, /Encrypt dict) must yield a parse or a PDFParseError — never

@@ -424,10 +424,12 @@ def build_encrypted_pdf(
     """Assemble a standard-security encrypted PDF (§7.6.3).
 
     Methods: 'rc4_40' (V1 R2), 'rc4_128' (V2 R3 /Length 128),
-    'aes_128' (V4 R4 /StdCF /AESV2). Stream payloads are encrypted with
-    the per-object key; the /Encrypt dict itself is, per spec, not.
-    IVs and the file /ID are deterministic (content-independent hashes)
-    so fixtures are byte-stable."""
+    'aes_128' (V4 R4 /StdCF /AESV2), 'aes_256' (V5 R6 /StdCF /AESV3,
+    ISO 32000-2 — round 4). Stream payloads are encrypted with the
+    per-object key (V≤4) or the file key directly (V5); the /Encrypt
+    dict itself is, per spec, not. IVs, salts, and the file /ID are
+    deterministic (content-independent hashes) so fixtures are
+    byte-stable."""
     import hashlib
 
     from pdf_to_text_spark.kernels import crypto
@@ -440,20 +442,33 @@ def build_encrypted_pdf(
         # where the spec says bytes (5-16) — the kernel's pivot must read
         # it as 40-bit RC4
         "rc4_v4_len40": (4, 4, 40, b"V2"),
+        "aes_256": (5, 6, 256, b"AESV3"),
     }[method]
-    aes = cfm == b"AESV2"
+    aes = cfm in (b"AESV2", b"AESV3")
     p = -44  # print+copy denied bits clear; the verifier only hashes it
     id0 = hashlib.md5(b"spark-graft-fixture-id:" + method.encode()).digest()
-    o = crypto.compute_o(owner_pw, user_pw, r, bits)
-    key = crypto.file_key(user_pw, o, p, id0, r, bits)
-    u = crypto.compute_u(key, id0, r)
+    v5_extra = b""
+    if v == 5:
+        key = hashlib.sha256(b"spark-graft-aes256-file-key").digest()
+        u, ue = crypto.make_u_ue_r6(user_pw, key, b"uvsalt_0", b"uksalt_0", r)
+        o, oe = crypto.make_o_oe_r6(owner_pw or b"owner", key, u,
+                                    b"ovsalt_0", b"oksalt_0", r)
+        perms = crypto.make_perms_r6(p, True, key)
+        v5_extra = (
+            b"/OE <" + oe.hex().encode() + b"> /UE <" + ue.hex().encode()
+            + b"> /Perms <" + perms.hex().encode() + b"> "
+        )
+    else:
+        o = crypto.compute_o(owner_pw, user_pw, r, bits)
+        key = crypto.file_key(user_pw, o, p, id0, r, bits)
+        u = crypto.compute_u(key, id0, r)
 
     def enc(num: int, data: bytes) -> bytes:
-        okey = crypto.object_key(key, num, 0, aes=aes)
         if aes:
+            okey = key if v == 5 else crypto.object_key(key, num, 0, aes=True)
             iv = hashlib.md5(b"fixture-iv:%d" % num).digest()
             return crypto.aes128_cbc_encrypt(okey, iv, data)
-        return crypto.rc4(okey, data)
+        return crypto.rc4(crypto.object_key(key, num, 0, aes=False), data)
 
     n_pages = len(page_streams)
     page_obj_nums = [4 + 2 * i for i in range(n_pages)]
@@ -476,7 +491,12 @@ def build_encrypted_pdf(
             b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
         )
     enc_num = len(objects) + 1
-    if v == 4:
+    if v == 5:
+        extra = (
+            b"/Length 256 /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF " + v5_extra
+        )
+    elif v == 4:
         cf_len = 16 if aes else bits  # bytes for AESV2; legacy bits for V2
         extra = (
             b"/Length %d /CF << /StdCF << /CFM /" % bits + cfm
@@ -502,20 +522,26 @@ def build_encrypted_pdf(
     )
 
 
-def predefined_cmap_pdf(*, used: bool = True) -> bytes:
-    """Type0 font with a PREDEFINED CID CMap (/UniGB-UCS2-H) and no
-    /ToUnicode. With `used`, a show op goes through it → the kernel's
-    distinct unsupported_cmap status; without, the font is merely
-    embedded and the document must still extract."""
+def predefined_cmap_pdf(
+    *, used: bool = True, encoding: str = "UniGB-UCS2-H",
+    show_hex: bytes = b"4F60597D",
+) -> bytes:
+    """Type0 font with a PREDEFINED CID CMap and no /ToUnicode.
+
+    Unicode-coded encodings (the default UniGB-UCS2-H; any Uni*-UCS2/
+    UTF16 name) extract as UTF-16BE of `show_hex` (<4F60597D> → 你好) —
+    round-4 kernel surface. Legacy-coded encodings (e.g. GBK-EUC-H) hit
+    the kernel's distinct unsupported_cmap status when `used`; without
+    `used` the font is merely embedded and the document still extracts."""
     font = (
         b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
-        b"/Encoding /UniGB-UCS2-H /DescendantFonts "
+        b"/Encoding /" + encoding.encode() + b" /DescendantFonts "
         b"[<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
         b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
         b"/Supplement 2 >> >>] >>"
     )
     if used:
-        stream = b"BT /F1 12 Tf 72 720 Td <4F60597D> Tj ET"
+        stream = b"BT /F1 12 Tf 72 720 Td <" + show_hex + b"> Tj ET"
     else:
         stream = b"BT /F1 12 Tf 72 720 Td ET"
     return build_pdf([stream], font_obj=font)
@@ -732,7 +758,19 @@ FIXTURES = {
         [content_stream_for_lines(["truly locked away"])],
         method="rc4_128", user_pw=b"hunter2",
     ),
-    "unsupported_cmap": predefined_cmap_pdf,
+    # ── round-4: AES-256 V5/R6 (ISO 32000-2 §7.6.4) ─────────────────────
+    "encrypted_aes_256": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["aes two fifty six", "hardened hash ø §"])],
+        method="aes_256", compress=True,
+    ),
+    # round 4: legacy-coded predefined CMap (needs Adobe data tables) —
+    # the genuinely-unsupported remainder of the family
+    "unsupported_cmap": lambda: predefined_cmap_pdf(encoding="GBK-EUC-H"),
+    # round 4: Unicode-coded predefined CMaps extract as UTF-16BE
+    "cid_cmap_ucs2": lambda: predefined_cmap_pdf(encoding="UniGB-UCS2-H"),
+    "cid_cmap_utf16": lambda: predefined_cmap_pdf(
+        encoding="UniJIS-UTF16-H", show_hex=b"D842DFB74F60597D"
+    ),
 }
 
 
