@@ -26,6 +26,7 @@ writer cannot share a hidden bug in the block cipher itself.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -193,24 +194,204 @@ def _crypt_block(block: bytes, rks: list[list[int]], inverse: bool) -> bytes:
     return bytes(s)
 
 
+# ── T-table fast path (FIPS-197 §5.3.5 equivalent inverse cipher) ───────────
+#
+# _crypt_block above is the straight-from-the-spec reference; at ~300 µs
+# per block it made the R6 hardened hash (≈8k blocks per derivation,
+# §7.6.4.3.4) cost seconds per document. The classic four-table
+# formulation below folds SubBytes+ShiftRows+MixColumns into 4 lookups +
+# 4 xors per column (~10× here); tests pin fast == reference on both key
+# sizes, and the FIPS appendix-C vectors pin both.
+
+
+def _build_enc_tables():
+    # Te[r][x]: the (2,3,1,1) MixColumns coefficient column for row r,
+    # applied to SBOX[x], packed little-endian into one 32-bit word
+    coefs = [(2, 1, 1, 3), (3, 2, 1, 1), (1, 3, 2, 1), (1, 1, 3, 2)]
+    tables = []
+    for r in range(4):
+        c0, c1, c2, c3 = coefs[r]
+        tab = [0] * 256
+        for x in range(256):
+            s = _SBOX[x]
+            tab[x] = (
+                _GMUL(s, c0)
+                | (_GMUL(s, c1) << 8)
+                | (_GMUL(s, c2) << 16)
+                | (_GMUL(s, c3) << 24)
+            )
+        tables.append(tuple(tab))
+    return tables
+
+
+def _build_dec_tables():
+    # Td[r][x]: the (14,11,13,9) InvMixColumns coefficient column for
+    # row r applied to INV_SBOX[x] (equivalent inverse cipher)
+    coefs = [(14, 9, 13, 11), (11, 14, 9, 13), (13, 11, 14, 9), (9, 13, 11, 14)]
+    tables = []
+    for r in range(4):
+        c0, c1, c2, c3 = coefs[r]
+        tab = [0] * 256
+        for x in range(256):
+            s = _INV_SBOX[x]
+            tab[x] = (
+                _GMUL(s, c0)
+                | (_GMUL(s, c1) << 8)
+                | (_GMUL(s, c2) << 16)
+                | (_GMUL(s, c3) << 24)
+            )
+        tables.append(tuple(tab))
+    return tables
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_enc_tables()
+_TD0, _TD1, _TD2, _TD3 = _build_dec_tables()
+
+
+def _inv_mix_word(w: int) -> int:
+    a = [(w >> (8 * i)) & 0xFF for i in range(4)]
+    m = (0x0E, 0x0B, 0x0D, 0x09)
+    out = 0
+    for i in range(4):
+        v = (
+            _GMUL(a[0], m[(0 - i) % 4])
+            ^ _GMUL(a[1], m[(1 - i) % 4])
+            ^ _GMUL(a[2], m[(2 - i) % 4])
+            ^ _GMUL(a[3], m[(3 - i) % 4])
+        )
+        out |= v << (8 * i)
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _enc_words(key: bytes) -> tuple:
+    """Round keys as per-round 4-word tuples (word c = column c,
+    little-endian packed), cached per key — CBC re-keys every call
+    otherwise, and V5 decrypts every object with ONE file key."""
+    rks = _expand_key(key)
+    return tuple(
+        tuple(
+            rk[4 * c] | rk[4 * c + 1] << 8 | rk[4 * c + 2] << 16 | rk[4 * c + 3] << 24
+            for c in range(4)
+        )
+        for rk in rks
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _dec_words(key: bytes) -> tuple:
+    """Equivalent-inverse-cipher schedule: reversed rounds, inner round
+    keys passed through InvMixColumns (FIPS-197 §5.3.5)."""
+    ew = _enc_words(key)
+    nr = len(ew) - 1
+    out = [ew[nr]]
+    for i in range(1, nr):
+        out.append(tuple(_inv_mix_word(w) for w in ew[nr - i]))
+    out.append(ew[0])
+    return tuple(out)
+
+
+def _encrypt_block_fast(key: bytes, block: bytes) -> bytes:
+    w = _enc_words(key)
+    nr = len(w) - 1
+    rk = w[0]
+    s = [
+        (block[4 * c] | block[4 * c + 1] << 8 | block[4 * c + 2] << 16
+         | block[4 * c + 3] << 24) ^ rk[c]
+        for c in range(4)
+    ]
+    for rnd in range(1, nr):
+        rk = w[rnd]
+        s0, s1, s2, s3 = s
+        s = [
+            _TE0[s0 & 0xFF] ^ _TE1[(s1 >> 8) & 0xFF] ^ _TE2[(s2 >> 16) & 0xFF]
+            ^ _TE3[s3 >> 24] ^ rk[0],
+            _TE0[s1 & 0xFF] ^ _TE1[(s2 >> 8) & 0xFF] ^ _TE2[(s3 >> 16) & 0xFF]
+            ^ _TE3[s0 >> 24] ^ rk[1],
+            _TE0[s2 & 0xFF] ^ _TE1[(s3 >> 8) & 0xFF] ^ _TE2[(s0 >> 16) & 0xFF]
+            ^ _TE3[s1 >> 24] ^ rk[2],
+            _TE0[s3 & 0xFF] ^ _TE1[(s0 >> 8) & 0xFF] ^ _TE2[(s1 >> 16) & 0xFF]
+            ^ _TE3[s2 >> 24] ^ rk[3],
+        ]
+    rk = w[nr]
+    s0, s1, s2, s3 = s
+    out = bytearray(16)
+    for c, (a, b, cc, d) in enumerate(
+        ((s0, s1, s2, s3), (s1, s2, s3, s0), (s2, s3, s0, s1), (s3, s0, s1, s2))
+    ):
+        v = (
+            _SBOX[a & 0xFF]
+            | _SBOX[(b >> 8) & 0xFF] << 8
+            | _SBOX[(cc >> 16) & 0xFF] << 16
+            | _SBOX[d >> 24] << 24
+        ) ^ rk[c]
+        out[4 * c] = v & 0xFF
+        out[4 * c + 1] = (v >> 8) & 0xFF
+        out[4 * c + 2] = (v >> 16) & 0xFF
+        out[4 * c + 3] = v >> 24
+    return bytes(out)
+
+
+def _decrypt_block_fast(key: bytes, block: bytes) -> bytes:
+    w = _dec_words(key)
+    nr = len(w) - 1
+    rk = w[0]
+    s = [
+        (block[4 * c] | block[4 * c + 1] << 8 | block[4 * c + 2] << 16
+         | block[4 * c + 3] << 24) ^ rk[c]
+        for c in range(4)
+    ]
+    for rnd in range(1, nr):
+        rk = w[rnd]
+        s0, s1, s2, s3 = s
+        s = [
+            _TD0[s0 & 0xFF] ^ _TD1[(s3 >> 8) & 0xFF] ^ _TD2[(s2 >> 16) & 0xFF]
+            ^ _TD3[s1 >> 24] ^ rk[0],
+            _TD0[s1 & 0xFF] ^ _TD1[(s0 >> 8) & 0xFF] ^ _TD2[(s3 >> 16) & 0xFF]
+            ^ _TD3[s2 >> 24] ^ rk[1],
+            _TD0[s2 & 0xFF] ^ _TD1[(s1 >> 8) & 0xFF] ^ _TD2[(s0 >> 16) & 0xFF]
+            ^ _TD3[s3 >> 24] ^ rk[2],
+            _TD0[s3 & 0xFF] ^ _TD1[(s2 >> 8) & 0xFF] ^ _TD2[(s1 >> 16) & 0xFF]
+            ^ _TD3[s0 >> 24] ^ rk[3],
+        ]
+    rk = w[nr]
+    s0, s1, s2, s3 = s
+    out = bytearray(16)
+    for c, (a, b, cc, d) in enumerate(
+        ((s0, s3, s2, s1), (s1, s0, s3, s2), (s2, s1, s0, s3), (s3, s2, s1, s0))
+    ):
+        v = (
+            _INV_SBOX[a & 0xFF]
+            | _INV_SBOX[(b >> 8) & 0xFF] << 8
+            | _INV_SBOX[(cc >> 16) & 0xFF] << 16
+            | _INV_SBOX[d >> 24] << 24
+        ) ^ rk[c]
+        out[4 * c] = v & 0xFF
+        out[4 * c + 1] = (v >> 8) & 0xFF
+        out[4 * c + 2] = (v >> 16) & 0xFF
+        out[4 * c + 3] = v >> 24
+    return bytes(out)
+
+
 def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
-    return _crypt_block(block, _expand_key(key), inverse=False)
+    return _encrypt_block_fast(bytes(key), block)
 
 
 def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
-    return _crypt_block(block, _expand_key(key), inverse=True)
+    return _decrypt_block_fast(bytes(key), block)
 
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """PKCS#7-pad, CBC-encrypt, and PREPEND the IV (the PDF layout)."""
-    rks = _expand_key(key)
+    """PKCS#7-pad, CBC-encrypt, and PREPEND the IV (the PDF layout).
+    16- or 32-byte keys (AESV2 / AESV3)."""
+    key = bytes(key)
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _crypt_block(blk, rks, inverse=False)
+        prev = _encrypt_block_fast(key, blk)
         out += prev
     return bytes(out)
 
@@ -221,12 +402,12 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     PDFParseError)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC: ciphertext not a whole number of blocks")
-    rks = _expand_key(key)
+    key = bytes(key)
     prev = data[:16]
     out = bytearray()
     for i in range(16, len(data), 16):
         blk = data[i : i + 16]
-        dec = _crypt_block(blk, rks, inverse=True)
+        dec = _decrypt_block_fast(key, blk)
         out += bytes(a ^ b for a, b in zip(dec, prev))
         prev = blk
     pad = out[-1]
@@ -303,12 +484,12 @@ def _cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     hardened hash and /UE//OE layouts)."""
     if len(data) % 16:
         raise ValueError("CBC-nopad: data not block-aligned")
-    rks = _expand_key(key)
+    key = bytes(key)
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _crypt_block(blk, rks, inverse=False)
+        prev = _encrypt_block_fast(key, blk)
         out += prev
     return bytes(out)
 
@@ -316,12 +497,12 @@ def _cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def _cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("CBC-nopad: data not block-aligned")
-    rks = _expand_key(key)
+    key = bytes(key)
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        dec = _crypt_block(blk, rks, inverse=True)
+        dec = _decrypt_block_fast(key, blk)
         out += bytes(a ^ b for a, b in zip(dec, prev))
         prev = blk
     return bytes(out)
@@ -330,8 +511,15 @@ def _cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 # ── AES-256 revision 5/6 (ISO 32000-2 §7.6.4; PDF 2.0 / Adobe ExtLevel 3) ───
 
 
+@functools.lru_cache(maxsize=256)
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
     """Algorithm 2.B: the hardened SHA-2 password hash (R6).
+
+    DELIBERATELY expensive (anti-brute-force KDF: ≥64 rounds of SHA-2
+    over AES-CBC of a 2 KB blob — ~0.2 s here with the T-table core).
+    lru_cache memoizes per (password, salt, udata): re-parsing the same
+    document, and any corpus whose writer reused salts, pays once per
+    executor process instead of per row.
 
     R5 (the deprecated Adobe AESV3 draft) is the plain first step. R6
     iterates: K1 = (pw ‖ K ‖ udata)×64, E = AES-128-CBC(K[:16], iv=K[16:32],
@@ -414,7 +602,7 @@ def make_perms_r6(p: int, encrypt_metadata: bool, file_key: bytes) -> bytes:
         + b"adb"
         + b"pts0"
     )
-    return _crypt_block(blk, _expand_key(file_key), inverse=False)
+    return _encrypt_block_fast(bytes(file_key), blk)
 
 
 def check_perms_r6(perms: bytes, file_key: bytes) -> bool:
@@ -422,7 +610,7 @@ def check_perms_r6(perms: bytes, file_key: bytes) -> bool:
     signature at bytes 9-11 (P/metadata consistency is advisory)."""
     if len(perms) < 16:
         return False
-    blk = _crypt_block(perms[:16], _expand_key(file_key), inverse=True)
+    blk = _decrypt_block_fast(bytes(file_key), perms[:16])
     return blk[9:12] == b"adb"
 
 

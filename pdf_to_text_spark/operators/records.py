@@ -97,7 +97,12 @@ def _js_int_col(c):
     cast on a non-numeric string aborts the job instead of yielding null.
     Returns a STRING column: decimal(38,0) keeps digit-for-digit parity
     with the kernel's unbounded Python int beyond Long range (a long
-    try_cast would silently fold 2^63 to the 0 fallback)."""
+    try_cast would silently fold 2^63 to the 0 fallback). Parity bound
+    (ADVICE r3): decimal(38,0) caps at 38 digits — a >38-digit integer
+    folds to the '0' fallback here while the kernel keeps every digit.
+    Out of contract alongside the 1e21 toFixed note: no real
+    CantidadVendida reaches 10^38, and JS Number itself lost exact
+    integers 2^53 ago."""
     lead = F.regexp_extract(
         F.coalesce(F.col(c), F.lit("")), r"^" + _WS + r"([+-]?\d+)", 1
     )

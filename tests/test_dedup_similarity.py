@@ -402,3 +402,47 @@ def test_zero_vector_never_ranks(spark):
            brute_force_topk(emb, q, k=3).collect()}
     assert got[1][0] == 1
     assert got[3] == (3, 0.0)  # zero vector ranks LAST with cosine 0
+
+
+def test_simhash_pairs_subset_of_exact_jaccard_high(spark):
+    """Cross-family gate (VERDICT r3 #6): on a crafted corpus of base
+    docs and 1-word-edited twins, every simhash hamming≤3 pair must be a
+    genuinely similar pair under an INDEPENDENT pure-Python word-3-gram
+    Jaccard (computed in this test, no shared kernel), and no cross-base
+    pair may appear. A shared kernel/oracle bug in the simhash path
+    cannot satisfy this gate by construction."""
+    from pdf_to_text_spark.operators.dedup import simhash_near_pairs
+
+    rows = []
+    texts = {}
+    for i in range(20):
+        # per-base unique vocab: cross-base similarity ~0, twin ~1.
+        # 600 words: at hamming<=3 simhash targets near-identical LONG
+        # docs (Manku WWW'07's regime) — a 1-word edit flips ~0-3 bits
+        # at this length (empirically tuned; at 100 words it flips 1-8)
+        words = [f"w{i:02d}x{j:03d}" for j in range(600)]
+        twin = list(words)
+        twin[300] = "edited"
+        texts[i] = " ".join(words)
+        texts[1000 + i] = " ".join(twin)
+        rows.append((i, texts[i], "en", "s0", len(texts[i])))
+        rows.append((1000 + i, texts[1000 + i], "en", "s0", len(texts[1000 + i])))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def py_jaccard(a: str, b: str) -> float:
+        ga = {tuple(a.split()[k : k + 3]) for k in range(len(a.split()) - 2)}
+        gb = {tuple(b.split()[k : k + 3]) for k in range(len(b.split()) - 2)}
+        return len(ga & gb) / max(1, len(ga | gb))
+
+    got = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    twins = {(i, 1000 + i) for i in range(20)}
+    assert got, "no simhash pairs found at all"
+    assert got <= twins, f"cross-base pairs leaked: {got - twins}"
+    assert len(got) >= 16, f"only {len(got)}/20 twins found"
+    for a, b in got:
+        assert py_jaccard(texts[a], texts[b]) >= 0.5, (a, b)

@@ -246,3 +246,57 @@ def test_repetition_stats_keeps_null_text_docs(spark):
     got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
     assert set(got) == {1, 2}
     assert got[1]["top_word_count"] == 2
+
+
+def test_media_codec_injection_seam(spark):
+    """VERDICT r3 #7: a 'real' codec injected through the seam flows
+    through the SAME batching/schema/error plumbing as the stub — decode
+    failures become per-row status, never task failures."""
+    import pandas as pd
+
+    # PIL-shaped injected codec, defined LOCALLY so cloudpickle ships it
+    # by value (a module-level def pickles as a reference to the test
+    # module, which executors cannot import) — the same constraint a real
+    # PIL wrapper closure would satisfy
+    def _fake_pil_decode(payload: bytes, kind: str) -> list:
+        if payload[:1] == b"\xff":
+            raise ValueError("corrupt image")
+        return [float(payload[i % len(payload)]) / 255.0 for i in range(16)]
+
+    def _fake_pil_resize(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+        return bytes([tw % 251, th % 251]) + payload[:6]
+
+    from pdf_to_text_spark.operators.multimodal import (
+        image_resize,
+        media_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 24)
+    # splice one 'corrupt' payload the fake codec refuses
+    corrupt = spark.createDataFrame(
+        [(999, "image", b"\xffcorrupt", (8, 8, None, None))],
+        schema=media.schema,
+    )
+    media = media.unionByName(corrupt)
+
+    feats = media_features(media, decode=_fake_pil_decode).toPandas()
+    ok = feats[feats["decode_status"] == "ok"]
+    assert len(ok) > 10 and all(len(f) == 16 for f in ok["feature"])
+    # injected semantics actually used (first byte / 255)
+    row = ok[ok["media_id"] == 0].iloc[0]
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()
+           if r["payload"] is not None}
+    assert abs(row["feature"][0] - src[0][0] / 255.0) < 1e-6
+    assert (feats[feats["media_id"] == 999]["decode_status"] == "decode_failed").all()
+    # null payloads keep their distinct status through the injected path
+    assert (feats[feats["payload_bytes"] == 0]["decode_status"] == "null_payload").all()
+
+    rs = image_resize(media, resize=_fake_pil_resize).toPandas()
+    ok_rs = rs[rs["resize_status"] == "ok"]
+    assert len(ok_rs) > 3
+    r0 = ok_rs.iloc[0]
+    assert r0["out_bytes"] == 8  # 2 marker bytes + 6 payload bytes
+    # stub path untouched by the seam (default arg)
+    stub = media_features(media).toPandas()
+    assert (stub[stub["media_id"] == 999]["decode_status"] == "ok").all()
