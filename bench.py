@@ -123,8 +123,11 @@ def main() -> int:
     }
 
     # warm the Python worker pool once (daemon fork + imports) so the
-    # first timed query doesn't absorb interpreter cold-start
-    _force(run_extraction(pages.limit(8 * cpus)))
+    # first timed query doesn't absorb interpreter cold-start.
+    # repartition(cpus) matters: a bare limit() collapses to ONE
+    # partition and would leave cpus-1 workers cold INSIDE the timed
+    # region (same fix as bench/scaling.py, r3 review)
+    _force(run_extraction(pages.limit(8 * cpus).repartition(cpus)))
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
