@@ -34,25 +34,9 @@ def _machine_ceiling(pages_path: str, procs: int, n_docs: int = 8000) -> float:
     r3 #8): extraction_docs_per_sec moves 2-3× with host tenancy, but
     the spark/ceiling ratio isolates what the ENGINE adds on top of what
     the machine gives the kernel in the same window."""
-    import multiprocessing as mp
-    import time as _t
+    from bench.scaling import load_pool_payloads, pool_throughput
 
-    import duckdb
-
-    from bench.scaling import _pool_warm, _pool_work
-
-    rows = duckdb.sql(
-        f"SELECT url, html FROM read_parquet('{pages_path}/*.parquet') "
-        f"WHERE html IS NOT NULL LIMIT {n_docs}"
-    ).fetchall()
-    payloads = [(u, bytes(h)) for u, h in rows]
-    chunks = [payloads[i :: procs * 4] for i in range(procs * 4)]
-    with mp.Pool(procs, initializer=_pool_warm) as p:
-        p.map(_pool_work, chunks[:procs])  # warm the map codepath
-        t0 = _t.perf_counter()
-        p.map(_pool_work, chunks)
-        dt = _t.perf_counter() - t0
-    return len(payloads) / dt
+    return pool_throughput(load_pool_payloads(pages_path, n_docs), procs)
 
 
 def main() -> int:
@@ -81,8 +65,10 @@ def main() -> int:
     # deterministic bench pages table, built once and reused across runs;
     # 4×cores files — single-row-group files are the task granularity
     # (see bench/scaling.py ensure_pages)
+    from pdf_to_text_spark.sources.pages import PAGES_GEN
+
     n_parts = max(64, 4 * cpus)
-    pages_path = repo / ".benchdata" / f"pages_{n_pages}_p{n_parts}"
+    pages_path = repo / ".benchdata" / f"pages_{n_pages}_p{n_parts}_g{PAGES_GEN}"
     if not (pages_path / "_SUCCESS").exists():
         write_pages(spark, n_pages, str(pages_path), num_partitions=n_parts)
 

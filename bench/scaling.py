@@ -66,7 +66,14 @@ def ensure_pages(n_pages: int, parts: int = 128) -> str:
     # waves and any straggler idles 15 cores. 4×cores files give smooth
     # wave packing (the 100 TB analogue is maxPartitionBytes-sized splits
     # with files >> cores; file count is the sandbox's granularity knob).
-    path = REPO / ".benchdata" / f"pages_{n_pages}_p{parts}"
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO))
+    from pdf_to_text_spark.sources.pages import PAGES_GEN
+
+    # _g{N}: content-version the cache so a corpus-generator change can't
+    # silently serve last round's table (r4 review)
+    path = REPO / ".benchdata" / f"pages_{n_pages}_p{parts}_g{PAGES_GEN}"
     if not (path / "_SUCCESS").exists():
         code = (
             f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
@@ -80,35 +87,47 @@ def ensure_pages(n_pages: int, parts: int = 128) -> str:
     return str(path)
 
 
-def _pool_control(pages_path: str, low: int, high: int, n_docs: int = 24000) -> dict:
-    """Bare multiprocessing control: the same kernel with NO Spark.
-
-    Separates engine overhead from machine ceiling — if a plain process
-    pool can't scale this workload on this box, no executor layout can.
-    """
-    import multiprocessing as mp
-
+def load_pool_payloads(pages_path: str, n_docs: int = 24000) -> list:
+    """(url, html) payload sample for the no-Spark controls — shared by
+    this module and bench.py's per-run ceiling marker."""
     import duckdb
 
     rows = duckdb.sql(
         f"SELECT url, html FROM read_parquet('{pages_path}/*.parquet') "
         f"WHERE html IS NOT NULL LIMIT {n_docs}"
     ).fetchall()
-    payloads = [(u, bytes(h)) for u, h in rows]
+    return [(u, bytes(h)) for u, h in rows]
 
-    out = {}
-    for procs in (low, high):
-        chunks = [payloads[i :: procs * 4] for i in range(procs * 4)]
-        # initializer warms EVERY worker at spawn — a warm-up map of
-        # `procs` tasks has no worker affinity, so a fast worker could
-        # take two and leave another to cold-import inside the timed
-        # region (r3 review)
-        with mp.Pool(procs, initializer=_pool_warm) as p:
-            p.map(_pool_work, chunks[:procs])  # warm the map codepath too
-            t0 = __import__("time").perf_counter()
-            p.map(_pool_work, chunks)
-            dt = __import__("time").perf_counter() - t0
-        out[procs] = len(payloads) / dt
+
+def pool_throughput(payloads: list, procs: int) -> float:
+    """docs/sec of the identical kernel through a bare multiprocessing
+    pool — THE timing protocol for every machine-ceiling control
+    (bench.py reuses it, so a protocol fix lands once; r4 review).
+
+    The initializer warms EVERY worker at spawn — a warm-up map of
+    `procs` tasks has no worker affinity, so a fast worker could take
+    two and leave another to cold-import inside the timed region (r3
+    review)."""
+    import multiprocessing as mp
+    import time as _t
+
+    chunks = [payloads[i :: procs * 4] for i in range(procs * 4)]
+    with mp.Pool(procs, initializer=_pool_warm) as p:
+        p.map(_pool_work, chunks[:procs])  # warm the map codepath too
+        t0 = _t.perf_counter()
+        p.map(_pool_work, chunks)
+        dt = _t.perf_counter() - t0
+    return len(payloads) / dt
+
+
+def _pool_control(pages_path: str, low: int, high: int, n_docs: int = 24000) -> dict:
+    """Bare multiprocessing control: the same kernel with NO Spark.
+
+    Separates engine overhead from machine ceiling — if a plain process
+    pool can't scale this workload on this box, no executor layout can.
+    """
+    payloads = load_pool_payloads(pages_path, n_docs)
+    out = {procs: pool_throughput(payloads, procs) for procs in (low, high)}
     out["efficiency"] = (out[high] / out[low]) / (high / low)
     return out
 

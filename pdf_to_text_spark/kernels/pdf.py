@@ -459,6 +459,13 @@ class _StdCrypt:
             raise PDFEncryptedError(f"unsupported V5 crypt filter method {cfm!r}")
         stmf = str(enc.get("StmF", "Identity"))
         strf = str(enc.get("StrF", "Identity"))
+        # only the named StdCF (validated AESV3 above) or Identity are
+        # decryptable — a custom crypt-filter name must refuse with the
+        # distinct 'encrypted' status, not be decrypted with the AESV3
+        # file key into garbage (r4 review)
+        for name in (stmf, strf):
+            if name not in ("Identity", "StdCF"):
+                raise PDFEncryptedError(f"unsupported V5 crypt filter /{name}")
         self.identity_streams = stmf == "Identity"
         self.identity_strings = strf == "Identity"
         self.aes_stdcf = True

@@ -37,11 +37,14 @@ def dedup_latest_by_url(pages: DataFrame) -> DataFrame:
 
 
 # Broadcast ceiling for the prefilter dedup strategy: the duplicated-url
-# relation (url, max warc_ts) is collected and broadcast when it has at
-# most this many rows (~100 MB at 100 B/row). Crawl dup rates run ~2%, so
-# this covers corpora up to ~50M duplicated urls; beyond it run_extraction
-# falls back to the window strategy (which still shuffles only extracted
-# kilobyte rows, never payloads).
+# relation is collect()ed and re-broadcast when it has at most this many
+# rows. Driver-memory honesty (r4 review): at the cap that is ~1 GB peak,
+# not the naive 100 B/row — CPython Row objects cost ~300-500 B each and
+# _dedup_prefilter materializes a second (url, ts) tuple list before
+# createDataFrame. Size the driver accordingly (the default 8g config
+# clears it 8×). Crawl dup rates run ~2%, so the cap covers ~50M-doc
+# corpora; beyond it run_extraction falls back to the window strategy
+# (which still shuffles only extracted kilobyte rows, never payloads).
 PREFILTER_MAX_DUP_URLS = 1_000_000
 
 

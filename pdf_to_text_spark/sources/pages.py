@@ -21,6 +21,10 @@ from collections.abc import Iterator
 import pandas as pd
 
 SEED = 42
+# Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
+# cache directories embed it, so a stale cache can't silently serve the
+# previous round's corpus (r4 review; replaces the manual delete step).
+PAGES_GEN = 4
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle
@@ -65,10 +69,12 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             # ~0.4% CJK PDFs with a predefined CID CMap and no ToUnicode.
             # Round 4: the Unicode-coded Uni* family (2 of 3 slices)
             # extracts as UTF-16BE → 'ok'; the legacy-coded GBK-EUC-H
-            # slice keeps the countable 'unsupported_cmap' status.
+            # slice keeps the countable 'unsupported_cmap' status and
+            # comes FIRST so the 120-row driver gate still exercises
+            # that status end-to-end (r4 review).
             from tools.make_pdf import predefined_cmap_pdf
 
-            enc = ["UniGB-UCS2-H", "UniJIS-UTF16-H", "GBK-EUC-H"][(i // 270) % 3]
+            enc = ["GBK-EUC-H", "UniGB-UCS2-H", "UniJIS-UTF16-H"][(i // 270) % 3]
             return url, ts, predefined_cmap_pdf(used=True, encoding=enc), None, lang
         if i % 90 == 39:
             # ~1% standard-security PDFs with an EMPTY user password —

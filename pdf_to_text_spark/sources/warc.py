@@ -261,6 +261,36 @@ def _warc_record(
     return b"\r\n".join(head) + _CRLF2 + body + _CRLF2
 
 
+_GATE_SHARDS: dict[tuple[int, int], str] = {}
+
+
+def _gate_shard_dir(n_rows: int, n_files: int, with_payload: list) -> str:
+    """One shard directory per (n_rows, n_files) per process, built on
+    first use — the gate queries run synthetic_warc_pages repeatedly
+    (spark side + oracle side, bench reps), and a fresh mkdtemp per call
+    leaked /tmp dirs and re-gzipped the corpus every time (r4 review).
+    Registered for interpreter-exit cleanup; deterministic content, so
+    reuse is safe."""
+    key = (n_rows, n_files)
+    path = _GATE_SHARDS.get(key)
+    if path is not None and all(
+        __import__("os").path.exists(f"{path}/seg-{i}.warc.gz")
+        for i in range(n_files)
+    ):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pts_warc_gate_")
+    for i in range(n_files):
+        with open(f"{path}/seg-{i}.warc.gz", "wb") as f:
+            f.write(build_warc_bytes(with_payload[i::n_files]))
+    _GATE_SHARDS[key] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def synthetic_warc_pages(spark, n_rows: int, n_files: int = 4):
     """The driver-gate WARC path (VERDICT r3 #5): the deterministic
     ``build_pages_pdf`` corpus re-ingested THROUGH the WARC walker.
@@ -273,8 +303,6 @@ def synthetic_warc_pages(spark, n_rows: int, n_files: int = 4):
     empty) have no WARC representation by definition — they join back as
     a unioned literal relation. Byte-identity of the WARC round trip is
     separately pinned by tests/test_warc_source.py."""
-    import tempfile
-
     from .pages import build_pages_pdf
 
     pdf = build_pages_pdf(list(range(n_rows)))
@@ -284,11 +312,7 @@ def synthetic_warc_pages(spark, n_rows: int, n_files: int = 4):
             index=False, name=None
         )
     ]
-    tmp = tempfile.mkdtemp(prefix="pts_warc_gate_")
-    for i in range(n_files):
-        shard = with_payload[i::n_files]
-        with open(f"{tmp}/seg-{i}.warc.gz", "wb") as f:
-            f.write(build_warc_bytes(shard))
+    tmp = _gate_shard_dir(n_rows, n_files, with_payload)
     from_warc = warc_pages(spark, tmp)
     # lang is crawl metadata, not WARC content — rejoin it from the
     # corpus relation (broadcast: fixture-sized)

@@ -778,3 +778,63 @@ def test_object_key_large_object_number_uses_low_order_bytes():
     k = crypto.object_key(b"0123456789", (1 << 24) + 7, 70001, True)
     assert k == crypto.object_key(b"0123456789", 7, 70001 & 0xFFFF, True)
     assert len(k) == 15
+
+
+def test_hash_2b_matches_independent_loop_transcription():
+    """r4 review: hash_2b is shared by the kernel AND the fixture writer,
+    so a loop-transcription bug would round-trip invisibly. This pins the
+    Algorithm 2.B LOOP against a second, independently-written
+    transcription of ISO 32000-2 §7.6.4.3.4 built on the vector-pinned
+    REFERENCE block cipher (_crypt_block, not the T-table fast path):
+    K1 repetition ×64, AES-128-CBC(K[:16], iv=K[16:32]), SHA-256/384/512
+    selected by sum(E[:16]) mod 3, ≥64 rounds until E[-1] <= round-32.
+    (No offline public standalone 2.B vector exists in this sandbox; the
+    components — AES, SHA-2 — are externally pinned, and this separates
+    the loop logic from the writer path.)"""
+    import hashlib
+
+    from pdf_to_text_spark.kernels import crypto as c
+
+    def ref_2b(pw, salt, udata=b""):
+        k = hashlib.sha256(pw + salt + udata).digest()
+        rnd = 0
+        while True:
+            k1 = (pw + k + udata) * 64
+            rks = c._expand_key(k[:16])
+            prev, e = k[16:32], b""
+            for off in range(0, len(k1), 16):
+                blk = bytes(x ^ y for x, y in zip(k1[off : off + 16], prev))
+                prev = c._crypt_block(blk, rks, inverse=False)
+                e += prev
+            k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+                sum(e[:16]) % 3
+            ](e).digest()
+            rnd += 1
+            if rnd >= 64 and e[-1] <= rnd - 32:
+                return k[:32]
+
+    cases = [
+        (b"", b"salt0001", b""),
+        (b"pw", b"abcdefgh", b"u" * 48),
+        (b"", b"zzzzzzzz", b"x" * 48),
+        (b"long-password-beyond-one-block!", b"12345678", b""),
+    ]
+    for pw, salt, ud in cases:
+        assert c.hash_2b(pw, salt, ud) == ref_2b(pw, salt, ud), (pw, salt)
+    # R5 is the single first step
+    assert c.hash_2b(b"", b"salt0001", b"", r=5) == hashlib.sha256(
+        b"" + b"salt0001"
+    ).digest()
+
+
+def test_v5_custom_crypt_filter_name_refuses():
+    """r4 review: a V5 document whose StmF/StrF names a custom crypt
+    filter must surface 'encrypted', not decrypt through the AESV3 key."""
+    import re as _re
+
+    good = FIXTURES["encrypted_aes_256"]()
+    # same-length name so classic-xref byte offsets stay valid
+    bad = good.replace(b"/StmF /StdCF", b"/StmF /MyCFx")
+    assert bad != good
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(bad)
