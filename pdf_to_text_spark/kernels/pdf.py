@@ -25,10 +25,14 @@ reference package.json:8-9):
   * stream filters: FlateDecode, LZWDecode (variable 9-12 bit codes,
     /EarlyChange), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, with
     /DecodeParms predictors (TIFF 2 and PNG 10-15) and filter chains;
-  * font encodings: latin-1/WinAnsi base (pinned) plus ``/ToUnicode``
-    CMaps (bfchar/bfrange, pdfjs-precedence) and ``/Encoding
+  * font encodings: latin-1 base (pinned for unnamed encodings) plus
+    ``/ToUnicode`` CMaps (bfchar/bfrange, pdfjs-precedence), ``/Encoding
     /Differences`` overrides resolved through an AGL-subset glyph table
-    and uniXXXX names; Type0/Identity-H CID fonts decode 2-byte show
+    and uniXXXX names, and (round 4) explicitly NAMED base encodings —
+    /WinAnsiEncoding maps the true CP1252 0x80-0x9F range (smart
+    quotes, €, ™) and /MacRomanEncoding the full Mac upper range, via a
+    C-level translate fast path; precedence ToUnicode > Differences >
+    named base > latin-1. Type0/Identity-H CID fonts decode 2-byte show
     strings through their wide ToUnicode map (the standard embedded-CJK
     layout — unmapped CIDs pin to U+FFFD);
   * standard-security decryption with an EMPTY user password (round 3,
@@ -1178,8 +1182,28 @@ class PDFDocument:
                 else:
                     dec = _WideMap(wide)
             else:
-                m.update(narrow)  # ToUnicode wins over Differences (pdfjs)
-                dec = m or None
+                base_name = None
+                if isinstance(enc, _Name):
+                    base_name = str(enc)
+                elif isinstance(enc, dict):
+                    be = self.resolve(enc.get("BaseEncoding"))
+                    if isinstance(be, _Name):
+                        base_name = str(be)
+                base = (
+                    _base_encoding_overrides(base_name) if base_name else None
+                )
+                if base and not m and not narrow:
+                    # declared base encoding only: C-level translate path
+                    dec = _Translate(_base_encoding_trans(base_name))
+                else:
+                    if base:
+                        full = dict(base)
+                        full.update(m)       # Differences override base
+                        full.update(narrow)  # ToUnicode wins over both
+                        m = full
+                    else:
+                        m.update(narrow)  # ToUnicode wins over Differences
+                    dec = m or None
             if fnum is not None:
                 self._font_dec_cache[fnum] = dec
             if dec is not None:
@@ -1528,6 +1552,65 @@ class _WideMap(dict):
     extractor consumes show-string bytes pairwise when it sees one."""
 
 
+class _Translate:
+    """Sentinel font map: latin-1 decode + one C-level str.translate.
+
+    Used when a font names a base encoding (/WinAnsiEncoding,
+    /MacRomanEncoding) with NO /Differences and no narrow /ToUnicode —
+    the common declared-encoding case — so the hot path stays a
+    two-pass C operation instead of a per-char dict lookup."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, table: dict):
+        self.table = table
+
+
+def _base_encoding_overrides(name: str) -> dict[int, str] | None:
+    """code→char overrides vs the pinned latin-1 base for an explicitly
+    NAMED simple-font encoding (round 4, pdfjs parity):
+
+      * WinAnsiEncoding == CP1252: differs from latin-1 only in
+        0x80-0x9F (smart quotes, dashes, €, ™, …); the five undefined
+        codes keep latin-1 passthrough.
+      * MacRomanEncoding: differs across 0x80-0xFF (ü é ¢ ∞ …).
+
+    An UNNAMED encoding keeps the pinned latin-1 fast path untouched
+    (golden contract — SURVEY §2.2.2)."""
+    cached = _BASE_ENC_CACHE.get(name, False)
+    if cached is not False:
+        return cached
+    out = _base_encoding_overrides_build(name)
+    _BASE_ENC_CACHE[name] = out
+    return out
+
+
+_BASE_ENC_CACHE: dict[str, dict[int, str] | None] = {}
+_BASE_ENC_TRANS: dict[str, dict] = {}
+
+
+def _base_encoding_trans(name: str) -> dict:
+    t = _BASE_ENC_TRANS.get(name)
+    if t is None:
+        t = str.maketrans(_base_encoding_overrides(name) or {})
+        _BASE_ENC_TRANS[name] = t
+    return t
+
+
+def _base_encoding_overrides_build(name: str) -> dict[int, str] | None:
+    if name == "WinAnsiEncoding":
+        out = {}
+        for c in range(0x80, 0xA0):
+            try:
+                out[c] = bytes([c]).decode("cp1252")
+            except UnicodeDecodeError:
+                pass  # 81/8D/8F/90/9D undefined in CP1252
+        return out
+    if name == "MacRomanEncoding":
+        return {c: bytes([c]).decode("mac_roman") for c in range(0x80, 0x100)}
+    return None
+
+
 class _Utf16BEMap:
     """Sentinel font map: show-string bytes ARE big-endian Unicode.
 
@@ -1713,6 +1796,8 @@ def _extract_page_text(
             )
         if type(m) is _Utf16BEMap:  # Uni*-UCS2/UTF16: codes ARE Unicode
             return b.decode("utf-16-be", "replace")
+        if type(m) is _Translate:  # declared WinAnsi/MacRoman base
+            return b.decode("latin-1").translate(m.table)
         if type(m) is _WideMap:  # Type0: consume 2-byte CIDs
             return "".join(
                 m.get((b[i] << 8) | b[i + 1], "�")

@@ -838,3 +838,57 @@ def test_v5_custom_crypt_filter_name_refuses():
     assert bad != good
     with pytest.raises(PDFEncryptedError):
         extract_pdf_text(bad)
+
+
+def test_winansi_c1_range_decodes_when_named():
+    """Round 4 (pdfjs parity): an EXPLICIT /Encoding /WinAnsiEncoding
+    maps the CP1252 0x80-0x9F range (smart quotes, dashes, €) instead of
+    latin-1 C1 controls; the undefined codes keep latin-1 passthrough."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    s = b"BT /F1 12 Tf 72 720 Td (\x93q\x94 \x96 \x85 \x80 \x99 [\x81]) Tj ET"
+    text, _ = extract_pdf_text(build_pdf([s], font_obj=font))
+    assert text == "“q” – … € ™ [\x81]"
+
+
+def test_macroman_encoding_decodes_when_named():
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /MacRomanEncoding >>"
+    )
+    s = b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa5 \xd0 \xc7) Tj ET"
+    text, _ = extract_pdf_text(build_pdf([s], font_obj=font))
+    assert text == "café • – «"
+
+
+def test_unnamed_encoding_keeps_pinned_latin1():
+    """The golden contract: NO /Encoding entry → latin-1 passthrough,
+    byte-for-byte as before round 4."""
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    s = b"BT /F1 12 Tf 72 720 Td (\x93raw\x94) Tj ET"
+    text, _ = extract_pdf_text(build_pdf([s], font_obj=font))
+    assert text == "\x93raw\x94"
+
+
+def test_differences_and_tounicode_override_named_base():
+    """Precedence on one font: ToUnicode > Differences > named base
+    (WinAnsi) > latin-1 — all four layers visible at once."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin 1 begincmap\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <93> <0041> endbfchar\n"
+        b"endcmap\nend end"
+    )
+    tu_obj = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [148 /bullet] >> /ToUnicode 6 0 R >>"
+    )
+    s = b"BT /F1 12 Tf 72 720 Td (\x93\x94\x96\xe9) Tj ET"
+    text, _ = extract_pdf_text(build_pdf([s], font_obj=font, extra_objects=(tu_obj,)))
+    # 93: ToUnicode -> A; 94: Differences -> bullet; 96: base WinAnsi ->
+    # en-dash; e9: latin-1 é (base == latin-1 there)
+    assert text == "A•–é"

@@ -763,6 +763,22 @@ FIXTURES = {
         [content_stream_for_lines(["aes two fifty six", "hardened hash ø §"])],
         method="aes_256", compress=True,
     ),
+    # round 4: explicitly NAMED base encodings (pdfjs parity) — WinAnsi
+    # C1 range (smart quotes/€/™) and MacRoman upper range
+    "winansi_c1": lambda: build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (\x93smart\x94 \x96 \x85 \x80 \x99) Tj ET"],
+        font_obj=(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        ),
+    ),
+    "macroman_upper": lambda: build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa5 \xd0 \xc7 p\x8cte) Tj ET"],
+        font_obj=(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /MacRomanEncoding >>"
+        ),
+    ),
     # round 4: legacy-coded predefined CMap (needs Adobe data tables) —
     # the genuinely-unsupported remainder of the family
     "unsupported_cmap": lambda: predefined_cmap_pdf(encoding="GBK-EUC-H"),
