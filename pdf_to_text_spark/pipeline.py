@@ -30,15 +30,17 @@ from .operators.records import (
 
 
 def run_reference_pipeline(
-    pages: DataFrame, *, dedup: bool = True, enricher=None
+    pages: DataFrame, *, dedup: bool = True, dedup_strategy: str = "auto",
+    enricher=None,
 ) -> dict[str, DataFrame]:
     """pages → every artifact the reference produces per document.
 
     `enricher=None` uses the deterministic regex field parser on blocks
     (records_df); pass an operators.enrichment.HTTPEnricher to run the
     reference's LLM stage instead (then records come from enrich_chunks).
-    """
-    extracted = run_extraction(pages, dedup=dedup)
+    `dedup_strategy` passes through to run_extraction (auto | prefilter
+    | window)."""
+    extracted = run_extraction(pages, dedup=dedup, dedup_strategy=dedup_strategy)
     blocks = with_chunk_id(blocks_df(extracted))
     if enricher is None:
         records = records_df(blocks)

@@ -21,6 +21,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="snapshot-checkpointed extraction (resumable)")
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--dedup-strategy", default="auto",
+                    choices=["auto", "prefilter", "window"],
+                    help="latest-by-url dedup plan: broadcast prefilter "
+                         "(zero payload shuffle), post-extraction window, "
+                         "or auto (stats-driven; the default)")
     args = ap.parse_args(argv)
 
     from .config import build_spark
@@ -39,7 +44,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from .pipeline import run_reference_pipeline
 
-            out = run_reference_pipeline(pages, dedup=not args.no_dedup)
+            out = run_reference_pipeline(
+                pages, dedup=not args.no_dedup,
+                dedup_strategy=args.dedup_strategy,
+            )
             for name in ("extracted", "records", "csv_docs", "json_docs", "metrics"):
                 out[name].write.mode("overwrite").parquet(f"{args.output}/{name}")
             print("wrote extracted/records/csv_docs/json_docs/metrics "
