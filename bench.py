@@ -65,8 +65,10 @@ def main() -> int:
     # deterministic bench pages table, built once and reused across runs;
     # 4×cores files — single-row-group files are the task granularity
     # (see bench/scaling.py ensure_pages)
+    from bench.scaling import prune_stale_benchdata
     from pdf_to_text_spark.sources.pages import PAGES_GEN
 
+    prune_stale_benchdata()
     n_parts = max(64, 4 * cpus)
     pages_path = repo / ".benchdata" / f"pages_{n_pages}_p{n_parts}_g{PAGES_GEN}"
     if not (pages_path / "_SUCCESS").exists():

@@ -60,6 +60,22 @@ def run_once(cores: int, pages_path: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def prune_stale_benchdata() -> None:
+    """Delete pages_* cache dirs from previous PAGES_GEN generations —
+    the _g{N} suffix keeps stale corpora from being SERVED, this keeps
+    them from silently accreting multi-GB orphans on disk (r4 review)."""
+    import shutil
+
+    from pdf_to_text_spark.sources.pages import PAGES_GEN
+
+    bd = REPO / ".benchdata"
+    if not bd.exists():
+        return
+    for d in bd.glob("pages_*"):
+        if d.is_dir() and not d.name.endswith(f"_g{PAGES_GEN}"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def ensure_pages(n_pages: int, parts: int = 128) -> str:
     # 128 files, not 32: these ~3 MB zstd files are single-row-group, so
     # one file == one scan task — at 32 files a 16-core run is 2 task
@@ -73,6 +89,7 @@ def ensure_pages(n_pages: int, parts: int = 128) -> str:
 
     # _g{N}: content-version the cache so a corpus-generator change can't
     # silently serve last round's table (r4 review)
+    prune_stale_benchdata()
     path = REPO / ".benchdata" / f"pages_{n_pages}_p{parts}_g{PAGES_GEN}"
     if not (path / "_SUCCESS").exists():
         code = (

@@ -418,6 +418,12 @@ class _StdCrypt:
                 raise PDFEncryptedError(f"unsupported crypt filter method {cfm!r}")
             stmf = str(enc.get("StmF", "Identity"))
             strf = str(enc.get("StrF", "Identity"))
+            # same refusal the V5 path got in r4: a custom crypt-filter
+            # name must surface 'encrypted', not be decrypted with
+            # StdCF's method into mojibake marked 'ok'
+            for name in (stmf, strf):
+                if name not in ("Identity", "StdCF"):
+                    raise PDFEncryptedError(f"unsupported V4 crypt filter /{name}")
             self.identity_streams = stmf == "Identity"
             self.identity_strings = strf == "Identity"
             self.aes_stdcf = aes
@@ -1607,7 +1613,16 @@ def _base_encoding_overrides_build(name: str) -> dict[int, str] | None:
                 pass  # 81/8D/8F/90/9D undefined in CP1252
         return out
     if name == "MacRomanEncoding":
-        return {c: bytes([c]).decode("mac_roman") for c in range(0x80, 0x100)}
+        out = {c: bytes([c]).decode("mac_roman") for c in range(0x80, 0x100)}
+        # PDF Annex D pins the PRE-euro Mac OS Roman table (r4 review;
+        # pdfjs agrees): 0xDB is /currency not €, 0xCA is /space not
+        # NBSP, and 0xF0 (the Apple-logo private-use char in the modern
+        # codec) is undefined — latin-1 passthrough like WinAnsi's
+        # undefined codes.
+        out[0xDB] = "¤"
+        out[0xCA] = " "
+        del out[0xF0]
+        return out
     return None
 
 

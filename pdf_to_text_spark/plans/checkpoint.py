@@ -114,6 +114,7 @@ def run_resumable_extraction(
     buckets_per_commit: int = 8,
     num_partitions: int | None = None,
     shuffle_payloads: bool = False,
+    dedup_strategy: str = "auto",
     fail_after_commits: int | None = None,
 ) -> ManifestTable:
     """Extract `pages` into a snapshot-checkpointed table, resuming past
@@ -144,7 +145,8 @@ def run_resumable_extraction(
         wave = todo[i : i + buckets_per_commit]
         subset = pages_b.where(F.col("bucket").isin(wave))
         extracted = run_extraction(
-            subset, num_partitions=num_partitions, shuffle_payloads=shuffle_payloads
+            subset, num_partitions=num_partitions,
+            shuffle_payloads=shuffle_payloads, dedup_strategy=dedup_strategy,
         )
         files = _write_wave(extracted, mt.data_dir)
         metrics = [

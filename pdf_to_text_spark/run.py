@@ -36,7 +36,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.resume:
             from .plans.checkpoint import run_resumable_extraction
 
-            mt = run_resumable_extraction(spark, pages, f"{args.output}/extracted")
+            mt = run_resumable_extraction(
+                spark, pages, f"{args.output}/extracted",
+                dedup_strategy=args.dedup_strategy,
+            )
             mt.metrics(spark).write.mode("overwrite").parquet(f"{args.output}/metrics")
             n = mt.read(spark).count()
             print(f"extracted (resumable): {n} docs, "

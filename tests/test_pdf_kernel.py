@@ -830,8 +830,6 @@ def test_hash_2b_matches_independent_loop_transcription():
 def test_v5_custom_crypt_filter_name_refuses():
     """r4 review: a V5 document whose StmF/StrF names a custom crypt
     filter must surface 'encrypted', not decrypt through the AESV3 key."""
-    import re as _re
-
     good = FIXTURES["encrypted_aes_256"]()
     # same-length name so classic-xref byte offsets stay valid
     bad = good.replace(b"/StmF /StdCF", b"/StmF /MyCFx")
@@ -858,9 +856,11 @@ def test_macroman_encoding_decodes_when_named():
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /MacRomanEncoding >>"
     )
-    s = b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa5 \xd0 \xc7) Tj ET"
+    # Annex D (PRE-euro Mac OS Roman, r4 review): 0xDB is /currency ¤
+    # (not €), 0xCA /space, 0xF0 undefined → latin-1 ð passthrough
+    s = b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa5 \xd0 \xc7 \xdb[\xca]\xf0) Tj ET"
     text, _ = extract_pdf_text(build_pdf([s], font_obj=font))
-    assert text == "café • – «"
+    assert text == "café • – « ¤[ ]\xf0"
 
 
 def test_unnamed_encoding_keeps_pinned_latin1():
@@ -892,3 +892,14 @@ def test_differences_and_tounicode_override_named_base():
     # 93: ToUnicode -> A; 94: Differences -> bullet; 96: base WinAnsi ->
     # en-dash; e9: latin-1 é (base == latin-1 there)
     assert text == "A•–é"
+
+
+def test_v4_custom_crypt_filter_name_refuses():
+    """r4 review follow-up: the V4 branch gets the same refusal as V5 —
+    a custom StmF/StrF name surfaces 'encrypted', never StdCF-method
+    decryption into mojibake."""
+    good = FIXTURES["encrypted_aes_128"]()
+    bad = good.replace(b"/StmF /StdCF", b"/StmF /MyCFx")
+    assert bad != good
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(bad)

@@ -773,7 +773,7 @@ FIXTURES = {
         ),
     ),
     "macroman_upper": lambda: build_pdf(
-        [b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa5 \xd0 \xc7 p\x8cte) Tj ET"],
+        [b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa5 \xd0 \xc7 p\x8cte \xdb\xca\xf0) Tj ET"],
         font_obj=(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding /MacRomanEncoding >>"
