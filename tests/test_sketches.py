@@ -16,3 +16,22 @@ def test_sketches_vs_exact(spark):
         p50_approx = a["p50_approx"]
         assert e["min_chars"] <= p50_approx <= e["max_chars"]
         assert abs(p50_approx - e["p50"]) <= 0.1 * max(1, e["p50"])
+
+
+def test_prune_stale_benchdata_removes_old_generations(tmp_path, monkeypatch):
+    """r4 review: generation bumps must not accrete orphaned corpora."""
+    import bench.scaling as sc
+    from pdf_to_text_spark.sources.pages import PAGES_GEN
+
+    bd = tmp_path / ".benchdata"
+    old = bd / "pages_48000_p128"          # pre-versioning layout
+    older = bd / f"pages_96000_p128_g{PAGES_GEN - 1}"
+    cur = bd / f"pages_96000_p128_g{PAGES_GEN}"
+    for d in (old, older, cur):
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+    (bd / "not_pages.txt").write_text("keep")
+    monkeypatch.setattr(sc, "REPO", tmp_path)
+    sc.prune_stale_benchdata()
+    assert not old.exists() and not older.exists()
+    assert cur.exists() and (bd / "not_pages.txt").exists()
