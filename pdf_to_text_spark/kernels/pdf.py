@@ -50,8 +50,14 @@ Predefined CID CMaps (round 4): the Unicode-coded ``Uni*-UCS2-H/V`` and
 ``Uni*-UTF16-H/V(-HW)`` family (UniGB-UCS2-H, UniJIS-UCS2-HW-H, …)
 decodes without data tables — their character codes ARE UTF-16BE, per
 the public Adobe CMap naming convention (see :class:`_Utf16BEMap`).
-Legacy-coded predefined CMaps (GBK-EUC-H, 90ms-RKSJ-H, …) need Adobe's
-mapping tables and remain out of contract (countable
+Round 5 extends this to the common LEGACY-coded predefined CMaps
+(GBK-EUC-H, 90ms-RKSJ-H, ETen-B5-H, KSC-EUC-H, …): their character-code
+space IS a national legacy encoding that Python's stdlib codecs
+implement (GBK, Shift-JIS/CP932, Big5, EUC-KR, …), so show strings
+decode through the named codec with no Adobe table shipped (see
+:data:`_LEGACY_CMAP_CODECS` for the equivalence argument and its
+limits). CMaps outside both families (rare supplements like Hojo-EUC-H,
+Hong Kong extensions) remain out of contract (countable
 ``unsupported_cmap`` status). Any structural error raises
 :class:`PDFParseError`;
 callers map that to a ``parse_failed`` metric row, never a task failure
@@ -81,27 +87,32 @@ class PDFParseError(Exception):
 
 
 class PDFUnsupportedCMapError(PDFParseError):
-    """Text was shown through a LEGACY-coded predefined CID CMap (e.g.
-    GBK-EUC-H) with no embedded /ToUnicode — out of contract (module
-    docstring; the Unicode-coded Uni*-UCS2/UTF16 family decodes fine as
-    of round 4), but COUNTABLE: callers surface a distinct
-    'unsupported_cmap' row status instead of folding the remaining CJK
-    gap into 'parse_failed'. Raised lazily, only when a show op actually
-    uses such a font."""
+    """Text was shown through a predefined CID CMap outside BOTH
+    decodable families (module docstring: Uni*-UCS2/UTF16 → UTF-16BE
+    since round 4; the common legacy-coded maps → stdlib codecs since
+    round 5) with no embedded /ToUnicode — e.g. supplement-plane maps
+    like Hojo-EUC-H or regional extensions not covered by a stdlib
+    codec. Out of contract but COUNTABLE: callers surface a distinct
+    'unsupported_cmap' row status instead of folding the gap into
+    'parse_failed'. Raised lazily, only when a show op actually uses
+    such a font."""
 
 
 class PDFEncryptedError(PDFParseError):
     """The document is encrypted and CANNOT be decrypted here.
 
-    Standard-security-handler documents with an EMPTY user password
-    (RC4 V1/V2 and AES-CBC V4/AESV2) are decrypted transparently —
-    pdfjs parity, reference main.ts:149 — so this error now means:
-    a real (non-empty) user password, a public-key handler, V5/R6
-    (AES-256), or any other unsupported scheme. Raised early (at xref
-    load) so callers can surface a distinct 'encrypted' row status
-    instead of a confusing downstream tokenizer failure. Subclasses
-    PDFParseError so untyped callers still treat it as a parse
-    failure."""
+    Standard-security-handler documents that an EMPTY password opens —
+    RC4 V1/V2 (R2-R3), AES-128 V4/AESV2, and AES-256 V5/R5/R6 (round
+    4), whether the empty password verifies as the USER password or as
+    the OWNER password (round 5 adds the legacy R2-R4 owner-side
+    Algorithm 7; V5 had both sides from the start) — are decrypted
+    transparently: pdfjs parity, reference main.ts:149. This error
+    therefore means "cannot decrypt": both passwords non-empty, a
+    public-key handler, non-AESV3 V5 crypt filters, or any other
+    unsupported scheme. Raised early (at xref load) so callers can
+    surface a distinct 'encrypted' row status instead of a confusing
+    downstream tokenizer failure. Subclasses PDFParseError so untyped
+    callers still treat it as a parse failure."""
 
 
 # ── stream filters (PDF 32000-1 §7.4) ────────────────────────────────────────
@@ -1171,18 +1182,23 @@ class PDFDocument:
                 # Type0/Identity-H: show strings are 2-byte CIDs; decode
                 # pairwise through the wide ToUnicode map (unmapped → �,
                 # which is honest — latin-1 on CID bytes is mojibake).
-                # A PREDEFINED CMap with no ToUnicode splits three ways:
+                # A PREDEFINED CMap with no ToUnicode splits four ways:
                 # Identity keeps the raw-CID wide map; the Unicode-coded
                 # Uni*-UCS2/UTF16 family decodes as UTF-16BE (round 4 —
-                # codes ARE Unicode, no data table needed); legacy-coded
-                # maps (GBK-EUC-H, …) cannot be decoded at all and mark
-                # the font so a show op raises the countable
+                # codes ARE Unicode, no data table needed); the common
+                # legacy-coded maps (GBK-EUC-H, 90ms-RKSJ-H, …) decode
+                # through the stdlib codec their codespace is defined
+                # over (round 5, _LEGACY_CMAP_CODECS); anything else
+                # marks the font so a show op raises the countable
                 # unsupported_cmap status.
                 if not wide and isinstance(enc, _Name) and str(enc) not in (
                     "Identity-H", "Identity-V",
                 ):
+                    codec = _legacy_cmap_codec(str(enc))
                     if _UNI_UNICODE_CMAP_RE.match(str(enc)):
                         dec = _Utf16BEMap()
+                    elif codec is not None:
+                        dec = _LegacyCodecMap(codec)
                     else:
                         dec = _UnsupportedCMap(str(enc))
                 else:
@@ -1643,10 +1659,72 @@ class _Utf16BEMap:
 
 
 # The Unicode-coded predefined CMap family (extractable without data
-# tables — see _Utf16BEMap). Legacy-coded predefined CMaps (GBK-EUC-H,
-# 90ms-RKSJ-H, B5pc-H, KSC-EUC-H, …) genuinely need Adobe's mapping
-# tables and stay _UnsupportedCMap.
+# tables — see _Utf16BEMap).
 _UNI_UNICODE_CMAP_RE = re.compile(r"^Uni[A-Za-z0-9]+-(UCS2|UTF16)(-HW)?-[HV]$")
+
+
+class _LegacyCodecMap:
+    """Sentinel font map: show-string bytes are a national legacy
+    encoding that a stdlib codec decodes (see _LEGACY_CMAP_CODECS)."""
+
+    __slots__ = ("codec",)
+
+    def __init__(self, codec: str):
+        self.codec = codec
+
+
+# Legacy-coded predefined CID CMaps → the stdlib codec whose byte space
+# they are defined over (round 5). Adobe's published CMap files map
+# character CODES in a named national encoding to CIDs in a registry
+# (Adobe-GB1/Japan1/CNS1/Korea1); the companion *-UCS2 tables map those
+# CIDs to Unicode. For TEXT EXTRACTION the composition code→CID→Unicode
+# is the round-trip of the legacy encoding itself — the CMap's name
+# states which encoding its codespace is (GBK-EUC-* is GBK/EUC-CN bytes,
+# 90ms-RKSJ-* is Microsoft Shift-JIS, ETen-B5-* is Big5 with ETen
+# extensions, KSCms-UHC-* is Unified Hangul Code, … — public Adobe CMap
+# naming convention, CID font spec #5099), and Python's codecs implement
+# exactly those encodings. So decoding the show string with the named
+# codec (errors='replace') extracts the same text pdfjs gets by shipping
+# the full table chain, without any data tables, for the shared
+# codespace. Known limits, accepted: a handful of codepoints where
+# Adobe's table picks a variant form (vertical/rotated presentation
+# forms in -V maps, a few compatibility ideographs) may differ, and
+# codes outside the codec's repertoire become U+FFFD instead of a
+# table-driven CID fallback — both far rarer on a crawl than the whole
+# class being dropped as unsupported_cmap was.
+_LEGACY_CMAP_CODECS = {
+    # Adobe-GB1 (Simplified Chinese)
+    "GB-EUC": "gb2312",      # EUC-CN
+    "GBK-EUC": "gbk",
+    "GBKp-EUC": "gbk",
+    "GBK2K": "gb18030",
+    # Adobe-Japan1
+    "90ms-RKSJ": "cp932",    # Microsoft Shift-JIS (the 'ms' in the name)
+    "90msp-RKSJ": "cp932",   # proportional variant, same byte space
+    "90pv-RKSJ": "shift_jis",  # classic Mac Shift-JIS base plane
+    "Ext-RKSJ": "cp932",     # NEC-extended Shift-JIS ⊂ CP932
+    "Add-RKSJ": "cp932",
+    "EUC": "euc_jp",
+    # Adobe-CNS1 (Traditional Chinese)
+    "ETen-B5": "cp950",      # Big5 + ETen extensions == CP950
+    "ETenms-B5": "cp950",
+    "B5pc": "big5",
+    "B5": "big5",
+    # Adobe-Korea1 / Adobe-KR
+    "KSC-EUC": "euc_kr",
+    "KSCms-UHC": "cp949",    # Unified Hangul Code
+    "KSCms-UHC-HW": "cp949",
+}
+
+
+def _legacy_cmap_codec(name: str) -> str | None:
+    """stdlib codec for a legacy-coded predefined CMap name, or None.
+
+    Names end in -H (horizontal) or -V (vertical); the byte space — all
+    extraction cares about — is identical for both."""
+    if name.endswith(("-H", "-V")):
+        return _LEGACY_CMAP_CODECS.get(name[:-2])
+    return None
 
 
 class _UnsupportedCMap:
@@ -1811,6 +1889,8 @@ def _extract_page_text(
             )
         if type(m) is _Utf16BEMap:  # Uni*-UCS2/UTF16: codes ARE Unicode
             return b.decode("utf-16-be", "replace")
+        if type(m) is _LegacyCodecMap:  # GBK-EUC/RKSJ/…: codes ARE the
+            return b.decode(m.codec, "replace")  # named legacy encoding
         if type(m) is _Translate:  # declared WinAnsi/MacRoman base
             return b.decode("latin-1").translate(m.table)
         if type(m) is _WideMap:  # Type0: consume 2-byte CIDs

@@ -24,7 +24,7 @@ SEED = 42
 # Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
 # cache directories embed it, so a stale cache can't silently serve the
 # previous round's corpus (r4 review; replaces the manual delete step).
-PAGES_GEN = 4
+PAGES_GEN = 5
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle
@@ -67,15 +67,25 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             return url, ts, encrypted_pdf(), None, lang
         if i % 270 == 111:
             # ~0.4% CJK PDFs with a predefined CID CMap and no ToUnicode.
-            # Round 4: the Unicode-coded Uni* family (2 of 3 slices)
-            # extracts as UTF-16BE → 'ok'; the legacy-coded GBK-EUC-H
-            # slice keeps the countable 'unsupported_cmap' status and
-            # comes FIRST so the 120-row driver gate still exercises
-            # that status end-to-end (r4 review).
+            # Round 4 decoded the Unicode-coded Uni* family (UTF-16BE);
+            # round 5 decodes the legacy-coded family through stdlib
+            # codecs (GBK-EUC-H, 90ms-RKSJ-H → 'ok' with real CJK text).
+            # Only Hojo-EUC-H (JIS X 0212 supplement, outside both
+            # families) keeps the countable 'unsupported_cmap' status —
+            # it comes FIRST so the 120-row driver gate still exercises
+            # that status end-to-end (r4/r5 review).
             from tools.make_pdf import predefined_cmap_pdf
 
-            enc = ["GBK-EUC-H", "UniGB-UCS2-H", "UniJIS-UTF16-H"][(i // 270) % 3]
-            return url, ts, predefined_cmap_pdf(used=True, encoding=enc), None, lang
+            enc, hx = [
+                ("Hojo-EUC-H", b"4F60597D"),
+                ("GBK-EUC-H", b"486920C4E3BAC3A3ACCAC0BDE7"),
+                ("90ms-RKSJ-H", b"82B182F182C982BF82CD90A28A45"),
+                ("UniGB-UCS2-H", b"4F60597D"),
+                ("UniJIS-UTF16-H", b"D842DFB74F60597D"),
+            ][(i // 270) % 5]
+            return url, ts, predefined_cmap_pdf(
+                used=True, encoding=enc, show_hex=hx
+            ), None, lang
         if i % 90 == 39:
             # ~1% standard-security PDFs with an EMPTY user password —
             # the kernel decrypts these transparently (status 'ok');

@@ -462,16 +462,58 @@ def test_wrong_u_entry_rejected():
 
 
 def test_predefined_cmap_distinct_status_lazy():
-    """A LEGACY-coded predefined CID CMap without ToUnicode raises the
+    """A predefined CID CMap outside both decodable families raises the
     countable PDFUnsupportedCMapError — but only when text actually uses
     the font; an unused embedding still extracts (empty page here)."""
     from pdf_to_text_spark.kernels.pdf import PDFUnsupportedCMapError
     from tools.make_pdf import predefined_cmap_pdf
 
     with pytest.raises(PDFUnsupportedCMapError):
-        extract_pdf_text(predefined_cmap_pdf(used=True, encoding="GBK-EUC-H"))
-    text, n = extract_pdf_text(predefined_cmap_pdf(used=False, encoding="GBK-EUC-H"))
+        extract_pdf_text(predefined_cmap_pdf(used=True, encoding="Hojo-EUC-H"))
+    text, n = extract_pdf_text(predefined_cmap_pdf(used=False, encoding="Hojo-EUC-H"))
     assert (text, n) == ("", 1)
+
+
+@pytest.mark.parametrize(
+    "encoding,show_hex,expect",
+    [
+        # mixed single-byte ASCII + double-byte CJK pins the
+        # variable-width dispatch inside one show string
+        ("GBK-EUC-H", b"486920C4E3BAC3A3ACCAC0BDE7", "Hi 你好，世界"),
+        ("GBK-EUC-V", b"C4E3BAC3", "你好"),
+        ("90ms-RKSJ-H", b"82B182F182C982BF82CD90A28A45", "こんにちは世界"),
+        # halfwidth katakana: the Shift-JIS single-byte 0xA1-0xDF range
+        ("90ms-RKSJ-H", b"B6C5", "ｶﾅ"),
+        ("ETen-B5-H", b"A741A66EA540ACC9204F4B", "你好世界 OK"),
+        ("KSC-EUC-H", b"BEC8B3E7C7CFBCBCBFE4", "안녕하세요"),
+        ("KSCms-UHC-H", b"BEC8B3E7", "안녕"),
+        ("GBK2K-H", b"C4E3BAC3", "你好"),
+    ],
+)
+def test_predefined_legacy_cmap_family_extracts(encoding, show_hex, expect):
+    """Round 5: legacy-coded predefined CMaps decode through the stdlib
+    codec whose byte space they are defined over (pdfjs parity on
+    legacy-encoded CJK PDFs without embedded ToUnicode)."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    text, n = extract_pdf_text(
+        predefined_cmap_pdf(used=True, encoding=encoding, show_hex=show_hex)
+    )
+    assert (text, n) == (expect, 1)
+
+
+def test_predefined_legacy_cmap_bad_bytes_degrade():
+    """Bytes outside the legacy codec's repertoire become U+FFFD, never a
+    parse failure (errors='replace' — same degradation contract as the
+    UTF16 family's lone surrogates)."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    text, n = extract_pdf_text(
+        predefined_cmap_pdf(used=True, encoding="GBK-EUC-H",
+                            show_hex=b"41FF2042")  # 'A', bad lead, ' ', 'B'
+    )
+    assert n == 1
+    assert text.startswith("A") and "�" in text and text.endswith("B")
 
 
 @pytest.mark.parametrize(

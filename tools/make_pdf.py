@@ -530,9 +530,13 @@ def predefined_cmap_pdf(
 
     Unicode-coded encodings (the default UniGB-UCS2-H; any Uni*-UCS2/
     UTF16 name) extract as UTF-16BE of `show_hex` (<4F60597D> → 你好) —
-    round-4 kernel surface. Legacy-coded encodings (e.g. GBK-EUC-H) hit
-    the kernel's distinct unsupported_cmap status when `used`; without
-    `used` the font is merely embedded and the document still extracts."""
+    round-4 kernel surface. Common legacy-coded encodings (GBK-EUC-H,
+    90ms-RKSJ-H, ETen-B5-H, KSC-EUC-H, …) extract through the stdlib
+    codec their codespace names (round 5) — pass show_hex bytes valid in
+    that encoding. Encodings outside both families (e.g. Hojo-EUC-H)
+    hit the kernel's distinct unsupported_cmap status when `used`;
+    without `used` the font is merely embedded and the document still
+    extracts."""
     font = (
         b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
         b"/Encoding /" + encoding.encode() + b" /DescendantFonts "
@@ -779,14 +783,31 @@ FIXTURES = {
             b"/Encoding /MacRomanEncoding >>"
         ),
     ),
-    # round 4: legacy-coded predefined CMap (needs Adobe data tables) —
-    # the genuinely-unsupported remainder of the family
-    "unsupported_cmap": lambda: predefined_cmap_pdf(encoding="GBK-EUC-H"),
+    # round 5: predefined CMap outside both decodable families (JIS X
+    # 0212 supplement — genuinely needs Adobe's tables) stays the
+    # countable unsupported_cmap representative
+    "unsupported_cmap": lambda: predefined_cmap_pdf(encoding="Hojo-EUC-H"),
     # round 4: Unicode-coded predefined CMaps extract as UTF-16BE
     "cid_cmap_ucs2": lambda: predefined_cmap_pdf(encoding="UniGB-UCS2-H"),
     "cid_cmap_utf16": lambda: predefined_cmap_pdf(
         encoding="UniJIS-UTF16-H", show_hex=b"D842DFB74F60597D"
     ),
+    # round 5: legacy-coded predefined CMaps decode through the stdlib
+    # codec their codespace names (kernels/pdf.py _LEGACY_CMAP_CODECS);
+    # show strings mix single-byte ASCII with double-byte CJK to pin the
+    # variable-width dispatch
+    "cid_cmap_gbk": lambda: predefined_cmap_pdf(
+        encoding="GBK-EUC-H", show_hex=b"486920C4E3BAC3A3ACCAC0BDE7"
+    ),  # "Hi 你好，世界" in GBK
+    "cid_cmap_rksj": lambda: predefined_cmap_pdf(
+        encoding="90ms-RKSJ-H", show_hex=b"82B182F182C982BF82CD90A28A45"
+    ),  # "こんにちは世界" in CP932
+    "cid_cmap_big5": lambda: predefined_cmap_pdf(
+        encoding="ETen-B5-H", show_hex=b"A741A66EA540ACC9204F4B"
+    ),  # "你好世界 OK" in Big5/CP950
+    "cid_cmap_euckr": lambda: predefined_cmap_pdf(
+        encoding="KSC-EUC-H", show_hex=b"BEC8B3E7C7CFBCBCBFE4"
+    ),  # "안녕하세요" in EUC-KR
 }
 
 
