@@ -32,6 +32,11 @@ import struct
 
 __all__ = [
     "rc4",
+    "aes_cbc_decrypt",
+    "aes_cbc_encrypt",
+    "aes_decrypt_block",
+    "aes_encrypt_block",
+    # legacy aliases (pre-round-5 names; same functions, 16- OR 32-byte keys)
     "aes128_cbc_decrypt",
     "aes128_cbc_encrypt",
     "aes128_decrypt_block",
@@ -373,15 +378,17 @@ def _decrypt_block_fast(key: bytes, block: bytes) -> bytes:
     return bytes(out)
 
 
-def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One-block AES with a 16- or 32-byte key (AES-128 / AES-256)."""
     return _encrypt_block_fast(bytes(key), block)
 
 
-def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
+def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
+    """One-block AES with a 16- or 32-byte key (AES-128 / AES-256)."""
     return _decrypt_block_fast(bytes(key), block)
 
 
-def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """PKCS#7-pad, CBC-encrypt, and PREPEND the IV (the PDF layout).
     16- or 32-byte keys (AESV2 / AESV3)."""
     key = bytes(key)
@@ -396,7 +403,7 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """PDF AESV2 stream layout: first 16 bytes are the IV; strip PKCS#7
     padding. Malformed input raises ValueError (callers map to
     PDFParseError)."""
@@ -414,6 +421,16 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("AES-CBC: bad padding")
     return bytes(out[:-pad])
+
+
+# Pre-round-5 names. The "128" became a misnomer when round 4 routed
+# 32-byte AESV3 keys through the same code paths; the aes_* names state
+# the real contract (ADVICE r4) and these aliases keep old callers
+# working.
+aes128_encrypt_block = aes_encrypt_block
+aes128_decrypt_block = aes_decrypt_block
+aes128_cbc_encrypt = aes_cbc_encrypt
+aes128_cbc_decrypt = aes_cbc_decrypt
 
 
 # ── standard security handler algorithms (§7.6.3) ───────────────────────────
@@ -448,19 +465,45 @@ def file_key(
     return key[:n]
 
 
-def compute_o(owner_pw: bytes, user_pw: bytes, r: int, length_bits: int) -> bytes:
-    """Algorithm 3: the /O (owner password) entry."""
-    h = hashlib.md5(_padded(owner_pw or user_pw)).digest()
+def _owner_rc4_key(owner_pw: bytes, r: int, length_bits: int) -> bytes:
+    """Algorithm 3 steps (a)-(d): the RC4 key derived from the owner
+    password alone — shared by /O creation and Algorithm 7 recovery."""
+    h = hashlib.md5(_padded(owner_pw)).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h).digest()
     n = 5 if r == 2 else length_bits // 8
-    rc4key = h[:n]
+    return h[:n]
+
+
+def compute_o(owner_pw: bytes, user_pw: bytes, r: int, length_bits: int) -> bytes:
+    """Algorithm 3: the /O (owner password) entry.
+
+    Callers wanting the spec's "no owner password → use the user
+    password" default must pass owner_pw=user_pw themselves — this
+    function treats b'' as a literally-empty owner password (some real
+    writers emit exactly that, and Algorithm 7 then opens the doc with
+    an empty password attempt)."""
+    rc4key = _owner_rc4_key(owner_pw, r, length_bits)
     o = rc4(rc4key, _padded(user_pw))
     if r >= 3:
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in rc4key), o)
     return o
+
+
+def recover_user_password(owner_pw: bytes, o: bytes, r: int, length_bits: int) -> bytes:
+    """Algorithm 7 (owner-password side, §7.6.3.4.8): invert Algorithm 3
+    with a candidate owner password, recovering the PADDED user password
+    from /O. The caller then runs the normal user-password chain
+    (Algorithm 2 file key + Algorithm 6 /U check) on the result — a
+    wrong owner password simply fails that check downstream."""
+    rc4key = _owner_rc4_key(owner_pw, r, length_bits)
+    data = bytes(o[:32])
+    if r >= 3:
+        for i in range(19, 0, -1):
+            data = rc4(bytes(b ^ i for b in rc4key), data)
+    return rc4(rc4key, data)
 
 
 def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
@@ -511,20 +554,38 @@ def _cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 # ── AES-256 revision 5/6 (ISO 32000-2 §7.6.4; PDF 2.0 / Adobe ExtLevel 3) ───
 
 
-@functools.lru_cache(maxsize=256)
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
     """Algorithm 2.B: the hardened SHA-2 password hash (R6).
 
     DELIBERATELY expensive (anti-brute-force KDF: ≥64 rounds of SHA-2
     over AES-CBC of a 2 KB blob — ~0.2 s here with the T-table core).
-    lru_cache memoizes per (password, salt, udata): re-parsing the same
-    document, and any corpus whose writer reused salts, pays once per
-    executor process instead of per row.
+    The memo cache means re-parsing the same document, and any corpus
+    whose writer reused salts, pays once per executor process instead of
+    per row — but it is keyed by a SHA-256 digest of the arguments, not
+    the arguments themselves, so raw passwords are never retained for
+    the process lifetime (ADVICE r4; moot for the empty-password corpus,
+    a real footgun if callers ever pass user-supplied passwords).
 
     R5 (the deprecated Adobe AESV3 draft) is the plain first step. R6
     iterates: K1 = (pw ‖ K ‖ udata)×64, E = AES-128-CBC(K[:16], iv=K[16:32],
     K1), then SHA-{256,384,512} of E chosen by sum(E[:16]) mod 3 — at
     least 64 rounds, stopping when the last byte of E ≤ round−32."""
+    # repr() of a bytes/int tuple is an injective, deterministic encoding
+    ck = hashlib.sha256(repr((password, salt, udata, r)).encode()).digest()
+    cached = _HASH2B_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    out = _hash_2b_uncached(password, salt, udata, r)
+    if len(_HASH2B_CACHE) >= 256:  # same bound the old lru_cache had
+        _HASH2B_CACHE.pop(next(iter(_HASH2B_CACHE)))  # FIFO eviction
+    _HASH2B_CACHE[ck] = out
+    return out
+
+
+_HASH2B_CACHE: dict[bytes, bytes] = {}
+
+
+def _hash_2b_uncached(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
     k = hashlib.sha256(password + salt + udata).digest()
     if r == 5:
         return k

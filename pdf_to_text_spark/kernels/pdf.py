@@ -366,8 +366,9 @@ _FILTER_ALIASES = {
 
 
 class _StdCrypt:
-    """Standard security handler, empty user password only (§7.6.3;
-    ISO 32000-2 §7.6.4 for V5).
+    """Standard security handler, empty password only — verified as the
+    user password OR, failing that, as the owner password (§7.6.3,
+    Algorithm 7; ISO 32000-2 §7.6.4 for V5).
 
     Supports V1/V2 (RC4, R2-R3), V4 with /StdCF /CFM /V2 (RC4) or
     /AESV2 (AES-128-CBC), and V5 R5/R6 /AESV3 (AES-256-CBC, round 4 —
@@ -461,7 +462,21 @@ class _StdCrypt:
             b"", bytes(o), p, id0, r, key_bits, self.encrypt_metadata
         )
         if not crypto.verify_user_password(key, bytes(u), id0, r):
-            raise PDFEncryptedError("document requires a user password")
+            # The empty password is not the USER password — try it as
+            # the OWNER password (Algorithm 7, §7.6.3.4.8; round 5,
+            # pdfjs tries both sides too): decrypt /O with the
+            # owner-derived RC4 key to recover the padded user
+            # password, then run the normal user chain with it. Opens
+            # the (real, writer-emitted) corner where /O was computed
+            # from a literally-empty owner password while the user
+            # password is set; the V5 path has had its owner side since
+            # round 4. A wrong recovery simply fails the /U check.
+            recovered = crypto.recover_user_password(b"", bytes(o), r, key_bits)
+            key = crypto.file_key(
+                recovered, bytes(o), p, id0, r, key_bits, self.encrypt_metadata
+            )
+            if not crypto.verify_user_password(key, bytes(u), id0, r):
+                raise PDFEncryptedError("document requires a password")
         self.key = key
         self.r = r
         self._crypto = crypto

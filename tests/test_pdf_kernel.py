@@ -425,6 +425,63 @@ def test_password_protected_stays_encrypted_status():
         extract_pdf_text(FIXTURES["encrypted_password"]())
 
 
+def test_owner_password_set_user_empty_decrypts():
+    """The common "no-copy" layout (owner password set, user password
+    empty) opens through the normal empty-user chain for every legacy
+    revision — /O only feeds the key derivation as opaque bytes."""
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    for method in ("rc4_40", "rc4_128", "aes_128"):
+        pdf = build_encrypted_pdf(
+            [content_stream_for_lines(["no copy allowed", "but extractable"])],
+            method=method, owner_pw=b"owner-secret",
+        )
+        text, n = extract_pdf_text(pdf)
+        assert (text, n) == ("no copy allowed\nbut extractable", 1), method
+
+
+def test_owner_password_empty_user_set_decrypts_via_algorithm7():
+    """Round 5: /O computed from a LITERALLY empty owner password while
+    the user password is set (a real writer corner) — the empty-password
+    attempt recovers the user password from /O (Algorithm 7) and
+    decrypts; pdfjs parity."""
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    for method in ("rc4_40", "rc4_128", "aes_128"):
+        pdf = build_encrypted_pdf(
+            [content_stream_for_lines(["opened via owner side"])],
+            method=method, user_pw=b"userlocked", owner_pw=b"",
+        )
+        text, n = extract_pdf_text(pdf)
+        assert (text, n) == ("opened via owner side", 1), method
+
+
+def test_both_passwords_set_stays_encrypted():
+    """Distinct non-empty user AND owner passwords: neither side of the
+    empty-password attempt verifies — countable 'encrypted' status."""
+    from tools.make_pdf import build_encrypted_pdf, content_stream_for_lines
+
+    for method in ("rc4_128", "aes_128"):
+        pdf = build_encrypted_pdf(
+            [content_stream_for_lines(["locked"])],
+            method=method, user_pw=b"hunter2", owner_pw=b"different-owner",
+        )
+        with pytest.raises(PDFEncryptedError):
+            extract_pdf_text(pdf)
+
+
+def test_algorithm7_roundtrip_recovers_padded_user_password():
+    """crypto-level pin: recover_user_password inverts compute_o for
+    R2 and R3+ (19-pass XOR-key chain) with any owner password."""
+    from pdf_to_text_spark.kernels import crypto
+
+    for r, bits in ((2, 40), (3, 128), (4, 128)):
+        for owner in (b"", b"owner-secret"):
+            o = crypto.compute_o(owner, b"the-user-pw", r, bits)
+            rec = crypto.recover_user_password(owner, o, r, bits)
+            assert rec == (b"the-user-pw" + crypto.PASSWORD_PAD)[:32], (r, owner)
+
+
 def test_encrypted_string_objects_decrypt():
     """Document-level strings (not just streams) go through the
     per-object key — pinned via an /Info-style dict object."""

@@ -418,18 +418,22 @@ def build_encrypted_pdf(
     *,
     method: str = "rc4_128",
     user_pw: bytes = b"",
-    owner_pw: bytes = b"",
+    owner_pw: bytes | None = None,
     compress: bool = False,
 ) -> bytes:
     """Assemble a standard-security encrypted PDF (§7.6.3).
 
     Methods: 'rc4_40' (V1 R2), 'rc4_128' (V2 R3 /Length 128),
     'aes_128' (V4 R4 /StdCF /AESV2), 'aes_256' (V5 R6 /StdCF /AESV3,
-    ISO 32000-2 — round 4). Stream payloads are encrypted with the
-    per-object key (V≤4) or the file key directly (V5); the /Encrypt
-    dict itself is, per spec, not. IVs, salts, and the file /ID are
-    deterministic (content-independent hashes) so fixtures are
-    byte-stable."""
+    ISO 32000-2 — round 4). `owner_pw=None` applies the spec default
+    (no owner password → the user password stands in, Algorithm 3);
+    pass b"" to emulate the real-writer corner that computes /O from a
+    LITERALLY empty owner password — such docs open via the kernel's
+    Algorithm-7 owner-side attempt (round 5). Stream payloads are
+    encrypted with the per-object key (V≤4) or the file key directly
+    (V5); the /Encrypt dict itself is, per spec, not. IVs, salts, and
+    the file /ID are deterministic (content-independent hashes) so
+    fixtures are byte-stable."""
     import hashlib
 
     from pdf_to_text_spark.kernels import crypto
@@ -451,15 +455,16 @@ def build_encrypted_pdf(
     if v == 5:
         key = hashlib.sha256(b"spark-graft-aes256-file-key").digest()
         u, ue = crypto.make_u_ue_r6(user_pw, key, b"uvsalt_0", b"uksalt_0", r)
-        o, oe = crypto.make_o_oe_r6(owner_pw or b"owner", key, u,
-                                    b"ovsalt_0", b"oksalt_0", r)
+        o, oe = crypto.make_o_oe_r6(b"owner" if owner_pw is None else owner_pw,
+                                    key, u, b"ovsalt_0", b"oksalt_0", r)
         perms = crypto.make_perms_r6(p, True, key)
         v5_extra = (
             b"/OE <" + oe.hex().encode() + b"> /UE <" + ue.hex().encode()
             + b"> /Perms <" + perms.hex().encode() + b"> "
         )
     else:
-        o = crypto.compute_o(owner_pw, user_pw, r, bits)
+        o = crypto.compute_o(user_pw if owner_pw is None else owner_pw,
+                             user_pw, r, bits)
         key = crypto.file_key(user_pw, o, p, id0, r, bits)
         u = crypto.compute_u(key, id0, r)
 
@@ -761,6 +766,21 @@ FIXTURES = {
     "encrypted_password": lambda: build_encrypted_pdf(
         [content_stream_for_lines(["truly locked away"])],
         method="rc4_128", user_pw=b"hunter2",
+    ),
+    # round 5: the "no-copy" layout — owner password set, user password
+    # empty — opens via the normal empty-user chain (the owner password
+    # only shapes /O, which feeds the key derivation as opaque bytes)
+    "encrypted_owner_set": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["owner locked, user open", "page text"])],
+        method="rc4_128", owner_pw=b"no-copy-secret", compress=True,
+    ),
+    # round 5: real-writer corner — /O computed from a LITERALLY empty
+    # owner password while the USER password is set; Algorithm 7
+    # recovers the user password from /O with the empty owner password
+    "encrypted_owner_empty": lambda: build_encrypted_pdf(
+        [content_stream_for_lines(["algorithm seven opens this"])],
+        method="aes_128", user_pw=b"userlocked", owner_pw=b"",
+        compress=True,
     ),
     # ── round-4: AES-256 V5/R6 (ISO 32000-2 §7.6.4) ─────────────────────
     "encrypted_aes_256": lambda: build_encrypted_pdf(
