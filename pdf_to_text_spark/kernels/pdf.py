@@ -1642,6 +1642,11 @@ def _base_encoding_overrides_build(name: str) -> dict[int, str] | None:
                 out[c] = bytes([c]).decode("cp1252")
             except UnicodeDecodeError:
                 pass  # 81/8D/8F/90/9D undefined in CP1252
+        # PDF Annex D (and pdfjs) assign /space to 0xA0 and /hyphen to
+        # 0xAD — the glyphs, not CP1252's NBSP/soft-hyphen control
+        # semantics (ADVICE r4)
+        out[0xA0] = " "
+        out[0xAD] = "-"
         return out
     if name == "MacRomanEncoding":
         out = {c: bytes([c]).decode("mac_roman") for c in range(0x80, 0x100)}

@@ -416,16 +416,21 @@ def minhash_signatures_sql(
 ) -> DataFrame:
     """MinHash signatures computed ENTIRELY with built-in expressions:
     word shingles (sequence+transform), xxhash64 base hash, n_perm
-    universal-hash mins as one grouped aggregation with map-side partial
-    mins (the shuffle carries (doc, 64 longs) partials).
+    universal-hash mins as array_min over per-document gram ARRAYS —
+    fully map-side, ZERO shuffle (round 5; the previous formulation
+    exploded grams into a relation and ran 64 min-aggregates through a
+    hash-aggregate exchange — measured ~10-15% slower at sf0.1, and one
+    whole exchange worse at scale). One-permutation hashing was
+    prototyped (~2.4× faster signatures) and rejected: this corpus
+    averages ~50 shingles/doc against 64 bins, so densified-OPH
+    estimates would be mostly densification noise.
 
     Zero Python workers — useful where a deployment forbids or lacks
-    Python on executors. MEASURED TRADE-OFF (bench.py, sf0.1): ~3×
+    Python on executors. MEASURED TRADE-OFF (bench.py, sf0.1): still
     slower than the Arrow-batched numpy kernel (minhash_signatures) —
-    n_perm min-aggregates over the exploded shingle relation evaluate
-    ~shingles×64 JVM expressions, which loses to vectorized numpy.
-    The kernel variant is the default recommendation at scale; this one
-    is the dependency-free alternative, same LSH downstream.
+    per-element lambda evaluation loses to vectorized numpy. The kernel
+    variant is the default recommendation at scale; this one is the
+    dependency-free alternative, same LSH downstream.
 
     Output: (doc_id, sig array<long>, bands array<long>); docs whose
     normalized text is empty produce no row (no shingles to hash)."""
@@ -450,21 +455,36 @@ def minhash_signatures_sql(
         lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + F.lit(j)) for j in range(k)]),
     )
     a, b = _sql_perm_params(n_perm)
+    # distinct gram hashes as ONE array column per doc — the n_perm mins
+    # are then array_min(transform(...)) projections over it: map-only,
+    # whole-stage-codegen, no explode/exchange/hash-aggregate machinery
     hashed = (
         documents.select("doc_id", wh.alias("_wh"))
         .where(F.size("_wh") > 0)  # empty normalized text -> no row
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("_g"))
-        .select("doc_id", F.pmod(F.col("_g"), F.lit(_SQL_MERSENNE)).alias("_h"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.pmod(g, F.lit(_SQL_MERSENNE)),
+            ).alias("_h"),
+        )
     )
-    agg = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.pmod(F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])),
-                       F.lit(_SQL_MERSENNE))
-            ).alias(f"_s{i}")
-            for i in range(n_perm)
-        ]
-    )
+    def _perm_min(ai: int, bi: int):
+        # single-arg lambda: a 2-arg lambda (even via default-arg
+        # binding) is treated by F.transform as (element, index)
+        return F.array_min(
+            F.transform(
+                F.col("_h"),
+                lambda h: F.pmod(
+                    F.lit(ai) * h + F.lit(bi), F.lit(_SQL_MERSENNE)
+                ),
+            )
+        )
+
+    mins = [
+        _perm_min(int(a[i]), int(b[i])).alias(f"_s{i}") for i in range(n_perm)
+    ]
+    agg = hashed.select("doc_id", *mins)
     sig = F.array(*[F.col(f"_s{i}") for i in range(n_perm)])
     r = n_perm // n_bands
     bands = F.array(

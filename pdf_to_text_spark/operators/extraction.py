@@ -158,10 +158,17 @@ def run_extraction(
                 df = _dedup_prefilter(df, dup_rows)
             # else: no duplicated urls at all — dedup is a no-op
         elif dedup_strategy == "prefilter":
+            # when the cap overflowed, tie_free was computed over the
+            # truncated limit(cap+1) sample — don't report it as a fact
+            # about the whole corpus (ADVICE r4)
+            tie_msg = (
+                f"tie_free={tie_free} (over a truncated sample)"
+                if not broadcastable else f"tie_free={tie_free}"
+            )
             raise ValueError(
                 "dedup_strategy='prefilter' needs a broadcastable, "
                 f"collision-free dup-url set (got {len(dup_rows)} dup urls, "
-                f"tie_free={tie_free}); use 'window' or 'auto'"
+                f"{tie_msg}); use 'window' or 'auto'"
             )
         else:
             post_window = True

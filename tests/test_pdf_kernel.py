@@ -940,14 +940,17 @@ def test_v5_custom_crypt_filter_name_refuses():
 def test_winansi_c1_range_decodes_when_named():
     """Round 4 (pdfjs parity): an EXPLICIT /Encoding /WinAnsiEncoding
     maps the CP1252 0x80-0x9F range (smart quotes, dashes, €) instead of
-    latin-1 C1 controls; the undefined codes keep latin-1 passthrough."""
+    latin-1 C1 controls; the undefined codes keep latin-1 passthrough.
+    Round 5 (Annex D, ADVICE r4): 0xA0 is /space and 0xAD /hyphen — the
+    glyphs, not NBSP/soft-hyphen."""
     font = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )
-    s = b"BT /F1 12 Tf 72 720 Td (\x93q\x94 \x96 \x85 \x80 \x99 [\x81]) Tj ET"
+    s = (b"BT /F1 12 Tf 72 720 Td "
+         b"(\x93q\x94 \x96 \x85 \x80 \x99 [\x81] a\xa0b c\xadd) Tj ET")
     text, _ = extract_pdf_text(build_pdf([s], font_obj=font))
-    assert text == "“q” – … € ™ [\x81]"
+    assert text == "“q” – … € ™ [\x81] a b c-d"
 
 
 def test_macroman_encoding_decodes_when_named():

@@ -789,8 +789,10 @@ FIXTURES = {
     ),
     # round 4: explicitly NAMED base encodings (pdfjs parity) — WinAnsi
     # C1 range (smart quotes/€/™) and MacRoman upper range
+    # 0xA0/0xAD: Annex D maps them to /space and /hyphen (round 5)
     "winansi_c1": lambda: build_pdf(
-        [b"BT /F1 12 Tf 72 720 Td (\x93smart\x94 \x96 \x85 \x80 \x99) Tj ET"],
+        [b"BT /F1 12 Tf 72 720 Td "
+         b"(\x93smart\x94 \x96 \x85 \x80 \x99 a\xa0b c\xadd) Tj ET"],
         font_obj=(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding /WinAnsiEncoding >>"
