@@ -46,6 +46,7 @@ __all__ = [
     "compute_o",
     "compute_u",
     "verify_user_password",
+    "recover_user_password",  # Algorithm 7 owner-side (round 5)
     "object_key",
     # AES-256 R5/R6 (ISO 32000-2 §7.6.4) — round 4
     "hash_2b",

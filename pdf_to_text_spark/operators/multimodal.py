@@ -82,23 +82,31 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def _byte_capped_frames(
-    rows: Iterator[tuple[tuple, int]], cols: list[str]
+    rows: Iterator[tuple[tuple, int]], cols: list[str],
+    batch_bytes: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Yield DataFrames whenever accumulated row weight crosses the Arrow
     byte budget — THE batching policy for every media mapInPandas stage
-    (one definition; media_features and image_resize both feed it)."""
+    (one definition; media_features and image_resize both feed it).
+
+    `batch_bytes` overrides the config cap; it must be THREADED through
+    the operator closures rather than monkeypatched — executors
+    re-import this module fresh, so a driver-side setattr never reaches
+    them (r5 review)."""
+    cap = ARROW_MAX_BATCH_BYTES if batch_bytes is None else batch_bytes
     buf, buf_bytes = [], 0
     for row, weight in rows:
         buf.append(row)
         buf_bytes += weight
-        if buf_bytes >= ARROW_MAX_BATCH_BYTES:
+        if buf_bytes >= cap:
             yield pd.DataFrame(buf, columns=cols)
             buf, buf_bytes = [], 0
     if buf:
         yield pd.DataFrame(buf, columns=cols)
 
 
-def media_features(media: DataFrame, decode=None) -> DataFrame:
+def media_features(media: DataFrame, decode=None,
+                   batch_bytes: int | None = None) -> DataFrame:
     """media table → per-item feature rows (mapInPandas, byte-capped).
 
     THE codec seam (VERDICT r3 #7): `decode` is any callable
@@ -127,7 +135,9 @@ def media_features(media: DataFrame, decode=None) -> DataFrame:
                     digest = hashlib.blake2b(p, digest_size=16).hexdigest()
                     yield (mid, kind, len(p), digest, feat, "ok"), len(p)
 
-        yield from _byte_capped_frames(rows(), list(FEATURE_SCHEMA.fieldNames()))
+        yield from _byte_capped_frames(
+            rows(), list(FEATURE_SCHEMA.fieldNames()), batch_bytes
+        )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         gen, schema=FEATURE_SCHEMA

@@ -159,19 +159,26 @@ def test_frame_sample_plan_matches_independent_recompute(spark):
     assert got == expect
 
 
-def test_feature_batching_survives_tiny_byte_cap(spark, monkeypatch):
+def test_feature_batching_survives_tiny_byte_cap(spark):
     """Force the Arrow byte cap below a single row's weight so every
     yield boundary is exercised — batching must neither drop nor
-    duplicate rows (the exact failure class a replayed oracle shares)."""
+    duplicate rows (the exact failure class a replayed oracle shares).
+
+    The cap is THREADED through the operator (batch_bytes param captured
+    in the mapInPandas closure) — a driver-side monkeypatch of
+    ARROW_MAX_BATCH_BYTES never reaches executor workers, which
+    re-import the module fresh (r5 review caught exactly that vacuous
+    variant of this test)."""
     from pdf_to_text_spark.operators import multimodal as mm
 
-    monkeypatch.setattr(mm, "ARROW_MAX_BATCH_BYTES", 1)
-    got = {
+    got = [
         (r.media_id, r.decode_status)
-        for r in mm.media_features(synth_media_df(spark, N)).collect()
-    }
-    assert len(got) == N
-    assert got == {
+        for r in mm.media_features(
+            synth_media_df(spark, N), batch_bytes=1
+        ).collect()
+    ]
+    assert len(got) == N  # list, not set: duplicates must fail too
+    assert set(got) == {
         (i, "null_payload" if i % 17 == 5 else "ok") for i in range(N)
     }
 
