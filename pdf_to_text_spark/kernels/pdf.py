@@ -44,7 +44,14 @@ reference package.json:8-9):
   * text inside Form XObjects (``Do``, depth- and cycle-guarded
     recursion) and inline-image payload skipping (``BI``/``ID``/``EI``)
     — round 3, closing the remaining byte-divergence vs pdfjs on
-    realistic crawls.
+    realistic crawls;
+  * xref RECONSTRUCTION (round 5, pdfjs recovery parity): when the
+    normal xref/trailer load fails — or a recorded offset doesn't hold
+    its object — the kernel rebuilds the table by scanning for
+    ``num gen obj`` headers, recovers the trailer (or finds /Catalog
+    directly, including inside /ObjStm), and retries once. Damaged-but-
+    complete crawl files extract; truncated files still fail at object
+    access (parse_failed), and encryption refusals are never masked.
 
 Predefined CID CMaps (round 4): the Unicode-coded ``Uni*-UCS2-H/V`` and
 ``Uni*-UTF16-H/V(-HW)`` family (UniGB-UCS2-H, UniJIS-UCS2-HW-H, …)
@@ -584,6 +591,18 @@ class _Ref:
         return f"{self.num} {self.gen} R"
 
 
+# xref-reconstruction scan (round 5): an indirect-object header at a
+# line start. The newline anchor (plus the digit lookbehind guarding
+# against splitting a longer number) is what keeps in-stream false
+# positives rare; a rare survivor only poisons its own objnum at access
+# time (see _reconstruct_xref).
+_RECON_OBJ_RE = re.compile(
+    rb"(?:^|[\r\n])[\x00\t\x0c ]*(?<![0-9])"
+    rb"(\d{1,10})[\x00\t\x0c ]+(\d{1,5})[\x00\t\x0c ]+obj"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+)
+
+
 class _Name(str):
     """A PDF name token (/Foo) — distinct from a string value."""
 
@@ -881,11 +900,26 @@ class PDFDocument:
         self._form_decodes = 0
         self._page_count = 0
         self._font_dec_cache: dict[int, object] = {}
+        self._recon_tried = False  # one scan-recovery attempt per doc
         self._load_xref()
 
     # ── xref / trailer ──────────────────────────────────────────────────
 
     def _load_xref(self) -> None:
+        """Normal xref load; on structural failure, fall back to full
+        reconstruction by scanning for object headers (round 5 — pdfjs
+        does the same recovery for crawl-damaged files: bad startxref,
+        corrupt tables, wrong offsets, missing trailer). Encryption
+        refusals are NOT recoverable and propagate as-is."""
+        try:
+            self._load_xref_normal()
+        except PDFEncryptedError:
+            raise
+        except PDFParseError as e:
+            self._recon_tried = True
+            self._reconstruct_xref(e)
+
+    def _load_xref_normal(self) -> None:
         tail = self.data[-2048:]
         m = None
         for m in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -909,6 +943,78 @@ class PDFDocument:
             self._setup_encryption()
         if "Root" not in self.trailer:
             raise PDFParseError("trailer has no /Root")
+
+    def _reconstruct_xref(self, orig: PDFParseError) -> None:
+        """Rebuild the object table by scanning raw bytes for
+        ``num gen obj`` headers (newest duplicate wins — incremental
+        updates append later versions), recover the trailer from the
+        last ``trailer`` dict (or by locating the /Catalog object when
+        none parses), and register objects inside any /ObjStm found.
+
+        A header-shaped byte run inside a binary stream can record a
+        bogus offset; that objnum then fails at ACCESS time exactly like
+        any other damaged object (one parse_failed row), so the scan
+        needs no stream-skipping state machine. Truncated objects keep
+        failing at access too — reconstruction recovers the TABLE, not
+        the bytes, so a half-downloaded crawl row stays parse_failed."""
+        # reset whatever the failed normal load half-populated
+        self.xref.clear()
+        self._xref_objstm.clear()
+        self.trailer = {}
+        self._cache.clear()
+        self._crypt = None
+        data = self.data
+        for m in _RECON_OBJ_RE.finditer(data):
+            self.xref[int(m.group(1))] = m.start(1)  # last (newest) wins
+        if not self.xref:
+            raise orig
+        # newest trailer dict wins; older ones fill gaps (mirrors the
+        # normal path's setdefault-walk from newest to oldest)
+        trailers = []
+        for m in re.finditer(rb"trailer", data):
+            try:
+                t = _Lexer(data, m.end()).parse_object()
+            except PDFParseError:
+                continue
+            if isinstance(t, dict):
+                trailers.append(t)
+        for t in reversed(trailers):
+            for k, v in t.items():
+                self.trailer.setdefault(k, v)
+        self.trailer.pop("Prev", None)
+        if "Encrypt" in self.trailer:
+            self._setup_encryption()
+        # register ObjStm contents (xref-stream files have no 'trailer'
+        # keyword and may keep the catalog compressed)
+        for num in list(self.xref):
+            try:
+                obj = self._load_object(num)
+            except PDFParseError:
+                continue
+            if isinstance(obj, _Stream) and str(
+                self.resolve(obj.dict.get("Type", "")) or ""
+            ) == "ObjStm":
+                try:
+                    _, _, pairs = self._objstm(num)
+                except PDFParseError:
+                    continue
+                for idx, (onum, _off) in enumerate(pairs):
+                    if not self._known(onum):
+                        self._xref_objstm[onum] = (num, idx)
+        if "Root" not in self.trailer:
+            # no parseable trailer: locate the document catalog directly
+            for num in sorted(
+                list(self.xref) + list(self._xref_objstm), reverse=True
+            ):
+                try:
+                    obj = self.resolve(_Ref(num, 0))
+                except PDFParseError:
+                    continue
+                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                    self.trailer["Root"] = _Ref(num, 0)
+                    break
+        if "Root" not in self.trailer:
+            raise orig
 
     def _setup_encryption(self) -> None:
         """Empty-user-password standard-security decryption (pdfjs
@@ -1047,6 +1153,35 @@ class PDFDocument:
         return obj
 
     def _load_object(self, num: int):
+        try:
+            return self._load_object_inner(num)
+        except PDFEncryptedError:
+            raise
+        except PDFParseError:
+            # a recorded offset that doesn't hold the object it claims
+            # (lied-about /Prev chains, off-by-header rebases, zeroed
+            # tables) — pdfjs falls back to its scan-recovery here too
+            # (round 5). One attempt per document; if the scan-built
+            # table still can't serve the object, the original failure
+            # class stands.
+            if self._recon_tried:
+                raise
+            self._recon_tried = True
+            self._reconstruct_xref_keep_errors()
+            return self._load_object_inner(num)
+
+    def _reconstruct_xref_keep_errors(self) -> None:
+        try:
+            self._reconstruct_xref(PDFParseError("object table unusable"))
+        except PDFEncryptedError:
+            raise
+        except PDFParseError:
+            # reconstruction found nothing better — the retry below will
+            # surface the per-object failure against whatever table
+            # survived the reset
+            pass
+
+    def _load_object_inner(self, num: int):
         if num in self._cache:
             return self._cache[num]
         off = self.xref.get(num)

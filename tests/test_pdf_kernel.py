@@ -284,13 +284,72 @@ def test_bfrange_past_unicode_max_falls_back_to_replacement():
     assert narrow[255] == "�"         # base+255 overflows → clamped
 
 
-def test_xref_stream_bad_w_raises_parse_error():
-    """/W with fewer than 2 widths must be PDFParseError, not IndexError
-    (review #4)."""
+def test_xref_stream_bad_w_recovers_via_reconstruction():
+    """/W with fewer than 2 widths: the structured load must raise
+    PDFParseError, not IndexError (review #4) — and since round 5 that
+    failure triggers scan reconstruction, so a doc whose OBJECTS are
+    intact extracts anyway (pdfjs recovery parity)."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument
+
     good = FIXTURES["xref_stream_plain"]()
     bad = good.replace(b"/W [1 4 2]", b"/W [1]    ")
+    assert extract_pdf_text(bad) == extract_pdf_text(good)
+    # the normal (non-recovering) path still reports the typed error
+    doc = PDFDocument.__new__(PDFDocument)
+    doc.data = bad
+    doc.xref, doc._xref_objstm, doc.trailer, doc._cache = {}, {}, {}, {}
+    doc._objstm_cache, doc._objstm_loading = {}, set()
+    doc._crypt = None
     with pytest.raises(PDFParseError):
-        extract_pdf_text(bad)
+        doc._load_xref_normal()
+
+
+def test_xref_reconstruction_matrix():
+    """Round 5 (pdfjs recovery parity): crawl-damaged files whose OBJECTS
+    are intact extract via the object-header scan — bad startxref,
+    missing startxref, zeroed table offsets, offsets invalidated by
+    injected bytes, a trailer missing /Root. Truncated files (bytes
+    physically gone) stay parse_failed, and password-protected files
+    stay PDFEncryptedError even when their xref is damaged."""
+    import re as _re
+
+    from tools.make_pdf import (
+        build_encrypted_pdf,
+        content_stream_for_lines,
+        corrupt_pdf,
+        simple_pdf,
+    )
+
+    good = simple_pdf([["hello", "world"], ["page two"]])
+    expect = extract_pdf_text(good)
+
+    damage = {
+        "bad_startxref": lambda d: _re.sub(
+            rb"startxref\s+\d+", b"startxref\n999999", d),
+        "no_startxref": lambda d: d[: d.rfind(b"startxref")],
+        "zeroed_offsets": lambda d: _re.sub(
+            rb"\n\d{10} 00000 n", b"\n" + b"0" * 10 + b" 00000 n", d),
+        "shifted_offsets": lambda d: (
+            lambda h: d[:h] + b"% injected\n" + d[h:]
+        )(d.find(b"\n", d.find(b"%PDF")) + 1),
+        "no_root_key": lambda d: d.replace(b"/Root 1 0 R", b"/Rook 1 0 R"),
+    }
+    for name, fn in damage.items():
+        assert extract_pdf_text(fn(good)) == expect, name
+
+    # empty-password encryption survives reconstruction (crypt re-setup)
+    enc = build_encrypted_pdf(
+        [content_stream_for_lines(["open secret"])], method="aes_128")
+    text, _ = extract_pdf_text(damage["zeroed_offsets"](enc))
+    assert text == "open secret"
+
+    # non-recoverable classes keep their contracts
+    with pytest.raises(PDFParseError):
+        extract_pdf_text(corrupt_pdf())
+    locked = build_encrypted_pdf(
+        [content_stream_for_lines(["x"])], method="rc4_128", user_pw=b"pw")
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(damage["bad_startxref"](locked))
 
 
 def test_deep_nesting_raises_parse_error_not_recursion():

@@ -683,9 +683,37 @@ def inline_image_text_pdf(lines: list[str]) -> bytes:
 
 
 def corrupt_pdf() -> bytes:
-    """Valid header, truncated before the xref — must parse_fail, not crash."""
+    """Valid header, truncated before the xref — must parse_fail, not crash.
+
+    Round 5 note: xref RECONSTRUCTION does not rescue this fixture —
+    recovery rebuilds the object table, but the page's objects are
+    physically missing bytes, so access still fails (the pinned
+    contract for half-downloaded crawl rows)."""
     good = simple_pdf([["hello", "world"]])
     return good[: len(good) // 2]
+
+
+def recovered_startxref_pdf() -> bytes:
+    """Intact objects, startxref pointing into the void — the round-5
+    scan reconstruction recovers the table and extracts (pdfjs
+    recovery parity for crawl-damaged files)."""
+    import re as _re
+
+    good = simple_pdf([["recovered text line one", "line two"]])
+    return _re.sub(rb"startxref\s+\d+", b"startxref\n999999", good)
+
+
+def recovered_objstm_pdf() -> bytes:
+    """PDF 1.5 file (catalog inside an /ObjStm, no 'trailer' keyword)
+    with a damaged startxref: reconstruction must register ObjStm
+    contents and find /Root via the catalog scan."""
+    import re as _re
+
+    good = build_pdf_xref_stream(
+        [content_stream_for_lines(["objstm recovery line", "second line"])],
+        use_objstm=True,
+    )
+    return _re.sub(rb"startxref\s+\d+", b"startxref\n999999", good)
 
 
 FIXTURES = {
@@ -713,6 +741,9 @@ FIXTURES = {
         compress=True,
     ),
     "corrupt": corrupt_pdf,
+    # ── round-5: xref reconstruction (pdfjs recovery parity) ────────────
+    "recovered_startxref": recovered_startxref_pdf,
+    "recovered_objstm": recovered_objstm_pdf,
     # ── round-2 format surface (PDF 1.5+ / filters / encodings) ──────────
     "xref_stream": lambda: build_pdf_xref_stream(
         [content_stream_for_lines([f"xref stream page {p} line {i}" for i in range(4)])
