@@ -24,7 +24,7 @@ SEED = 42
 # Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
 # cache directories embed it, so a stale cache can't silently serve the
 # previous round's corpus (r4 review; replaces the manual delete step).
-PAGES_GEN = 5
+PAGES_GEN = 6
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle
@@ -100,6 +100,21 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
                 method=method,
                 compress=True,
             ), None, lang
+        if i % 270 == 102:
+            # ~0.4% damaged-but-COMPLETE PDFs (a real crawl's broken
+            # writers and mangled proxies): bad startxref, zeroed xref
+            # offsets, or offsets invalidated by injected bytes. The
+            # round-5 scan reconstruction recovers all three → 'ok'
+            # with real text; i=102 puts one inside the 120-row driver
+            # gate. (The i%90==33 TRUNCATED slice below keeps pinning
+            # parse_failed — recovery rebuilds tables, not bytes.)
+            from tools.make_pdf import damaged_pdf, simple_pdf as _sp
+
+            base = _sp([[_sentence(i * 677 + j, 8) for j in range(10)]])
+            mode = ["bad_startxref", "zeroed_offsets", "shifted_offsets"][
+                (i // 270) % 3
+            ]
+            return url, ts, damaged_pdf(base, mode), None, lang
         if is_mega:
             # genuinely megabyte-scale: 100 pages, uncompressed streams
             # (~1 MB; the skew knob of FIXTURES.md §1)

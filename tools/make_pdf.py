@@ -693,6 +693,22 @@ def corrupt_pdf() -> bytes:
     return good[: len(good) // 2]
 
 
+def damaged_pdf(base: bytes, mode: str) -> bytes:
+    """Apply a recoverable damage class to a complete PDF (round 5 —
+    the corpus's reconstruction slice; matrix mirrored in
+    tests/test_pdf_kernel.py::test_xref_reconstruction_matrix)."""
+    import re as _re
+
+    if mode == "bad_startxref":
+        return _re.sub(rb"startxref\s+\d+", b"startxref\n999999", base)
+    if mode == "zeroed_offsets":
+        return _re.sub(rb"\n\d{10} 00000 n", b"\n" + b"0" * 10 + b" 00000 n", base)
+    if mode == "shifted_offsets":
+        h = base.find(b"\n", base.find(b"%PDF")) + 1
+        return base[:h] + b"% proxy-injected banner line\n" + base[h:]
+    raise ValueError(f"unknown damage mode {mode!r}")
+
+
 def recovered_startxref_pdf() -> bytes:
     """Intact objects, startxref pointing into the void — the round-5
     scan reconstruction recovers the table and extracts (pdfjs
