@@ -591,6 +591,13 @@ class _Ref:
         return f"{self.num} {self.gen} R"
 
 
+class _MissingObjectError(PDFParseError):
+    """An object number with NO table entry at all (dangling reference).
+    Distinct from every offset-lie failure class because it must NOT
+    trigger xref reconstruction (r5 review) — tolerant callers treat it
+    like the spec's null object."""
+
+
 # xref-reconstruction scan (round 5): an indirect-object header at a
 # line start. The newline anchor (plus the digit lookbehind guarding
 # against splitting a longer number) is what keeps in-stream false
@@ -957,11 +964,22 @@ class PDFDocument:
         needs no stream-skipping state machine. Truncated objects keep
         failing at access too — reconstruction recovers the TABLE, not
         the bytes, so a half-downloaded crawl row stays parse_failed."""
-        # reset whatever the failed normal load half-populated
+        # reset EVERYTHING the failed normal load (or prior extraction
+        # against the bad table) derived — leaving decoded-ObjStm, form,
+        # or font caches keyed by object numbers the scan is about to
+        # redefine would mix two inconsistent views of the document in
+        # one 'ok' row (r5 review). _objstm_loading is cleared too:
+        # recovery can fire from INSIDE an _objstm frame (before its
+        # finally-discard runs), and the stale guard entry would block
+        # re-registration of that very stream's contents.
         self.xref.clear()
         self._xref_objstm.clear()
         self.trailer = {}
         self._cache.clear()
+        self._objstm_cache.clear()
+        self._objstm_loading.clear()
+        self._form_cache.clear()
+        self._font_dec_cache.clear()
         self._crypt = None
         data = self.data
         for m in _RECON_OBJ_RE.finditer(data):
@@ -982,25 +1000,49 @@ class PDFDocument:
             for k, v in t.items():
                 self.trailer.setdefault(k, v)
         self.trailer.pop("Prev", None)
-        if "Encrypt" in self.trailer:
-            self._setup_encryption()
-        # register ObjStm contents (xref-stream files have no 'trailer'
-        # keyword and may keep the catalog compressed)
-        for num in list(self.xref):
-            try:
-                obj = self._load_object(num)
-            except PDFParseError:
-                continue
-            if isinstance(obj, _Stream) and str(
-                self.resolve(obj.dict.get("Type", "")) or ""
-            ) == "ObjStm":
+        # full-object sweep, only when it can matter: xref-STREAM files
+        # keep trailer keys (/Root /Encrypt /ID) in the XRef stream dict
+        # and may compress the catalog into an /ObjStm — both invisible
+        # to the keyword scans above. A classic file whose trailer
+        # already supplied /Root skips the sweep entirely (r5 review:
+        # don't parse-and-cache a 100-page megadoc just to learn it has
+        # no object streams).
+        objstms: list[int] = []
+        if "Root" not in self.trailer or b"/ObjStm" in data:
+            for num in sorted(self.xref):
                 try:
-                    _, _, pairs = self._objstm(num)
+                    obj = self._load_object(num)
                 except PDFParseError:
                     continue
-                for idx, (onum, _off) in enumerate(pairs):
-                    if not self._known(onum):
-                        self._xref_objstm[onum] = (num, idx)
+                if not isinstance(obj, _Stream):
+                    continue
+                try:
+                    t = str(self.resolve(obj.dict.get("Type", "")) or "")
+                except PDFParseError:
+                    continue
+                if t == "ObjStm":
+                    objstms.append(num)
+                elif t == "XRef":
+                    # xref streams are never encrypted (§7.5.8.2), so
+                    # these values are safe to read pre-decryption
+                    for k in ("Root", "Encrypt", "Info", "ID"):
+                        if k in obj.dict:
+                            self.trailer.setdefault(k, obj.dict[k])
+        if "Encrypt" in self.trailer:
+            # AFTER the harvest (an encrypted xref-stream file must
+            # surface 'encrypted'/decrypt, not silently parse_fail on
+            # ciphertext — r5 review), BEFORE ObjStm registration
+            # (their payloads need the armed key to decode). Arming also
+            # clears the raw-string object cache the sweep built.
+            self._setup_encryption()
+        for num in objstms:
+            try:
+                _, _, pairs = self._objstm(num)
+            except PDFParseError:
+                continue
+            for idx, (onum, _off) in enumerate(pairs):
+                if not self._known(onum):
+                    self._xref_objstm[onum] = (num, idx)
         if "Root" not in self.trailer:
             # no parseable trailer: locate the document catalog directly
             for num in sorted(
@@ -1008,9 +1050,14 @@ class PDFDocument:
             ):
                 try:
                     obj = self.resolve(_Ref(num, 0))
+                    # /Type may itself be indirect (same leniency as the
+                    # ObjStm check above — r5 review)
+                    is_cat = isinstance(obj, dict) and str(
+                        self.resolve(obj.get("Type", "")) or ""
+                    ) == "Catalog"
                 except PDFParseError:
                     continue
-                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                if is_cat:
                     self.trailer["Root"] = _Ref(num, 0)
                     break
         if "Root" not in self.trailer:
@@ -1157,6 +1204,15 @@ class PDFDocument:
             return self._load_object_inner(num)
         except PDFEncryptedError:
             raise
+        except _MissingObjectError:
+            # a number simply ABSENT from the table is a dangling
+            # reference — the spec says treat it as null, and tolerant
+            # callers (e.g. the /ToUnicode fallback) already do. It is
+            # NOT evidence the table lies, so it must not trigger
+            # destructive whole-table reconstruction mid-extraction
+            # (r5 review: that could silently change text of documents
+            # that extract fine today).
+            raise
         except PDFParseError:
             # a recorded offset that doesn't hold the object it claims
             # (lied-about /Prev chains, off-by-header rebases, zeroed
@@ -1188,7 +1244,7 @@ class PDFDocument:
         if off is None:
             loc = self._xref_objstm.get(num)
             if loc is None:
-                raise PDFParseError(f"object {num} not in xref")
+                raise _MissingObjectError(f"object {num} not in xref")
             obj = self._load_from_objstm(num, *loc)
             self._cache[num] = obj
             return obj

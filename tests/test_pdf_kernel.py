@@ -311,36 +311,30 @@ def test_xref_reconstruction_matrix():
     injected bytes, a trailer missing /Root. Truncated files (bytes
     physically gone) stay parse_failed, and password-protected files
     stay PDFEncryptedError even when their xref is damaged."""
-    import re as _re
-
     from tools.make_pdf import (
         build_encrypted_pdf,
         content_stream_for_lines,
         corrupt_pdf,
+        damaged_pdf,
         simple_pdf,
     )
 
     good = simple_pdf([["hello", "world"], ["page two"]])
     expect = extract_pdf_text(good)
 
-    damage = {
-        "bad_startxref": lambda d: _re.sub(
-            rb"startxref\s+\d+", b"startxref\n999999", d),
-        "no_startxref": lambda d: d[: d.rfind(b"startxref")],
-        "zeroed_offsets": lambda d: _re.sub(
-            rb"\n\d{10} 00000 n", b"\n" + b"0" * 10 + b" 00000 n", d),
-        "shifted_offsets": lambda d: (
-            lambda h: d[:h] + b"% injected\n" + d[h:]
-        )(d.find(b"\n", d.find(b"%PDF")) + 1),
-        "no_root_key": lambda d: d.replace(b"/Root 1 0 R", b"/Rook 1 0 R"),
-    }
-    for name, fn in damage.items():
-        assert extract_pdf_text(fn(good)) == expect, name
+    # the three shared modes come from damaged_pdf — the SAME generator
+    # the corpus slice uses, so test and corpus cannot drift (r5 review);
+    # the two extra shapes below are test-only
+    for mode in ("bad_startxref", "zeroed_offsets", "shifted_offsets"):
+        assert extract_pdf_text(damaged_pdf(good, mode)) == expect, mode
+    assert extract_pdf_text(good[: good.rfind(b"startxref")]) == expect
+    assert extract_pdf_text(
+        good.replace(b"/Root 1 0 R", b"/Rook 1 0 R")) == expect
 
     # empty-password encryption survives reconstruction (crypt re-setup)
     enc = build_encrypted_pdf(
         [content_stream_for_lines(["open secret"])], method="aes_128")
-    text, _ = extract_pdf_text(damage["zeroed_offsets"](enc))
+    text, _ = extract_pdf_text(damaged_pdf(enc, "zeroed_offsets"))
     assert text == "open secret"
 
     # non-recoverable classes keep their contracts
@@ -349,7 +343,70 @@ def test_xref_reconstruction_matrix():
     locked = build_encrypted_pdf(
         [content_stream_for_lines(["x"])], method="rc4_128", user_pw=b"pw")
     with pytest.raises(PDFEncryptedError):
-        extract_pdf_text(damage["bad_startxref"](locked))
+        extract_pdf_text(damaged_pdf(locked, "bad_startxref"))
+
+
+@pytest.mark.parametrize("method", ["rc4_128", "aes_128"])
+def test_encrypted_xref_stream_recovery_harvests_trailer_keys(method):
+    """Modern layout: trailer keys live ONLY in the XRef stream dict.
+    Reconstruction must harvest /Encrypt from /Type /XRef dicts (r5
+    review) — an empty-password file recovers AND decrypts; a locked
+    file surfaces 'encrypted' even when damaged, never garbage or
+    parse_failed."""
+    from tools.make_pdf import (
+        build_encrypted_xref_stream_pdf,
+        content_stream_for_lines,
+        damaged_pdf,
+    )
+
+    good = build_encrypted_xref_stream_pdf(
+        [content_stream_for_lines(["modern secret", "line two"])],
+        method=method,
+    )
+    expect = ("modern secret\nline two", 1)
+    assert extract_pdf_text(good) == expect
+    assert extract_pdf_text(damaged_pdf(good, "bad_startxref")) == expect
+
+    locked = build_encrypted_xref_stream_pdf(
+        [content_stream_for_lines(["locked"])], method=method, user_pw=b"pw"
+    )
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(locked)
+    with pytest.raises(PDFEncryptedError):
+        extract_pdf_text(damaged_pdf(locked, "bad_startxref"))
+
+
+def test_dangling_reference_does_not_trigger_reconstruction():
+    """A reference to a number with NO table entry is a dangling ref
+    (spec: treat as null) — the tolerant fallbacks must keep working
+    WITHOUT the destructive whole-table rebuild (r5 review: recovery is
+    for offsets that LIE, not entries that are absent)."""
+    from pdf_to_text_spark.kernels.pdf import PDFDocument
+    from tools.make_pdf import build_pdf
+
+    from pdf_to_text_spark.kernels.pdf import _extract_page_text
+
+    # the font's /ToUnicode stream declares /Length as an indirect ref
+    # to a MISSING object (freed by a sloppy incremental writer); the
+    # tolerant CMap fallback at the _decode_stream call site must keep
+    # extracting latin-1 text, and the miss must not rebuild the table
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin 1 begincmap\n"
+        b"1 beginbfchar <61> <0041> endbfchar\nendcmap\nend end"
+    )
+    tu_obj = b"<< /Length 90 0 R >>\nstream\n" + cmap + b"\nendstream"
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/ToUnicode 6 0 R >>"
+    )
+    s = b"BT /F1 12 Tf 72 720 Td (dangling ok) Tj ET"
+    pdf = build_pdf([s], font_obj=font, extra_objects=(tu_obj,))
+    assert extract_pdf_text(pdf) == ("dangling ok", 1)
+    doc = PDFDocument(pdf)
+    for p in doc.pages():
+        fonts, xobjs = doc.page_extraction_context(p)
+        _extract_page_text(doc.page_content(p), fonts, xobjs)
+    assert doc._recon_tried is False
 
 
 def test_deep_nesting_raises_parse_error_not_recursion():

@@ -348,6 +348,131 @@ def build_pdf_xref_stream(page_streams: list[bytes], *, use_objstm: bool = True,
     return bytes(buf)
 
 
+def build_encrypted_xref_stream_pdf(
+    page_streams: list[bytes],
+    *,
+    method: str = "aes_128",
+    user_pw: bytes = b"",
+    owner_pw: bytes | None = None,
+) -> bytes:
+    """PDF 1.5+ layout AND standard-security encryption — the modern
+    crawl shape (post-2005 writers emit xref streams; many also
+    encrypt). Trailer keys (/Root /Encrypt /ID) live ONLY in the XRef
+    stream dict (no `trailer` keyword exists), which per §7.5.8.2 is
+    never itself encrypted; content streams are encrypted with
+    per-object keys, the /Encrypt dict is a regular unencrypted
+    object. Exercises the round-5 reconstruction rule that recovery
+    must harvest those keys from /Type /XRef dicts (r5 review)."""
+    import hashlib
+
+    from pdf_to_text_spark.kernels import crypto
+
+    v, r, bits, cfm = {
+        "rc4_128": (2, 3, 128, None),
+        "aes_128": (4, 4, 128, b"AESV2"),
+    }[method]
+    aes = cfm == b"AESV2"
+    p = -44
+    id0 = hashlib.md5(b"spark-graft-xrefstream-id:" + method.encode()).digest()
+    o = crypto.compute_o(user_pw if owner_pw is None else owner_pw,
+                         user_pw, r, bits)
+    key = crypto.file_key(user_pw, o, p, id0, r, bits)
+    u = crypto.compute_u(key, id0, r)
+
+    def enc(num: int, data: bytes) -> bytes:
+        okey = crypto.object_key(key, num, 0, aes=aes)
+        if aes:
+            iv = hashlib.md5(b"xs-fixture-iv:%d" % num).digest()
+            return crypto.aes_cbc_encrypt(okey, iv, data)
+        return crypto.rc4(okey, data)
+
+    n_pages = len(page_streams)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    dict_objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages,
+        3: DEFAULT_FONT_OBJ,
+    }
+    for i in range(n_pages):
+        dict_objs[page_nums[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (page_nums[i] + 1)
+        )
+    stm_num = 4 + 2 * n_pages       # the ObjStm
+    enc_num = stm_num + 1           # /Encrypt dict (regular, unencrypted)
+    xref_num = enc_num + 1
+    size = xref_num + 1
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+
+    def write_obj(num: int, body: bytes) -> None:
+        entries[num] = (1, len(buf), 0)
+        buf.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    def stream_obj(num: int, extra: bytes, data: bytes) -> bytes:
+        payload = enc(num, zlib.compress(data))
+        return (
+            b"<< " + extra + b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % len(payload) + payload + b"\nendstream"
+        )
+
+    for i, stream in enumerate(page_streams):
+        write_obj(page_nums[i] + 1, stream_obj(page_nums[i] + 1, b"", stream))
+
+    nums = sorted(dict_objs)
+    bodies = [dict_objs[n] + b"\n" for n in nums]
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b)
+    header = b" ".join(b"%d %d" % (n, oo) for n, oo in zip(nums, offs)) + b"\n"
+    for idx, n in enumerate(nums):
+        entries[n] = (2, stm_num, idx)
+    write_obj(
+        stm_num,
+        stream_obj(
+            stm_num,
+            b"/Type /ObjStm /N %d /First %d " % (len(nums), len(header)),
+            header + b"".join(bodies),
+        ),
+    )
+    if v == 4:
+        extra = (
+            b"/Length %d /CF << /StdCF << /CFM /" % bits + cfm
+            + b" /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        )
+    else:
+        extra = b"/Length %d " % bits
+    write_obj(
+        enc_num,
+        b"<< /Filter /Standard /V %d /R %d " % (v, r) + extra
+        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        + b"/P %d >>" % p,
+    )
+
+    xref_pos = len(buf)
+    entries[xref_num] = (1, xref_pos, 0)
+    rows = bytearray()
+    for n in range(size):
+        t, f2, f3 = entries.get(n, (0, 0, 65535))
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    payload = zlib.compress(bytes(rows))
+    buf.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        % (xref_num, size)
+        + b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (
+            enc_num, id0.hex().encode(), id0.hex().encode())
+        + b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(payload)
+        + payload + b"\nendstream\nendobj\n"
+    )
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(buf)
+
+
 def differences_pdf() -> bytes:
     """Font with an /Encoding /Differences override: codes 1,2,3 remap to
     eacute/ntilde/emdash and 'A' (65) to Gamma; the kernel must decode
@@ -713,23 +838,20 @@ def recovered_startxref_pdf() -> bytes:
     """Intact objects, startxref pointing into the void — the round-5
     scan reconstruction recovers the table and extracts (pdfjs
     recovery parity for crawl-damaged files)."""
-    import re as _re
-
-    good = simple_pdf([["recovered text line one", "line two"]])
-    return _re.sub(rb"startxref\s+\d+", b"startxref\n999999", good)
+    return damaged_pdf(
+        simple_pdf([["recovered text line one", "line two"]]), "bad_startxref"
+    )
 
 
 def recovered_objstm_pdf() -> bytes:
     """PDF 1.5 file (catalog inside an /ObjStm, no 'trailer' keyword)
     with a damaged startxref: reconstruction must register ObjStm
     contents and find /Root via the catalog scan."""
-    import re as _re
-
     good = build_pdf_xref_stream(
         [content_stream_for_lines(["objstm recovery line", "second line"])],
         use_objstm=True,
     )
-    return _re.sub(rb"startxref\s+\d+", b"startxref\n999999", good)
+    return damaged_pdf(good, "bad_startxref")
 
 
 FIXTURES = {
@@ -760,6 +882,11 @@ FIXTURES = {
     # ── round-5: xref reconstruction (pdfjs recovery parity) ────────────
     "recovered_startxref": recovered_startxref_pdf,
     "recovered_objstm": recovered_objstm_pdf,
+    # modern crawl shape: xref-stream layout + encryption (trailer keys
+    # only in the XRef stream dict), empty user password → decrypts
+    "encrypted_xref_stream": lambda: build_encrypted_xref_stream_pdf(
+        [content_stream_for_lines(["modern encrypted layout", "second line"])],
+    ),
     # ── round-2 format surface (PDF 1.5+ / filters / encodings) ──────────
     "xref_stream": lambda: build_pdf_xref_stream(
         [content_stream_for_lines([f"xref stream page {p} line {i}" for i in range(4)])
