@@ -673,24 +673,35 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             FROM sess GROUP BY user_id, session_id
         """,
         "events_asof_last_purchase": """
+            -- Mirrors as_of_join's STRUCT semantics exactly (r5 review):
+            -- the carrier struct is non-NULL for every purchase row even
+            -- when its value is NULL (so a NULL-valued purchase WINS and
+            -- coalesces to -1.0, instead of an older value leaking
+            -- through a per-column IGNORE NULLS); NULL-ts purchases are
+            -- dropped like the Spark side, and NULLS FIRST matches
+            -- Spark's asc_nulls_first default so NULL-ts clicks see no
+            -- purchases.
             WITH clicks AS (
               SELECT user_id, event_id, ts, value FROM events
               WHERE event_type = 'click'),
             purch AS (
               SELECT user_id, event_id, ts, value AS pv FROM events
-              WHERE event_type = 'purchase'),
+              WHERE event_type = 'purchase' AND ts IS NOT NULL),
             u AS (
-              SELECT user_id, event_id, ts, value, NULL::double AS pv, 1 AS side
+              SELECT user_id, event_id, ts, value,
+                     NULL::STRUCT(pv DOUBLE) AS v, 1 AS side
               FROM clicks
               UNION ALL
-              SELECT user_id, event_id, ts, NULL::double, pv, 0 FROM purch),
+              SELECT user_id, event_id, ts, NULL::double,
+                     struct_pack(pv := pv), 0 FROM purch),
             f AS (
-              SELECT *, last_value(pv IGNORE NULLS) OVER (
-                PARTITION BY user_id ORDER BY ts, side, event_id
-                ROWS UNBOUNDED PRECEDING) AS lastpv
+              SELECT *, last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id
+                ORDER BY ts NULLS FIRST, side, event_id
+                ROWS UNBOUNDED PRECEDING) AS lastv
               FROM u)
             SELECT user_id, event_id, ts, value,
-                   coalesce(lastpv, -1.0) AS last_purchase_value
+                   coalesce(lastv.pv, -1.0) AS last_purchase_value
             FROM f WHERE side = 1
         """,
         "events_hourly_rollup": """

@@ -319,14 +319,9 @@ def as_of_join(
     filled = unioned.select(
         "*", F.last("_asof_v", ignorenulls=True).over(w).alias("_f")
     )
-    out_cols = [c for c in left.columns] + [f"asof_{c}" for c in value_cols]
-    return (
-        filled.where(F.col("_side") == 1)
-        .select(
-            *[c for c in left.columns],
-            *[F.col("_f")[c].alias(f"asof_{c}") for c in value_cols],
-        )
-        .select(*out_cols)
+    return filled.where(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("_f")[c].alias(f"asof_{c}") for c in value_cols],
     )
 
 

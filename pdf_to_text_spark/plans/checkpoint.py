@@ -138,7 +138,14 @@ def run_resumable_extraction(
     mt = ManifestTable(table_path)
     done = mt.committed_buckets()
     todo = [b for b in range(n_buckets) if b not in done]
-    pages_b = with_bucket(pages.select("url", "warc_ts", "html", "text", "lang"))
+    # n_buckets MUST reach with_bucket: a custom value against the
+    # default-bucketed column would leave buckets >= n_buckets matching
+    # no wave filter — silently dropping most of the corpus while the
+    # run reports complete (r5 review)
+    pages_b = with_bucket(
+        pages.select("url", "warc_ts", "html", "text", "lang"),
+        n_buckets=n_buckets,
+    )
 
     commits = 0
     for i in range(0, len(todo), buckets_per_commit):

@@ -75,35 +75,48 @@ def _gunzip_members(data: bytes) -> bytes:
     flush(): flush() emits all remaining output uncapped, which let a
     200 KB gzip bomb inflate to 200 MB straight past MAX_RECORD_BYTES
     (r3 review, reproduced). An over-cap member aborts the file — its
-    end cannot be located without inflating it."""
+    end cannot be located without inflating it.
+
+    Input is fed in bounded windows over a memoryview (r5 review): the
+    previous formulation sliced the FULL remaining buffer once per
+    member and re-copied it via unconsumed_tail per chunk — quadratic
+    memcpy that made a real ~1 GB, 100k-member Common Crawl segment
+    effectively unprocessable."""
     out = []
+    view = memoryview(data)
     pos = 0
     n = len(data)
+    window = 1 << 20
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         member = bytearray()
-        tail = data[pos:]
         ok = True
+        feed_pos = pos
+        pending: bytes | memoryview = b""
         while True:
+            if not len(pending):
+                if feed_pos >= n:
+                    ok = False  # truncated member: keep its partial output
+                    break
+                nxt = min(feed_pos + window, n)
+                pending = view[feed_pos:nxt]
+                feed_pos = nxt
             try:
-                chunk = d.decompress(tail, 1 << 20)
+                chunk = d.decompress(pending, window)
             except zlib.error:
                 ok = False
                 break
             member += chunk
-            tail = d.unconsumed_tail
+            pending = d.unconsumed_tail
             if len(member) > MAX_RECORD_BYTES:
                 ok = False  # bomb / oversized member
                 break
             if d.eof:
                 break
-            if not chunk and not tail:
-                ok = False  # truncated member: keep its partial output
-                break
         out.append(bytes(member[: MAX_RECORD_BYTES]))
         if not ok:
             break
-        consumed = (n - pos) - len(d.unused_data)
+        consumed = (feed_pos - pos) - len(pending) - len(d.unused_data)
         if consumed <= 0:  # no forward progress → stop, keep prior members
             break
         pos += consumed
@@ -167,6 +180,78 @@ def _http_payload(body: bytes) -> tuple[bytes, dict[str, str]]:
     return body[split + 4 :], _parse_headers(body[:split])
 
 
+def _dechunk(payload: bytes) -> bytes | None:
+    """Decode HTTP/1.1 Transfer-Encoding: chunked (RFC 9112 §7.1), or
+    None when the framing doesn't parse (caller keeps the raw bytes —
+    a wrongly-declared encoding must not drop the row)."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    while True:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        try:
+            size = int(payload[pos:eol].split(b";")[0].strip() or b"x", 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)  # trailers, if any, are dropped
+        start = eol + 2
+        end = start + size
+        if end > n or len(out) + size > MAX_RECORD_BYTES:
+            return None
+        out += payload[start:end]
+        if payload[end : end + 2] != b"\r\n":
+            return None
+        pos = end + 2
+
+
+def _inflate_capped(payload: bytes, wbits: int) -> bytes | None:
+    """Single-stream zlib/gzip inflate with the record byte cap; None on
+    any error or cap overflow (caller keeps the raw bytes)."""
+    d = zlib.decompressobj(wbits=wbits)
+    out = bytearray()
+    data: bytes = payload
+    try:
+        while data:
+            out += d.decompress(data, 1 << 20)
+            if len(out) > MAX_RECORD_BYTES:
+                return None
+            data = d.unconsumed_tail
+            if d.eof:
+                break
+    except zlib.error:
+        return None
+    return bytes(out) if out else None
+
+
+def _decode_http_payload(payload: bytes, http: dict[str, str]) -> bytes:
+    """Undo the HTTP framings a raw Common Crawl response preserves
+    (r5 review — without this a Content-Encoding: gzip page reached the
+    kernel as compressed bytes and a chunked page as hex-framed soup):
+    Transfer-Encoding: chunked first, then Content-Encoding gzip/deflate.
+    Anything undecodable (or brotli, absent from the stdlib) keeps the
+    raw bytes — the kernel's per-row status decides, never a drop."""
+    if "chunked" in http.get("transfer-encoding", "").lower():
+        dec = _dechunk(payload)
+        if dec is not None:
+            payload = dec
+    ce = http.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip"):
+        dec = _inflate_capped(payload, 31)
+        if dec is not None:
+            payload = dec
+    elif ce == "deflate":
+        # both spellings exist in the wild: zlib-wrapped and raw deflate
+        dec = _inflate_capped(payload, 15)
+        if dec is None:
+            dec = _inflate_capped(payload, -15)
+        if dec is not None:
+            payload = dec
+    return payload
+
+
 def _parse_warc_date(value: str) -> dt.datetime | None:
     try:
         return dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
@@ -198,6 +283,8 @@ def warc_to_page_rows(
             if len(status) < 2 or status[1] != b"200":
                 continue
         payload, http = _http_payload(body)
+        if http:
+            payload = _decode_http_payload(payload, http)
         lang = http.get("content-language")
         if lang:
             lang = lang.split(",")[0].strip().split("-")[0].lower() or None
@@ -271,11 +358,12 @@ def _gate_shard_dir(n_rows: int, n_files: int, with_payload: list) -> str:
     leaked /tmp dirs and re-gzipped the corpus every time (r4 review).
     Registered for interpreter-exit cleanup; deterministic content, so
     reuse is safe."""
+    import os
+
     key = (n_rows, n_files)
     path = _GATE_SHARDS.get(key)
     if path is not None and all(
-        __import__("os").path.exists(f"{path}/seg-{i}.warc.gz")
-        for i in range(n_files)
+        os.path.exists(f"{path}/seg-{i}.warc.gz") for i in range(n_files)
     ):
         return path
     import atexit

@@ -28,7 +28,11 @@ def read_pages_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     r = spark.readStream.schema(PAGES_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # explicit is-not-None, not truthiness: an explicit 0 must reach
+        # Spark (which rejects it loudly) rather than silently configure
+        # an unthrottled stream the caller believes is throttled
+        # (r5 review)
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.parquet(src_dir)
 

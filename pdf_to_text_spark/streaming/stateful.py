@@ -56,8 +56,11 @@ def _dedup_fn(
         items.extend(zip(pdf["warc_ts"], pdf["lang"]))
     # event-time order within one invocation: shuffle arrival order is
     # arbitrary, so without this the emitted row SET would be
-    # nondeterministic (newer-first arrival swallows the older crawl)
-    items.sort(key=lambda t: t[0].value)
+    # nondeterministic (newer-first arrival swallows the older crawl).
+    # lang is the tiebreak for EXACT-ts duplicates (r5 review): a
+    # ts-only sort is stable on arrival order, so which lang survived
+    # an exact-ts tie differed run to run
+    items.sort(key=lambda t: (t[0].value, t[1] or ""))
     for ts, lang in items:
         ts_us = int(ts.value // 1000)  # pandas Timestamp → µs epoch
         if max_ts is None or ts_us > max_ts:

@@ -63,3 +63,54 @@ def test_values_sql_empty_set():
     out = duckdb.sql(sql)
     assert out.fetchall() == []
     assert [d[0] for d in out.description] == ["a", "b"]
+
+
+def test_asof_oracle_matches_spark_on_null_edges(spark):
+    """r5 review: the events_asof_last_purchase DuckDB oracle had
+    drifted from as_of_join's struct NULL semantics — latent because no
+    fixture row exercised the edges. This pins oracle == Spark on a
+    hand-built events set with a NULL-valued purchase (must WIN and
+    coalesce to -1.0), a NULL-ts purchase (dropped from the axis), and
+    a NULL-ts click (sees no purchases)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from pdf_to_text_spark.operators import relational
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: purchase 7.0@1, NULL-value purchase @3, clicks @2,@4
+        (1, 100, t(2), 1.0, "click"),
+        (1, 101, t(4), 2.0, "click"),
+        (1, 900, t(1), 7.0, "purchase"),
+        (1, 901, t(3), None, "purchase"),
+        # user 2: NULL-ts purchase only; click must see -1.0
+        (2, 102, t(5), 3.0, "click"),
+        (2, 902, None, 50.0, "purchase"),
+        # user 3: NULL-ts click; purchases exist but none precede it
+        (3, 103, None, 4.0, "click"),
+        (3, 903, t(1), 9.0, "purchase"),
+    ]
+    cols = ["user_id", "event_id", "ts", "value", "event_type"]
+    events = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double, "
+              "event_type string",
+    )
+    got_spark = {
+        r["event_id"]: r["last_purchase_value"]
+        for r in relational.events_asof_last_purchase(events).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=cols))
+    sql = entry.oracle_sql(_only={"events_asof_last_purchase"})[
+        "events_asof_last_purchase"
+    ]
+    got_oracle = {
+        int(r[1]): r[4] for r in con.execute(sql).fetchall()
+    }
+    expect = {100: 7.0, 101: -1.0, 102: -1.0, 103: -1.0}
+    assert got_spark == expect
+    assert got_oracle == expect

@@ -188,3 +188,80 @@ def test_empty_content_language_header_is_null():
     )
     got = warc_to_page_rows(rec)
     assert len(got) == 1 and got[0][4] is None
+
+
+def _manual_response_record(url: str, http_headers: bytes, payload: bytes) -> bytes:
+    body = b"HTTP/1.1 200 OK\r\n" + http_headers + b"\r\n\r\n" + payload
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: %d\r\n" % len(body)
+    )
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
+def test_content_encoding_gzip_payload_decoded():
+    """r5 review: real Common Crawl response records preserve the raw
+    HTTP framing — a Content-Encoding: gzip page must reach the kernel
+    as HTML bytes, not compressed garbage."""
+    import gzip as _gzip
+
+    from pdf_to_text_spark.sources.warc import warc_to_page_rows
+
+    html = b"<html><body><p>compressed page body</p></body></html>"
+    gz = _gzip.compress(html)
+    rec = _manual_response_record(
+        "https://x/enc.html",
+        b"Content-Type: text/html\r\nContent-Encoding: gzip",
+        gz,
+    )
+    rows = warc_to_page_rows(rec)
+    assert len(rows) == 1 and rows[0][2] == html
+
+
+def test_transfer_encoding_chunked_payload_dechunked():
+    from pdf_to_text_spark.sources.warc import warc_to_page_rows
+
+    html = b"<html><body>chunk one and chunk two</body></html>"
+    chunked = (
+        b"10\r\n" + html[:16] + b"\r\n"
+        + (b"%x\r\n" % (len(html) - 16)) + html[16:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    rec = _manual_response_record(
+        "https://x/chunked.html",
+        b"Content-Type: text/html\r\nTransfer-Encoding: chunked",
+        chunked,
+    )
+    rows = warc_to_page_rows(rec)
+    assert len(rows) == 1 and rows[0][2] == html
+
+
+def test_undecodable_declared_encoding_keeps_raw_bytes():
+    """A wrongly-declared Content-Encoding must not drop the row — the
+    raw bytes flow through and the kernel's per-row status decides."""
+    from pdf_to_text_spark.sources.warc import warc_to_page_rows
+
+    raw = b"<html>not actually gzipped</html>"
+    rec = _manual_response_record(
+        "https://x/liar.html",
+        b"Content-Type: text/html\r\nContent-Encoding: gzip",
+        raw,
+    )
+    rows = warc_to_page_rows(rec)
+    assert len(rows) == 1 and rows[0][2] == raw
+
+
+def test_gunzip_members_linear_feeding_roundtrip():
+    """The window-fed multi-member gunzip must reproduce every member
+    byte-for-byte (r5 review replaced a quadratic-memcpy formulation)."""
+    import gzip as _gzip
+
+    from pdf_to_text_spark.sources.warc import _gunzip_members
+
+    members = [(b"m%d " % i) * (1000 + i * 37) for i in range(50)]
+    blob = b"".join(_gzip.compress(m) for m in members)
+    assert _gunzip_members(blob) == b"".join(members)
