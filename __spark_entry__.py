@@ -540,7 +540,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
     pii_counts = ",\n  ".join(pii_count_exprs)
 
     lang_hits = ",\n  ".join(
-        f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'), "
         f"w -> list_contains({prof}, w))) AS {lang}_hits"
         for lang, prof in _LANG_PROFILES_SQL.items()
     )
@@ -736,7 +736,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
               (4, 'short doc'),
               (5, 'b0 b1 b2 b3 b4 b5'),
               (6, 'r0 r1 r2 r3 r4 r5 pad r0 r1 r2 r3 r4 r5')),
-            w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM t),
+            w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS ws FROM t),
             toks AS (
               SELECT doc_id, pos, word FROM (
                 SELECT doc_id, i::int AS pos, ws[i + 1] AS word
@@ -763,22 +763,22 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         """,
         "quality_stats": rf"""
             SELECT doc_id,
-                   len(string_split_regex(lower(trim(text)), '\s+'))::int AS words,
+                   len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'))::int AS words,
                    len(regexp_extract_all(text, '[A-Za-z]'))::int AS alpha_chars,
                    len(regexp_extract_all(text, '[0-9]'))::int AS digit_chars,
-                   len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::int AS punct_chars,
-                   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\f\r]'))::int AS punct_chars,
+                   len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'),
                        w -> list_contains({_STOPWORDS_SQL}, w)))::int AS stop_hits,
-                   list_max(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                   list_max(list_transform(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'),
                        w -> len(w)))::int AS max_word_len,
-                   floor((0.4 * least(len(string_split_regex(lower(trim(text)), '\s+')) / 50.0, 1.0)
+                   floor((0.4 * least(len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) / 50.0, 1.0)
                        + 0.3 * (len(regexp_extract_all(text, '[A-Za-z]'))
                            / greatest(1, len(regexp_extract_all(text, '[A-Za-z]'))
                                + len(regexp_extract_all(text, '[0-9]'))
-                               + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))))
-                       + 0.3 * least(5.0 * len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\f\r]'))))
+                       + 0.3 * least(5.0 * len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'),
                            w -> list_contains({_STOPWORDS_SQL}, w)))
-                           / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 1.0))
+                           / greatest(len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')), 1), 1.0))
                        * 10000) / 10000 AS quality
             FROM documents
         """,
@@ -786,7 +786,12 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
             SELECT doc_id, en_hits::int AS en_hits, es_hits::int AS es_hits,
                    de_hits::int AS de_hits, fr_hits::int AS fr_hits,
-                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+                   -- NULL-text rows: every *_hits is NULL, all WHENs are
+                   -- NULL, and a bare ELSE would mislabel the row 'fr'
+                   -- while Spark's when-chain falls to 'und' (r5 review)
+                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0
+                          OR greatest(en_hits, es_hits, de_hits, fr_hits) IS NULL
+                        THEN 'und'
                         WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
                         WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
                         WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
@@ -796,15 +801,15 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         "text_profile": rf"""
             WITH s AS (
               SELECT doc_id,
-                     len(string_split_regex(lower(trim(text)), '\s+')) AS words,
+                     len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS words,
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS bpe_tokens,
                      len(text) AS chars,
                      len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
                      len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
-                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_chars,
-                     len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\f\r]')) AS punct_chars,
+                     len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'),
                          w -> list_contains({_STOPWORDS_SQL}, w))) AS stop_hits,
-                     list_max(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                     list_max(list_transform(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'),
                          w -> len(w))) AS max_word_len,
                      {lang_hits}
               FROM documents)
@@ -819,7 +824,12 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
                    floor((0.4 * least(words / 50.0, 1.0)
                        + 0.3 * (alpha_chars / greatest(1, alpha_chars + digit_chars + punct_chars))
                        + 0.3 * least(5.0 * stop_hits / greatest(words, 1), 1.0)) * 10000) / 10000 AS quality,
-                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+                   -- NULL-text rows: every *_hits is NULL, all WHENs are
+                   -- NULL, and a bare ELSE would mislabel the row 'fr'
+                   -- while Spark's when-chain falls to 'und' (r5 review)
+                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0
+                          OR greatest(en_hits, es_hits, de_hits, fr_hits) IS NULL
+                        THEN 'und'
                         WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
                         WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
                         WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
@@ -839,7 +849,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         """,
         "repetition_stats": r"""
             WITH w AS (
-              SELECT doc_id, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
+              SELECT doc_id, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) AS w
               FROM documents),
             wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
             per_doc AS (
@@ -850,7 +860,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
               SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b FROM (
                 SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM (
                   SELECT doc_id,
-                         string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
+                         string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+') AS ws
                   FROM documents)
                 WHERE len(ws) >= 2)),
             bc AS (SELECT doc_id, max(cnt) AS top_bigram_count FROM (
@@ -902,7 +912,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             ranked AS (
               SELECT *, row_number() OVER (
                        PARTITION BY line ORDER BY doc_id, pos) AS rn,
-                     len(string_split_regex(trim(line), '\s+')) AS nw
+                     len(string_split_regex(trim(line), '[ \t\n\f\r]+')) AS nw
               FROM lines),
             kept AS (SELECT doc_id, pos, line FROM ranked WHERE nw < 5 OR rn = 1),
             agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text

@@ -131,7 +131,12 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
             out, n_pages, status, failed = _extract_one(html, text, is_pdf)
             buf.append((url, ts, lang, ctype, out, n_pages, len(out), status, failed))
-            buf_bytes += len(out)
+            # UTF-8 bytes, not code points (r5 review): CJK output — the
+            # whole point of the CMap decode paths — is ~3 bytes/char in
+            # the Arrow string buffer, so counting len(out) admitted
+            # ~3× the intended cap. The encode costs ~1 GB/s, noise
+            # next to the kernel it follows.
+            buf_bytes += len(out.encode("utf-8", "replace"))
             if buf_bytes >= ARROW_MAX_BATCH_BYTES:
                 yield drain()
     if buf:

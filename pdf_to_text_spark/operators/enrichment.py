@@ -142,16 +142,24 @@ def enrich_chunks(chunks: DataFrame, enricher=None) -> DataFrame:
                 if not recs:
                     rows.append((url, chunk_id, None, status, None, None, None, None))
                 for pos, r in enumerate(recs):
+                    # a PRESENT-but-null JSON field must not stringify
+                    # to the Python repr 'None' — indistinguishable from
+                    # a store actually named "None" (r5 review); treat
+                    # explicit null like the absent-key default
+                    def _s(key: str) -> str:
+                        v = r.get(key)
+                        return "" if v is None else str(v)
+
                     rows.append(
                         (
                             url,
                             chunk_id,
                             pos,
                             status,
-                            str(r.get("SucursalName", "")),
-                            str(r.get("EAN", "")),
-                            str(r.get("CantidadVendida", "")),
-                            str(r.get("Importe", "")),
+                            _s("SucursalName"),
+                            _s("EAN"),
+                            _s("CantidadVendida"),
+                            _s("Importe"),
                         )
                     )
             yield pd.DataFrame(

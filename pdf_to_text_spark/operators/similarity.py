@@ -194,12 +194,19 @@ def ivf_train(embeddings: DataFrame, dim: int, n_cells: int = 16,
                 # instead of a driver TypeError (r3 review)
                 if r["s"] is not None:
                     acc[(r["cell"], r["i"])] = float(r["s"])
-                counts[r["cell"]] = r["n"]
+                # denominator keyed per (cell, dim), not per cell: with
+                # ragged vectors the per-dim counts differ, and taking
+                # whichever row collect() returned LAST made centroids
+                # depend on shuffle arrival order (r5 review) — the
+                # exact nondeterminism the decimal sums exist to prevent
+                counts[(r["cell"], r["i"])] = r["n"]
             for c in range(n_cells):
-                if counts.get(c):
-                    vec = np.array(
-                        [acc.get((c, i), 0.0) for i in range(dim)]
-                    ) / counts[c]
+                if any(counts.get((c, i)) for i in range(dim)):
+                    vec = np.array([
+                        acc.get((c, i), 0.0) / counts[(c, i)]
+                        if counts.get((c, i)) else 0.0
+                        for i in range(dim)
+                    ])
                     norm = np.linalg.norm(vec)
                     if norm > 0:
                         new[c] = vec / norm
@@ -257,6 +264,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     if index is None:
         index = ivf_train(embeddings, dim, n_cells, sample_pct=sample_pct)
     corpus, C = index
+    # n_probe > available cells: argsort slicing clamps to len(C)
+    # columns while np.repeat would still replicate query_ids n_probe
+    # times — a shape-mismatch executor crash instead of probing every
+    # cell (r5 review)
+    n_probe = min(n_probe, len(C))
 
     def probes(batches):
         for b in batches:
@@ -311,11 +323,15 @@ def lsh_topk(
     QUERY bucket (Lv et al., VLDB'07): recall rises as if ~n_planes more
     tables existed, at probe-side fan-out only — the corpus layout,
     storage, and signatures are untouched, which is the right trade at
-    100 TB (corpus re-bucketing is the expensive side)."""
+    100 TB (corpus re-bucketing is the expensive side).
+
+    Plan shape (r5 review): the bucket join and the distinct() run over
+    BARE (query_id, vec_id) id pairs — signatures only, no embedding
+    arrays. The previous plan carried both 64-dim vectors through the
+    (table, bucket) join AND the dedup shuffle, replicating each ~1 KB
+    pair up to n_tables (×hamming-probes) times at the widest point;
+    vectors now attach once, id-keyed, after dedup."""
     corpus_sig = lsh_signatures(embeddings, dim, n_planes, n_tables)
-    corpus = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).join(corpus_sig, "vec_id")
 
     q_sig = lsh_signatures(
         queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
@@ -337,14 +353,24 @@ def lsh_topk(
                 )
             ).alias("bucket"),
         )
-    q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv")).join(
-        q_sig, "query_id"
-    )
 
+    pairs = (
+        q_sig.join(corpus_sig, ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()  # multiple tables/probes CAN co-bucket a pair
+    )
     cand = (
-        q.join(corpus, ["table", "bucket"])
+        pairs.join(
+            queries.select("query_id", F.col("qv").cast("array<double>").alias("qv")),
+            "query_id",
+        )
+        .join(
+            embeddings.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            "vec_id",
+        )
         .select("query_id", "qv", "vec_id", "v")
-        .distinct()
     )
     sim = cosine_sim_col("qv", "v")
     scored = cand.select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))

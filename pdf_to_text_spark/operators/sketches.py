@@ -18,6 +18,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _moment_exprs():
+    """The shared exact-moment machinery (r5 review: was duplicated in
+    corpus_sketches and corpus_stats, and only the latter is oracle-
+    gated — a one-sided edit could silently diverge them).
+
+    Returns (agg_exprs, select_exprs): exact integer/decimal sums as the
+    aggregation inputs, floor-scaled avg/std as the derived outputs.
+    Squares accumulate in decimal(38,0): a BIGINT running sum overflows
+    at ~1e9 docs x (1e5 chars)^2 — inside the 10^12-doc design point —
+    and ANSI mode turns that into a hard job failure (r3 review).
+    Moments from exact sums, not Welford: double accumulation is
+    partition-order dependent in the last bit."""
+    aggs = [
+        F.sum(F.col("n_chars").cast("long")).alias("_s1"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("_s2"),
+    ]
+    mean = F.col("_s1").cast("double") / F.col("docs").cast("double")
+    var = F.col("_s2").cast("double") / F.col("docs").cast("double") - mean * mean
+    selects = [
+        (F.floor(mean * 100) / 100).alias("avg_chars"),
+        (F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * 100) / 100).alias("std_chars"),
+    ]
+    return aggs, selects
+
+
 def corpus_sketches(documents: DataFrame) -> DataFrame:
     """One-pass sketch summary of a corpus (per-lang).
 
@@ -28,22 +53,14 @@ def corpus_sketches(documents: DataFrame) -> DataFrame:
     stddev accumulates doubles in partition order, which flips the last bit
     run to run; sum/sum-of-squares over ints is exact either way.
     """
-    n = F.count(F.lit(1))
-    s1 = F.sum(F.col("n_chars").cast("long"))
-    # squares accumulate in decimal(38,0): a BIGINT running sum overflows
-    # at ~1e9 docs x (1e5 chars)^2 — inside the 10^12-doc design point —
-    # and ANSI mode turns that into a hard job failure (r3 review)
-    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
+    moment_aggs, moment_sel = _moment_exprs()
     agg = documents.groupBy("lang").agg(
-        n.alias("docs"),
+        F.count(F.lit(1)).alias("docs"),
         F.approx_count_distinct("source", rsd=0.02).alias("approx_sources"),
         F.approx_count_distinct("doc_id", rsd=0.02).alias("approx_docs"),
         F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("_p"),
-        s1.alias("_s1"),
-        s2.alias("_s2"),
+        *moment_aggs,
     )
-    mean = F.col("_s1").cast("double") / F.col("docs").cast("double")
-    var = F.col("_s2").cast("double") / F.col("docs").cast("double") - mean * mean
     return agg.select(
         "lang",
         "docs",
@@ -52,8 +69,7 @@ def corpus_sketches(documents: DataFrame) -> DataFrame:
         F.element_at("_p", 1).alias("p50_approx"),
         F.element_at("_p", 2).alias("p90_approx"),
         F.element_at("_p", 3).alias("p99_approx"),
-        (F.floor(mean * 100) / 100).alias("avg_chars"),
-        (F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * 100) / 100).alias("std_chars"),
+        *moment_sel,
     )
 
 
@@ -79,23 +95,15 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     (lang)-keyed aggregation with map-side partials. Scalar columns
     only; same floor-scaling / exact-int-sum rationale as
     corpus_sketches."""
-    n = F.count(F.lit(1))
-    s1 = F.sum(F.col("n_chars").cast("long"))
-    # squares accumulate in decimal(38,0): a BIGINT running sum overflows
-    # at ~1e9 docs x (1e5 chars)^2 — inside the 10^12-doc design point —
-    # and ANSI mode turns that into a hard job failure (r3 review)
-    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
+    moment_aggs, moment_sel = _moment_exprs()
     agg = documents.groupBy("lang").agg(
-        n.alias("docs"),
+        F.count(F.lit(1)).alias("docs"),
         F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("_p"),
         F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("_pe"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        s1.alias("_s1"),
-        s2.alias("_s2"),
+        *moment_aggs,
     )
-    mean = F.col("_s1").cast("double") / F.col("docs").cast("double")
-    var = F.col("_s2").cast("double") / F.col("docs").cast("double") - mean * mean
     return agg.select(
         "lang",
         "docs",
@@ -107,6 +115,5 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
         F.round(F.element_at("_pe", 3), 4).alias("p99"),
         "min_chars",
         "max_chars",
-        (F.floor(mean * 100) / 100).alias("avg_chars"),
-        (F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * 100) / 100).alias("std_chars"),
+        *moment_sel,
     )

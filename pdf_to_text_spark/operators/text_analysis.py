@@ -29,6 +29,15 @@ QUALITY_STOPWORDS = [
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
 
 # Stopword profiles for language ID (pinned; ties broken in dict order).
+# The pinned whitespace class for every word-split / punct regex in this
+# module AND its DuckDB oracles (__spark_entry__.py): spelled out, not
+# \s, because the engines disagree on vertical tab — Java regex \s is
+# [ \t\n\x0B\f\r] while DuckDB's RE2 \s is [ \t\n\f\r], so a
+# document containing \x0B would split words differently per engine
+# (r5 review; the module rule is the RE2 ∩ Java common subset).
+_WS_RE = "[ \t\n\f\r]+"
+_PUNCT_RE = "[^A-Za-z0-9 \t\n\f\r]"
+
 LANG_PROFILES = {
     "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "was"],
     "es": ["de", "la", "que", "el", "en", "los", "se", "las", "por", "un"],
@@ -69,7 +78,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish tokens + char count per document."""
     return documents.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), _WS_RE)).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
         F.length("text").alias("chars"),
     )
@@ -79,13 +88,13 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     """Quality-signal columns (integers — exact across engines):
     words, alpha chars, digit chars, punct chars, stopword hits,
     max word length. The composite score lives in quality_score()."""
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col("text"))), _WS_RE)
     return documents.select(
         "doc_id",
         F.size(words).alias("words"),
         F.regexp_count("text", F.lit(r"[A-Za-z]")).alias("alpha_chars"),
         F.regexp_count("text", F.lit(r"[0-9]")).alias("digit_chars"),
-        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("punct_chars"),
+        F.regexp_count("text", F.lit(_PUNCT_RE)).alias("punct_chars"),
         _vocab_hits(words, QUALITY_STOPWORDS).alias("stop_hits"),
         F.array_max(F.transform(words, F.length)).alias("max_word_len"),
     )
@@ -115,7 +124,7 @@ def language_id(documents: DataFrame) -> DataFrame:
     Emits per-language hit counts + argmax label; ties broken by the
     fixed profile order en>es>de>fr (pinned; the SQL oracle mirrors it).
     """
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col("text"))), _WS_RE)
     df = documents.select("doc_id", words.alias("_w"))
     for lang, sw in LANG_PROFILES.items():
         df = df.withColumn(f"{lang}_hits", _vocab_hits(F.col("_w"), sw))
@@ -155,7 +164,7 @@ def text_profile(documents: DataFrame) -> DataFrame:
     base = documents.select(
         "doc_id",
         "text",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w"),
+        F.split(F.lower(F.trim(F.col("text"))), _WS_RE).alias("_w"),
     )
     stats = base.select(
         "doc_id",
@@ -165,7 +174,7 @@ def text_profile(documents: DataFrame) -> DataFrame:
         F.size("_w").alias("words"),
         F.regexp_count("text", F.lit(r"[A-Za-z]")).alias("alpha_chars"),
         F.regexp_count("text", F.lit(r"[0-9]")).alias("digit_chars"),
-        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("punct_chars"),
+        F.regexp_count("text", F.lit(_PUNCT_RE)).alias("punct_chars"),
         _vocab_hits(F.col("_w"), QUALITY_STOPWORDS).alias("stop_hits"),
         F.array_max(F.transform("_w", F.length)).alias("max_word_len"),
         *[
@@ -230,7 +239,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     floor-scaled to 4 decimals (engine-portable). NULL text coalesces to
     '' so the doc keeps a row (explode(NULL) would silently drop it —
     the no-vanishing rule every other operator here follows)."""
-    words = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    words = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS_RE)
     wc = (
         documents.select("doc_id", F.explode(words).alias("w"))
         .groupBy("doc_id", "w")
