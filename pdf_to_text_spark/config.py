@@ -63,6 +63,11 @@ def package_zip(out_dir: str | None = None) -> str:
     return zip_path
 
 
+# SparkContexts already carrying this process's engine.zip (see ship
+# guard in build_spark)
+_SHIPPED_APPS: set = set()
+
+
 def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
                 shuffle_partitions: int | None = None, extra: dict | None = None):
     """SparkSession tuned for the extraction workload.
@@ -99,5 +104,16 @@ def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
     spark = b.getOrCreate()
     # Ship the engine to executor Python workers (spark-submit --py-files
     # equivalent) so jobs work no matter where the driver script lives.
-    spark.sparkContext.addPyFile(package_zip())
+    # Ship ONCE per SparkContext (r5 review): getOrCreate can return an
+    # existing session, and re-adding a freshly-zipped engine.zip with
+    # different bytes under the same name makes executors fail the fetch
+    # ('file exists and does not match contents') — same guard as
+    # __spark_entry__._ensure_shipped.
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = id(spark.sparkContext)
+    if key not in _SHIPPED_APPS:
+        spark.sparkContext.addPyFile(package_zip())
+        _SHIPPED_APPS.add(key)
     return spark

@@ -140,7 +140,11 @@ def _js_parse_int(v) -> int:
     fallback is indistinguishable — a plain 0-default covers both.
     """
     s = str(v).strip() if v is not None else ""
-    m = re.match(r"^[+-]?\d+", s)
+    # [0-9], not \d: Python \d matches Unicode digits (U+0660 ...) that
+    # int() would happily parse, while the JVM CSV path's Java \d and JS
+    # parseInt are ASCII-only — the documented bit-for-bit parity
+    # requires the ASCII set (r5 review)
+    m = re.match(r"^[+-]?[0-9]+", s)
     return int(m.group(0)) if m else 0
 
 
@@ -153,7 +157,8 @@ def _js_parse_float(v) -> float:
     m = re.match(r"^[+-]?Infinity", s)
     if m:
         return float(m.group(0).replace("Infinity", "inf"))
-    m = re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    # ASCII digits only — same parity rationale as _js_parse_int
+    m = re.match(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?", s)
     if not m:
         return 0.0
     f = float(m.group(0))

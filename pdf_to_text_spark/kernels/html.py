@@ -75,6 +75,13 @@ class _BlockCollector(HTMLParser):
         return j
 
     def _flush(self) -> None:
+        # a block boundary ends link accounting (r5 review): an anchor a
+        # sloppy writer never closed must not mark every later block as
+        # link text and classify a content-rich page boilerplate. (This
+        # deliberately deviates from HTML5's formatting-element
+        # reconstruction — per-block link density is the Boilerpipe/
+        # jusText convention this kernel implements.)
+        self._a_depth = 0
         if not self._buf:  # consecutive block tags: nothing buffered
             self._link_chars = 0
             return
@@ -102,7 +109,13 @@ class _BlockCollector(HTMLParser):
         elif tag == "br":
             self._buf.append(" ")
         elif tag == "a":
-            self._a_depth += 1
+            # HTML5 parsing: a new <a> implicitly CLOSES any open one
+            # (nested anchors are invalid). html.parser gives no such
+            # help, and real crawl pages leave anchors unclosed all the
+            # time — an ever-growing depth would mark every later block
+            # as pure link text and classify the whole page boilerplate
+            # (r5 review). Pin depth at 1.
+            self._a_depth = 1
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if self._drop_depth:

@@ -185,6 +185,30 @@ def minhash_candidate_pairs(
     )
 
 
+def _verify_candidate_pairs(sigs: DataFrame, threshold: float,
+                            max_bucket: int) -> DataFrame:
+    """LSH band-join candidates + signature-Jaccard-estimate verify —
+    ONE definition for both signature variants (Arrow-kernel and
+    pure-JVM), which are pinned to agree by
+    test_minhash_sql_estimates_track_exact_jaccard (r5 review: the two
+    verbatim copies could drift independently)."""
+    pairs = minhash_candidate_pairs(sigs, max_bucket)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -209,21 +233,7 @@ def minhash_dedup_pairs(
     spark.catalog.clearCache() between unrelated jobs if that footprint
     matters."""
     sigs = minhash_signatures(documents, n_perm, n_bands).persist()
-    pairs = minhash_candidate_pairs(sigs, max_bucket)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.size("sig_a")
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(est, 4))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _verify_candidate_pairs(sigs, threshold, max_bucket)
 
 
 # ── corpus-level dedup keep-list (the user-facing composition) ──────────────
@@ -294,22 +304,33 @@ def strip_duplicate_lines(documents: DataFrame, min_words: int = 5) -> DataFrame
     lines = documents.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
-    n_words = F.size(F.split(F.trim(F.col("line")), r"\s+"))
-    # ONE scan, ONE window, no hot keys: short lines are kept regardless
-    # of their row number, so salting them spreads the corpus-scale hot
-    # keys ('', bullets, nav labels) across the shuffle without changing
-    # the output — long lines keep salt 0, i.e. exact global first-
-    # occurrence semantics (review r2b #4 / r2c #4)
-    salt = F.when(
-        n_words < min_words, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(64))
-    ).otherwise(F.lit(0))
-    w = Window.partitionBy("line", "_salt").orderBy("doc_id", "pos")
-    kept = (
-        lines.withColumn("_salt", salt)
-        .withColumn("_rn", F.row_number().over(w))
-        .where((n_words < min_words) | (F.col("_rn") == 1))
-        .drop("_salt", "_rn")
+    from .text_analysis import _WS_RE  # pinned [ \t\n\f\r]+ — engines
+    # disagree on \s (vertical tab), see text_analysis.py (r5 review)
+
+    n_words = F.size(F.split(F.trim(F.col("line")), _WS_RE))
+    # No hot keys on EITHER class of line (r5 review — the r2 fix salted
+    # only short lines, leaving a corpus-hot LONG line, e.g. a repeated
+    # cookie-banner sentence, as one unsalted window partition): every
+    # occurrence is salted 64 ways; short lines are kept regardless of
+    # rank, and long lines resolve exact global-first-occurrence
+    # semantics in two stages — first-within-salt (the wide, salted
+    # window), then first-among-the-≤64-salt-winners (a window whose
+    # per-key input is capped at 64 rows, skew-proof by construction).
+    salted = lines.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(64))
+    ).persist()  # both branches below read it; one scan+explode, not two
+    short = salted.where(n_words < min_words).select("doc_id", "pos", "line")
+    w1 = Window.partitionBy("line", "_salt").orderBy("doc_id", "pos")
+    w2 = Window.partitionBy("line").orderBy("doc_id", "pos")
+    long_first = (
+        salted.where(n_words >= min_words)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") == 1)
+        .select("doc_id", "pos", "line")
     )
+    kept = short.unionByName(long_first)
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -504,21 +525,7 @@ def minhash_dedup_pairs_sql(
     signatures — same banding join shape (and hot-bucket cap knob) as
     minhash_dedup_pairs."""
     sigs = minhash_signatures_sql(documents, n_perm, n_bands).persist()
-    pairs = minhash_candidate_pairs(sigs, max_bucket)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.size("sig_a")
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(est, 4))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _verify_candidate_pairs(sigs, threshold, max_bucket)
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────────
@@ -702,7 +709,12 @@ def cosine_sim_col(a: str, b: str):
     A zero-norm vector is defined to have cosine 0 to EVERYTHING: the
     naive 0.0/0.0 is NaN, and Spark orders NaN above every real double,
     so one all-zero corpus vector would otherwise rank #1 for every
-    query in all top-k paths (r3 review)."""
+    query in all top-k paths (r3 review). The same NaN-sorts-highest
+    trap applies to NaN/±Inf embedding COMPONENTS (r5 review): they
+    propagate to a NaN estimate, which Spark's `>= threshold` treats as
+    true, so one corrupt vector would otherwise emit a bogus pair for
+    everything it is compared against — any non-finite result is
+    pinned to 0.0 alongside the zero-norm case."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -713,7 +725,13 @@ def cosine_sim_col(a: str, b: str):
         F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v)
     )
     denom = na * nb
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+    # try_divide, not '/': the guard expression evaluates est in the
+    # when-CONDITION too, and ANSI mode turns the zero-denominator case
+    # into a job-killing ArithmeticException before the guard can fire
+    est = F.try_divide(dot, denom)
+    return F.when(
+        est.isNull() | F.isnan(est) | (F.abs(est) == float("inf")), F.lit(0.0)
+    ).otherwise(est)
 
 
 def embedding_near_pairs_exact(
@@ -803,9 +821,13 @@ def strip_duplicate_substrings(documents: DataFrame, k: int = 20) -> DataFrame:
 
     Scale shape — every stage is a keyed shuffle, nothing quadratic:
       1. tokenize + posexplode          (map)
-      2. k-gram shingle hash per pos    (map; xxhash64 of the joined window)
-      3. min-(doc,pos) per shingle      (ONE agg keyed on the 64-bit hash,
-                                         map-side partials)
+      2. k-gram shingle hash per pos    (map; two xxhash64 passes over
+                                         k word-HASHES — arithmetic
+                                         only, no per-position k-gram
+                                         string materialization; the
+                                         r4 minhash trick, r5 review)
+      3. min-(doc,pos) per shingle      (ONE agg keyed on the 128-bit
+                                         (h1,h2) pair, map-side partials)
       4. non-first occurrences          (join occurrences → firsts: the
                                          build side has exactly ONE row
                                          per key, so even a corpus-hot
@@ -813,22 +835,50 @@ def strip_duplicate_substrings(documents: DataFrame, k: int = 20) -> DataFrame:
                                          linearly, never n²)
       5. covered-position explode       (≤k rows per duplicate span)
       6. anti-join tokens, reassemble   (doc_id-keyed)
+
+    Key width (r5 review): span identity is a HASH pair, not the text.
+    A single 64-bit key meets birthday collisions in the billions of
+    pairs at the 10^12-doc design point — silently deleting non-
+    duplicate spans; the independent second hash puts the 128-bit
+    collision expectation below one pair per ~10^18 shingles. This is
+    a documented probabilistic trade (like the LSH bucket caps), not
+    byte-exact verification — the oracle cross-checks against real
+    text at gate scale.
     """
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    from .text_analysis import _WS_RE  # pinned class, same as the oracle
+
+    words = F.split(F.trim(F.col("text")), _WS_RE)
     toks = documents.select(
         "doc_id", F.posexplode(words).alias("pos", "word")
     ).where(F.length("word") > 0)
     # shingle hash at every start position with a full k-token window
-    # (n_words - k + 1 starts; docs shorter than k have no shingles)
+    # (n_words - k + 1 starts; docs shorter than k have no shingles).
+    # Word hashes once, then two seeded window hashes over k of them —
+    # no per-position k-gram STRING is ever built (the old array_join
+    # formulation allocated ~k× the document bytes in transient strings,
+    # the exact cost r4 measured at 40-50% of minhash signature time).
     n_words = F.size(words)
+
+    def _span(i, salt):
+        return F.xxhash64(
+            *[F.get(F.col("_wh"), i + F.lit(j)) for j in range(k)], *salt
+        )
+
     grams = (
         documents.where(n_words >= k)
         .select(
             "doc_id",
+            F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
+        )
+        .select(
+            "doc_id",
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(0), n_words - k),
-                    lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, k), " ")),
+                    F.sequence(F.lit(0), F.size("_wh") - k),
+                    lambda i: F.struct(
+                        _span(i, []).alias("h1"),
+                        _span(i, [F.lit(1)]).alias("h2"),
+                    ),
                 )
             ).alias("pos", "shash"),
         )

@@ -446,3 +446,26 @@ def test_simhash_pairs_subset_of_exact_jaccard_high(spark):
     assert len(got) >= 16, f"only {len(got)}/20 twins found"
     for a, b in got:
         assert py_jaccard(texts[a], texts[b]) >= 0.5, (a, b)
+
+
+def test_nan_component_vector_never_passes_threshold(spark):
+    """r5 review: a NaN (or Inf) embedding COMPONENT propagates to a NaN
+    cosine, and Spark's `>= threshold` treats NaN as true — one corrupt
+    vector would emit a bogus near-pair against everything it is
+    compared with. Non-finite estimates are pinned to 0.0."""
+    from pdf_to_text_spark.operators.dedup import embedding_near_pairs_exact
+    from pdf_to_text_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [float("nan"), 1.0]),
+         (4, [float("inf"), 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             embedding_near_pairs_exact(emb, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}  # the corrupt vectors pair with nothing
+
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, qv array<double>")
+    got = {r["rank"]: r["vec_id"] for r in
+           brute_force_topk(emb, q, k=4).collect()}
+    assert got[1] in (1, 2) and got[2] in (1, 2)  # corrupt vectors rank last

@@ -66,3 +66,22 @@ def test_link_ratio_math():
     b = blocks[0]
     assert 0 < b.link_ratio < 0.33
     assert classify_blocks(blocks) == [b.words >= 10]
+
+
+def test_unclosed_anchors_do_not_poison_later_blocks():
+    """r5 review: real crawl pages leave anchors unclosed constantly;
+    link accounting must end at block boundaries so the content after a
+    sloppy nav strip still extracts (an ever-growing anchor depth used
+    to classify the whole page boilerplate)."""
+    from pdf_to_text_spark.kernels.html import extract_html_text
+
+    html = (
+        "<html><body>"
+        '<div><a href="/a">Home<a href="/b">About<a href="/c">Contact</div>'
+        "<p>This long content paragraph carries the actual article body "
+        "text with plenty of words to pass the block heuristics.</p>"
+        "</body></html>"
+    )
+    out = extract_html_text(html.encode())
+    assert "actual article body" in out
+    assert "Home" not in out  # the nav block stays boilerplate

@@ -110,6 +110,18 @@ FIXTURES = {
         "<div><div><div><span>tiny</span></div>"
         f"<div><div><p>{_sentence(29, 20)}</p></div></div></div></div>"
     ),
+    # round 5: unclosed/nested anchors (ubiquitous on real crawls; HTML5
+    # auto-closes a previous <a> on a new one) — the nav links are still
+    # boilerplate, but the CONTENT paragraphs after the unclosed anchor
+    # must survive (an ever-growing anchor depth classified them all as
+    # link text)
+    "unclosed_anchor": lambda: (
+        "<html><body>"
+        '<div><a href="/a">Home<a href="/b">About<a href="/c">Contact</div>'
+        f"<p>{_sentence(89, 30)}</p>"
+        f"<p>{_sentence(97, 28)}</p>"
+        "</body></html>"
+    ),
 }
 
 
