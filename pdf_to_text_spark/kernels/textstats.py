@@ -73,7 +73,17 @@ _PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 def minhash_signature(text: str, n_perm: int = _N_PERM_DEFAULT, k: int = 5) -> np.ndarray:
     """MinHash signature (uint64[n_perm]) over k-word shingles.
 
-    Universal hashing h_i(x) = (a_i*x + b_i) mod p, p = 2^61-1 (Broder '97).
+    Hash family: h_i(x) = ((a_i*x mod 2^64) + b_i mod 2^64) mod p,
+    p = 2^61-1 — i.e. Broder-'97-SHAPED universal hashing whose product
+    deliberately runs in wrapping uint64 numpy arithmetic rather than
+    exact bigints (r5 review pinned the honest formula: with a,x ~ 2^61
+    the product wraps mod 2^64 BEFORE the mod-p, so the textbook
+    pairwise-independence proof does not apply verbatim). The wrap is a
+    fixed measure-preserving permutation of the product space, the
+    estimator's Jaccard tracking is pinned empirically by
+    test_minhash_sql_estimates_track_exact_jaccard and the
+    recall-vs-brute-force gates, and exact-bigint hashing here would
+    forfeit the vectorized numpy path this kernel exists for.
     Empty text → all-ones sentinel (never collides with real content).
     """
     if n_perm not in _PERM_CACHE:

@@ -4,7 +4,8 @@ A reference user's whole workflow (upload PDF → extracted txt + records
 JSON + CSV, src/main.ts:133-263) over a pages table in one call:
 
     from pdf_to_text_spark.pipeline import run_reference_pipeline
-    out = run_reference_pipeline(pages)   # {extracted, blocks, records, csv, json}
+    out = run_reference_pipeline(pages)
+    # keys: extracted, blocks, records, csv_docs, json_docs, metrics
 
 CLI (spark-submit entry point):
 
@@ -39,8 +40,26 @@ def run_reference_pipeline(
     (records_df); pass an operators.enrichment.HTTPEnricher to run the
     reference's LLM stage instead (then records come from enrich_chunks).
     `dedup_strategy` passes through to run_extraction (auto | prefilter
-    | window)."""
+    | window).
+
+    NOTE for materializing callers: every returned frame shares the
+    extraction lineage lazily — writing all of them re-runs the kernel
+    per sink. Write extracted/ first, re-read it, and feed
+    artifacts_from_extracted() instead (what run.py does; r5 review)."""
     extracted = run_extraction(pages, dedup=dedup, dedup_strategy=dedup_strategy)
+    return {
+        "extracted": extracted,
+        **artifacts_from_extracted(extracted, enricher=enricher),
+    }
+
+
+def artifacts_from_extracted(
+    extracted: DataFrame, *, enricher=None
+) -> dict[str, DataFrame]:
+    """The downstream reference artifacts from an ALREADY-extracted
+    frame — pass a re-read of a written extracted/ table so the kernel
+    runs once, not once per sink (the csv_docs url-universe side alone
+    would re-run it twice)."""
     blocks = with_chunk_id(blocks_df(extracted))
     if enricher is None:
         records = records_df(blocks)
@@ -53,7 +72,6 @@ def run_reference_pipeline(
             "block_pos", enriched.record_pos * 0
         )
     return {
-        "extracted": extracted,
         "blocks": blocks,
         "records": records,
         # pass the extracted url universe: uploads with zero parsed records

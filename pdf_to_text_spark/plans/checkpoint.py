@@ -114,6 +114,7 @@ def run_resumable_extraction(
     buckets_per_commit: int = 8,
     num_partitions: int | None = None,
     shuffle_payloads: bool = False,
+    dedup: bool = True,
     dedup_strategy: str = "auto",
     fail_after_commits: int | None = None,
 ) -> ManifestTable:
@@ -153,7 +154,9 @@ def run_resumable_extraction(
         subset = pages_b.where(F.col("bucket").isin(wave))
         extracted = run_extraction(
             subset, num_partitions=num_partitions,
-            shuffle_payloads=shuffle_payloads, dedup_strategy=dedup_strategy,
+            shuffle_payloads=shuffle_payloads,
+            dedup=dedup,  # r5 review: the CLI's --no-dedup reaches here now
+            dedup_strategy=dedup_strategy,
         )
         files = _write_wave(extracted, mt.data_dir)
         metrics = [

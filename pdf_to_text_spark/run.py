@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
 
             mt = run_resumable_extraction(
                 spark, pages, f"{args.output}/extracted",
+                dedup=not args.no_dedup,  # r5 review: was silently ignored
                 dedup_strategy=args.dedup_strategy,
             )
             mt.metrics(spark).write.mode("overwrite").parquet(f"{args.output}/metrics")
@@ -45,13 +46,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"extracted (resumable): {n} docs, "
                   f"{len(mt.snapshots())} snapshots", file=sys.stderr)
         else:
-            from .pipeline import run_reference_pipeline
+            # write extracted/ FIRST and re-read it: every downstream
+            # artifact shares the extraction lineage, and five lazy
+            # sinks would re-run the PDF/HTML kernel — the dominant
+            # cost — once per write (~6x total; the csv_docs
+            # url-universe side carries it twice). One kernel pass,
+            # then cheap derivations from columnar parquet (r5 review).
+            from .operators.extraction import run_extraction
+            from .pipeline import artifacts_from_extracted
 
-            out = run_reference_pipeline(
+            run_extraction(
                 pages, dedup=not args.no_dedup,
                 dedup_strategy=args.dedup_strategy,
-            )
-            for name in ("extracted", "records", "csv_docs", "json_docs", "metrics"):
+            ).write.mode("overwrite").parquet(f"{args.output}/extracted")
+            extracted = spark.read.parquet(f"{args.output}/extracted")
+            out = artifacts_from_extracted(extracted)
+            for name in ("records", "csv_docs", "json_docs", "metrics"):
                 out[name].write.mode("overwrite").parquet(f"{args.output}/{name}")
             print("wrote extracted/records/csv_docs/json_docs/metrics "
                   f"under {args.output}", file=sys.stderr)

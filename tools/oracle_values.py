@@ -247,6 +247,15 @@ def _replay_extraction(n: int = 120) -> tuple[tuple, ...]:
     pdf = build_pages_pdf(list(range(n)))
     latest: dict[str, tuple] = {}
     for url, ts, html, text, _lang in pdf.itertuples(index=False, name=None):
+        if url in latest and ts == latest[url][0]:
+            # an exact-ts same-url tie has NO pinned winner in the
+            # engine (the window fallback picks partition-order) — a
+            # replay that silently kept first-seen would make the gate
+            # flaky the day the generator emits one (r5 review)
+            raise AssertionError(
+                f"gate corpus has an exact-ts duplicate for {url!r} — "
+                "pin a tiebreak in BOTH engine and oracle first"
+            )
         if url not in latest or ts > latest[url][0]:
             latest[url] = (ts, html, text)
     rows = []
@@ -358,7 +367,11 @@ def streaming_dedup_oracle(n: int = 200) -> str:
         by_url.setdefault(url, []).append((int(ts.timestamp()), lang))
     rows = []
     for url, items in sorted(by_url.items()):
-        items.sort(key=lambda t: t[0])
+        # (ts, lang) — the SAME exact-ts tiebreak the stateful operator
+        # pins (streaming/stateful.py _dedup_fn, r5 review); a ts-only
+        # sort here was stable on feed order and would silently drift
+        # the moment the corpus gains same-url equal-ts rows
+        items.sort(key=lambda t: (t[0], t[1] or ""))
         max_ts = None
         first = 1
         for epoch, lang in items:
@@ -388,8 +401,6 @@ def _minhash_pairs_for(
     minhash-derived oracle (pairs / corpus keep-list / clusters)."""
     from pdf_to_text_spark.kernels.textstats import minhash_bands, minhash_signature
 
-    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
-
     sigs = {}
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs:
@@ -397,14 +408,7 @@ def _minhash_pairs_for(
         sigs[doc_id] = s
         for bi, bh in enumerate(minhash_bands(s, n_bands=n_bands)):
             buckets.setdefault((bi, bh), []).append(doc_id)
-    pairs = set()
-    for ids in buckets.values():
-        if len(ids) > DEFAULT_MAX_BUCKET:
-            continue  # replicate the operator's hot-bucket cap exactly
-        ids.sort()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+    pairs = _bucket_pairs(buckets)
     rows = []
     for a, b in sorted(pairs):
         eq = int((sigs[a] == sigs[b]).sum())
@@ -412,6 +416,23 @@ def _minhash_pairs_for(
         if est >= threshold:
             rows.append((a, b, est))
     return rows
+
+
+def _bucket_pairs(buckets: dict) -> set:
+    """Hot-bucket-capped i<j pair enumeration — ONE definition for the
+    minhash/simhash/embedding oracles (r5 review: three verbatim copies
+    could drift from dedup._cap_buckets's semantics independently)."""
+    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
+    pairs: set = set()
+    for ids in buckets.values():
+        if len(ids) > DEFAULT_MAX_BUCKET:
+            continue  # replicate the operator's hot-bucket cap exactly
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
 
 
 @functools.lru_cache(maxsize=8)
@@ -499,21 +520,12 @@ def simhash_oracle(sf: str, max_hamming: int = 3) -> str:
     # Spark stores simhash as (h - 2^63); band equality and XOR popcount
     # are invariant under that constant top-bit flip, so raw unsigned h
     # replicates the banded join exactly.
-    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
-
     sh = {doc_id: simhash64(text or "") for doc_id, text in _read_docs(sf)}
     buckets: dict[tuple[int, int], list[int]] = {}
     for d, h in sh.items():
         for bi in range(4):
             buckets.setdefault((bi, (h >> (16 * bi)) & 0xFFFF), []).append(d)
-    pairs = set()
-    for ids in buckets.values():
-        if len(ids) > DEFAULT_MAX_BUCKET:
-            continue  # replicate the operator's hot-bucket cap exactly
-        ids.sort()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+    pairs = _bucket_pairs(buckets)
     rows = []
     for a, b in sorted(pairs):
         ham = bin(sh[a] ^ sh[b]).count("1")
@@ -624,16 +636,7 @@ def embedding_near_pairs_oracle(
     for vec_id, bks in _lsh_buckets(sf, dim, n_planes, n_tables):
         for t, bk in enumerate(bks):
             by_bucket.setdefault((t, bk), []).append(vec_id)
-    from pdf_to_text_spark.operators.dedup import DEFAULT_MAX_BUCKET
-
-    pairs = set()
-    for ids in by_bucket.values():
-        if len(ids) > DEFAULT_MAX_BUCKET:
-            continue  # replicate the operator's hot-bucket cap exactly
-        ids.sort()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+    pairs = _bucket_pairs(by_bucket)
     rows = []
     for a, b in sorted(pairs):
         cos = spark_round(fold_cosine(emb_by_id[a], emb_by_id[b]), 4)
