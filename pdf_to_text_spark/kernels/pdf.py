@@ -1008,6 +1008,7 @@ class PDFDocument:
         # don't parse-and-cache a 100-page megadoc just to learn it has
         # no object streams).
         objstms: list[int] = []
+        xref_stream_dicts: list[tuple[int, dict]] = []
         if "Root" not in self.trailer or b"/ObjStm" in data:
             for num in sorted(self.xref):
                 try:
@@ -1025,9 +1026,15 @@ class PDFDocument:
                 elif t == "XRef":
                     # xref streams are never encrypted (§7.5.8.2), so
                     # these values are safe to read pre-decryption
-                    for k in ("Root", "Encrypt", "Info", "ID"):
-                        if k in obj.dict:
-                            self.trailer.setdefault(k, obj.dict[k])
+                    xref_stream_dicts.append((self.xref[num], obj.dict))
+        # newest-wins for XRef-stream trailer keys too: an incremental
+        # update appends later in the file, so walk byte offset
+        # DESCENDING with setdefault (mirrors reversed(trailers) above;
+        # object number is not an update-order signal).
+        for _off, d in sorted(xref_stream_dicts, reverse=True, key=lambda p: p[0]):
+            for k in ("Root", "Encrypt", "Info", "ID"):
+                if k in d:
+                    self.trailer.setdefault(k, d[k])
         if "Encrypt" in self.trailer:
             # AFTER the harvest (an encrypted xref-stream file must
             # surface 'encrypted'/decrypt, not silently parse_fail on

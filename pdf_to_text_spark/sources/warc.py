@@ -191,10 +191,13 @@ def _dechunk(payload: bytes) -> bytes | None:
         eol = payload.find(b"\r\n", pos)
         if eol < 0:
             return None
-        try:
-            size = int(payload[pos:eol].split(b";")[0].strip() or b"x", 16)
-        except ValueError:
+        token = payload[pos:eol].split(b";")[0].strip()
+        # Strict hex only: int(x, 16) also accepts '-', '+', '0x' and '_',
+        # and a negative size makes pos stop advancing (infinite loop on
+        # untrusted crawl bytes) — reject anything but [0-9a-fA-F]+.
+        if not token or any(c not in b"0123456789abcdefABCDEF" for c in token):
             return None
+        size = int(token, 16)
         if size == 0:
             return bytes(out)  # trailers, if any, are dropped
         start = eol + 2

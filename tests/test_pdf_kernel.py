@@ -1121,3 +1121,17 @@ def test_v4_custom_crypt_filter_name_refuses():
     assert bad != good
     with pytest.raises(PDFEncryptedError):
         extract_pdf_text(bad)
+
+
+def test_incremental_update_reconstruction_newest_root_wins():
+    """r6 (ADVICE low): an incrementally-updated xref-stream file has
+    two /Type /XRef dicts; reconstruction must harvest trailer keys from
+    the one latest in the FILE (byte offset), not the lowest object
+    number — else a stale /Root (or /Encrypt) is resurrected. The
+    normal load path and the reconstruction path must agree."""
+    from tools.make_pdf import damaged_pdf, incremental_update_xref_stream_pdf
+
+    good = incremental_update_xref_stream_pdf()
+    expect = ("new revision text", 1)
+    assert extract_pdf_text(good) == expect            # normal load
+    assert extract_pdf_text(damaged_pdf(good, "bad_startxref")) == expect

@@ -265,3 +265,19 @@ def test_gunzip_members_linear_feeding_roundtrip():
     members = [(b"m%d " % i) * (1000 + i * 37) for i in range(50)]
     blob = b"".join(_gzip.compress(m) for m in members)
     assert _gunzip_members(blob) == b"".join(members)
+
+
+def test_dechunk_rejects_malformed_size_tokens():
+    """r6 (ADVICE high): int(x, 16) accepts '-', '+', '0x' and '_' — a
+    negative chunk size made pos stop advancing and _dechunk spin
+    forever on untrusted crawl bytes. Strict-hex tokens only."""
+    from pdf_to_text_spark.sources.warc import _dechunk
+
+    # the reproducer from the advisory: would infinite-loop before r6
+    assert _dechunk(b"2\r\nAB\r\n-6\r\n") is None
+    for bad in (b"-1\r\n\r\n", b"+2\r\nAB\r\n0\r\n\r\n",
+                b"0x2\r\nAB\r\n0\r\n\r\n", b"1_0\r\n" + b"x" * 16 + b"\r\n",
+                b"\r\nAB\r\n", b"g\r\n\r\n"):
+        assert _dechunk(bad) is None
+    # well-formed framing still decodes (uppercase hex is legal)
+    assert _dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"

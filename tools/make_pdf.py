@@ -11,6 +11,7 @@ Fixture matrix: FIXTURES.md §3.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 # ── filter encoders (mirror the kernel's decoders; fixtures only) ───────────
@@ -852,6 +853,51 @@ def recovered_objstm_pdf() -> bytes:
         use_objstm=True,
     )
     return damaged_pdf(good, "bad_startxref")
+
+
+def incremental_update_xref_stream_pdf() -> bytes:
+    """PDF 1.5 file with TWO xref streams: the original (object 6,
+    /Root 1 → "old revision text") plus an appended incremental update
+    (object 11, HIGHER byte offset, /Root 10 → "new revision text").
+    Both the normal load and round-5 reconstruction must honor the
+    NEWEST update's /Root — newest means last-in-file by byte offset,
+    not lowest object number (r6, ADVICE low: the setdefault harvest
+    walked object numbers ascending and could resurrect a stale /Root)."""
+    base = bytearray(
+        build_pdf_xref_stream(
+            [content_stream_for_lines(["old revision text"])],
+            use_objstm=False, compress=False, predictor=0,
+        )
+    )
+    old_xref_pos = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    del base[base.rfind(b"startxref"):]
+
+    new_stream = content_stream_for_lines(["new revision text"])
+    update_objs = {
+        7: b"<< /Length %d >>\nstream\n" % len(new_stream)
+           + new_stream + b"\nendstream",
+        8: b"<< /Type /Page /Parent 9 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 3 0 R >> >> /Contents 7 0 R >>",
+        9: b"<< /Type /Pages /Kids [8 0 R] /Count 1 >>",
+        10: b"<< /Type /Catalog /Pages 9 0 R >>",
+    }
+    offsets = {}
+    for num in sorted(update_objs):
+        offsets[num] = len(base)
+        base += b"%d 0 obj\n" % num + update_objs[num] + b"\nendobj\n"
+    xref_pos = len(base)
+    offsets[11] = xref_pos
+    rows = b"".join(
+        b"\x01" + offsets[n].to_bytes(4, "big") + b"\x00\x00"
+        for n in range(7, 12)
+    )
+    base += (
+        b"11 0 obj\n<< /Type /XRef /Size 12 /Index [7 5] /W [1 4 2] "
+        b"/Root 10 0 R /Prev %d /Length %d >>\nstream\n" % (old_xref_pos, len(rows))
+        + rows + b"\nendstream\nendobj\n"
+        + b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    )
+    return bytes(base)
 
 
 FIXTURES = {
