@@ -39,6 +39,62 @@ def _machine_ceiling(pages_path: str, procs: int, n_docs: int = 8000) -> float:
     return pool_throughput(load_pool_payloads(pages_path, n_docs), procs)
 
 
+def _classify_window(pages_path: str) -> dict:
+    """Self-gating window classification, the bench/scaling.py --auto
+    protocol ported to the headline bench (VERDICT r5 #1): measure the
+    bare-pool 4→16 scaling control BEFORE the timed Spark reps; a
+    control below DEGRADED_CONTROL_EFF means the HOST, not the engine,
+    is the bottleneck in this window. Retry after a cooldown (env
+    PTS_BENCH_RETRIES / PTS_BENCH_COOLDOWN) and, when every attempt is
+    degraded, run anyway but stamp the JSON line degraded:true — the
+    recorded artifact is then self-interpreting instead of silently
+    recording whatever the host happened to be doing (BENCH_r05's
+    26.13s "regression" was exactly that)."""
+    from bench.scaling import DEGRADED_CONTROL_EFF, _pool_control
+
+    retries = int(os.environ.get("PTS_BENCH_RETRIES", "2"))
+    cooldown = int(os.environ.get("PTS_BENCH_COOLDOWN", "150"))
+    attempts = []
+    for attempt in range(1 + max(0, retries)):
+        if attempt:
+            print(
+                f"bench window degraded (control {attempts[-1]:.3f} < "
+                f"{DEGRADED_CONTROL_EFF}) — cooling down {cooldown}s "
+                f"(attempt {attempt + 1})", file=sys.stderr,
+            )
+            time.sleep(cooldown)
+        control = _pool_control(pages_path, 4, 16)
+        attempts.append(control["efficiency"])
+        if control["efficiency"] >= DEGRADED_CONTROL_EFF:
+            break
+    eff = attempts[-1]
+    return {
+        "window_control_eff": round(eff, 3),
+        "window_control_attempts": [round(a, 3) for a in attempts],
+        "degraded": eff < DEGRADED_CONTROL_EFF,
+    }
+
+
+def _extraction_16c_anchor(pages_path: str, reps: int = 2) -> dict:
+    """Cold-JVM extraction throughput at local[16] — this box's
+    documented throughput peak (BENCH/BASELINE.md: memory-bandwidth-
+    bound kernels regress 32-wide). Recorded beside the in-session
+    local[cpus] number so round-over-round movement can be judged at
+    the parallelism level where the machine, not the scheduler, is the
+    ceiling (VERDICT r5 #1)."""
+    from bench.scaling import run_once
+
+    best = None
+    for _ in range(max(1, reps)):
+        r = run_once(16, pages_path)
+        if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+            best = r
+    return {
+        "extraction_16c_docs_per_sec": round(best["docs_per_sec"], 2),
+        "extraction_16c_sec": round(best["sec"], 3),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -99,7 +155,17 @@ def main() -> int:
         "token_quality_langid": lambda: text_analysis.text_profile(docs),
         "fingerprint_dedup_exact": lambda: dedup.dedup_exact_groups(docs),
         "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(docs, threshold=0.2),
-        "minhash_sql_pairs": lambda: dedup.minhash_dedup_pairs_sql(docs, threshold=0.2),
+        # r6 (VERDICT r5 #6): minhash_sql_pairs (the dependency-free
+        # pure-JVM variant) moved to the audit section below — it is the
+        # same LSH downstream as minhash_dedup_pairs and was the suite's
+        # heaviest pair at ~2.6× the kernel variant (the remaining cost
+        # is 64 interpreted array_min projections; a single-pass
+        # aggregate/zip_with fold was A/B'd at parity, and a post-scan
+        # repartition(128) measured SLOWER for every shuffle-bearing
+        # dedup query at this corpus size — 5k docs is scheduling-bound,
+        # not compute-bound). The freed slot runs a second REAL pipeline
+        # operator: C4-style line-level dedup.
+        "line_dedup_strip": lambda: dedup.strip_duplicate_lines(docs),
         "simhash_near_pairs": lambda: dedup.simhash_near_pairs(docs, max_hamming=3),
         "ngram_jaccard_1k": lambda: dedup.ngram_jaccard_pairs(docs_1k, threshold=0.02),
         "knn_brute_force": lambda: similarity.brute_force_topk(
@@ -110,6 +176,12 @@ def main() -> int:
         ),
     }
 
+    # window classification BEFORE the timed region (r6: the self-gating
+    # protocol from bench/scaling.py --auto; retries on a degraded host)
+    window = _classify_window(str(pages_path))
+    print(f"window control {window['window_control_eff']} "
+          f"degraded={window['degraded']}", file=sys.stderr)
+
     # warm the Python worker pool once (daemon fork + imports) so the
     # first timed query doesn't absorb interpreter cold-start.
     # repartition(cpus) matters: a bare limit() collapses to ONE
@@ -117,9 +189,14 @@ def main() -> int:
     # region (same fix as bench/scaling.py, r3 review)
     _force(run_extraction(pages.limit(8 * cpus).repartition(cpus)))
 
-    times: dict[str, float] = {}
-    extras: dict[str, float] = {}
-    for name, fn in headline.items():
+    # audit queries: timed and reported, NOT part of the headline total —
+    # alternative formulations of operators already in the headline
+    # (enable with PTS_BENCH_AUDIT=1)
+    audit = {
+        "minhash_sql_pairs": lambda: dedup.minhash_dedup_pairs_sql(docs, threshold=0.2),
+    }
+
+    def _best_of(fn) -> float:
         best = float("inf")
         for _ in range(max(1, reps)):
             # the dedup operators .persist() their fan-out relations and
@@ -131,7 +208,14 @@ def main() -> int:
             t0 = time.perf_counter()
             _force(fn())
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        return round(best, 3)
+
+    times: dict[str, float] = {}
+    extras: dict = {}
+    for name, fn in headline.items():
+        times[name] = _best_of(fn)
+    if os.environ.get("PTS_BENCH_AUDIT"):
+        extras["audit_queries"] = {n: _best_of(fn) for n, fn in audit.items()}
 
     # extraction throughput in docs/sec (the north-star metric)
     n_extracted = pages.count()
@@ -144,6 +228,7 @@ def main() -> int:
     extras["spark_vs_ceiling"] = round(
         extras["extraction_docs_per_sec"] / ceiling, 3
     )
+    extras.update(_extraction_16c_anchor(str(pages_path)))
 
     out = {
         "metric": "headline_suite_seconds",
@@ -153,6 +238,7 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "reps_per_query": max(1, reps),
+        **window,
         **extras,
     }
     print(json.dumps(out))
