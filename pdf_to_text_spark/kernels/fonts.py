@@ -1,0 +1,577 @@
+"""Embedded font-program decode fallback (round 6).
+
+For simple (non-CID) fonts carrying NEITHER a usable /ToUnicode CMap
+nor a named base encoding, the only text-mapping information left is
+the embedded font program itself (/FontFile2 TrueType, /FontFile3 CFF
+or OpenType). The reference gets this for free from pdfjs-dist
+(reference main.ts:149 — pdfjs falls back to the font's `cmap` table /
+charstring names); before round 6 we pinned latin-1, which turns such
+show strings into silent mojibake (VERDICT r5 "what's missing" #1 —
+the most common remaining byte-divergence class on a real crawl, and
+the least visible because it produces no countable status).
+
+Everything here implements PUBLIC specs only:
+
+* TrueType/OpenType sfnt + `cmap` subtable formats 0/4/6 + `post`
+  table v1.0/v2.0 (Apple TrueType Reference Manual; Microsoft
+  OpenType spec §cmap/§post).
+* CFF INDEX / Top DICT / charset / Encoding structures and the 391
+  standard strings (Adobe Technical Note #5176, "The Compact Font
+  Format Specification", Appendix A).
+* The 258-entry standard Macintosh glyph order (OpenType `post` v1.0).
+
+Decode priority stays pdfjs-shaped and is wired in kernels/pdf.py:
+ToUnicode > /Differences > named base encoding > THIS MODULE > latin-1.
+A font whose program cannot be parsed (or that yields nothing) simply
+falls through to the previous behavior — every entry point returns
+``None`` instead of raising.
+
+Deliberate scope cuts (documented divergences, all fail-soft):
+
+* CFF fonts using a PREDEFINED encoding (Standard/Expert) return None:
+  those are not the custom-encoded subsetted class this fallback
+  exists for, and the named-encoding path already approximates them.
+* Type1 /FontFile (eexec-encrypted PFB) is out of scope — the crawl
+  frequency is far below subsetted TrueType/CFF, and its /Encoding is
+  usually mirrored in the font dict where the existing paths see it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["embedded_font_code_to_unicode"]
+
+_U16 = struct.Struct(">H")
+_MAX_CMAP_ENTRIES = 1 << 16  # a cmap cannot address more glyphs than this
+
+
+# ── public data tables ───────────────────────────────────────────────────────
+
+# Standard Macintosh glyph order — `post` table format 1.0 glyph names,
+# also the meaning of glyphNameIndex < 258 in format 2.0 (OpenType spec,
+# "post — Glyph names" / Apple TrueType Reference Manual).
+MAC_GLYPH_ORDER = (
+    ".notdef .null nonmarkingreturn space exclam quotedbl numbersign dollar "
+    "percent ampersand quotesingle parenleft parenright asterisk plus comma "
+    "hyphen period slash zero one two three four five six seven eight nine "
+    "colon semicolon less equal greater question at A B C D E F G H I J K L "
+    "M N O P Q R S T U V W X Y Z bracketleft backslash bracketright "
+    "asciicircum underscore grave a b c d e f g h i j k l m n o p q r s t u "
+    "v w x y z braceleft bar braceright asciitilde Adieresis Aring Ccedilla "
+    "Eacute Ntilde Odieresis Udieresis aacute agrave acircumflex adieresis "
+    "atilde aring ccedilla eacute egrave ecircumflex edieresis iacute igrave "
+    "icircumflex idieresis ntilde oacute ograve ocircumflex odieresis otilde "
+    "uacute ugrave ucircumflex udieresis dagger degree cent sterling section "
+    "bullet paragraph germandbls registered copyright trademark acute "
+    "dieresis notequal AE Oslash infinity plusminus lessequal greaterequal "
+    "yen mu partialdiff summation product pi integral ordfeminine "
+    "ordmasculine Omega ae oslash questiondown exclamdown logicalnot radical "
+    "florin approxequal Delta guillemotleft guillemotright ellipsis space "
+    "Agrave Atilde Otilde OE oe endash emdash quotedblleft quotedblright "
+    "quoteleft quoteright divide lozenge ydieresis Ydieresis fraction "
+    "currency guilsinglleft guilsinglright fi fl daggerdbl periodcentered "
+    "quotesinglbase quotedblbase perthousand Acircumflex Ecircumflex Aacute "
+    "Edieresis Egrave Iacute Icircumflex Idieresis Igrave Oacute Ocircumflex "
+    "apple Ograve Uacute Ucircumflex Ugrave dotlessi circumflex tilde macron "
+    "breve dotaccent ring cedilla hungarumlaut ogonek caron Lslash lslash "
+    "Scaron scaron Zcaron zcaron brokenbar Eth eth Yacute yacute Thorn thorn "
+    "minus multiply onesuperior twosuperior threesuperior onehalf onequarter "
+    "threequarters franc Gbreve gbreve Idotaccent Scedilla scedilla Cacute "
+    "cacute Ccaron ccaron dcroat"
+).split()
+assert len(MAC_GLYPH_ORDER) == 258
+
+# CFF standard strings, SIDs 0-390 (CFF spec Appendix A).
+CFF_STANDARD_STRINGS = (
+    ".notdef space exclam quotedbl numbersign dollar percent ampersand "
+    "quoteright parenleft parenright asterisk plus comma hyphen period "
+    "slash zero one two three four five six seven eight nine colon "
+    "semicolon less equal greater question at A B C D E F G H I J K L M N "
+    "O P Q R S T U V W X Y Z bracketleft backslash bracketright asciicircum "
+    "underscore quoteleft a b c d e f g h i j k l m n o p q r s t u v w x "
+    "y z braceleft bar braceright asciitilde exclamdown cent sterling "
+    "fraction yen florin section currency quotesingle quotedblleft "
+    "guillemotleft guilsinglleft guilsinglright fi fl endash dagger "
+    "daggerdbl periodcentered paragraph bullet quotesinglbase "
+    "quotedblbase quotedblright guillemotright ellipsis perthousand "
+    "questiondown grave acute circumflex tilde macron breve dotaccent "
+    "dieresis ring cedilla hungarumlaut ogonek caron emdash AE "
+    "ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash oslash "
+    "oe germandbls onesuperior logicalnot mu trademark Eth onehalf "
+    "plusminus Thorn onequarter divide brokenbar degree thorn "
+    "threequarters twosuperior registered minus eth multiply "
+    "threesuperior copyright Aacute Acircumflex Adieresis Agrave Aring "
+    "Atilde Ccedilla Eacute Ecircumflex Edieresis Egrave Iacute "
+    "Icircumflex Idieresis Igrave Ntilde Oacute Ocircumflex Odieresis "
+    "Ograve Otilde Scaron Uacute Ucircumflex Udieresis Ugrave Yacute "
+    "Ydieresis Zcaron aacute acircumflex adieresis agrave aring atilde "
+    "ccedilla eacute ecircumflex edieresis egrave iacute icircumflex "
+    "idieresis igrave ntilde oacute ocircumflex odieresis ograve otilde "
+    "scaron uacute ucircumflex udieresis ugrave yacute ydieresis zcaron "
+    "exclamsmall Hungarumlautsmall dollaroldstyle dollarsuperior "
+    "ampersandsmall Acutesmall parenleftsuperior parenrightsuperior "
+    "twodotenleader onedotenleader zerooldstyle oneoldstyle twooldstyle "
+    "threeoldstyle fouroldstyle fiveoldstyle sixoldstyle sevenoldstyle "
+    "eightoldstyle nineoldstyle commasuperior "
+    "threequartersemdash periodsuperior questionsmall asuperior "
+    "bsuperior centsuperior dsuperior esuperior isuperior lsuperior "
+    "msuperior nsuperior osuperior rsuperior ssuperior tsuperior ff "
+    "ffi ffl parenleftinferior parenrightinferior Circumflexsmall "
+    "hyphensuperior Gravesmall Asmall Bsmall Csmall Dsmall Esmall Fsmall "
+    "Gsmall Hsmall Ismall Jsmall Ksmall Lsmall Msmall Nsmall Osmall "
+    "Psmall Qsmall Rsmall Ssmall Tsmall Usmall Vsmall Wsmall Xsmall "
+    "Ysmall Zsmall colonmonetary onefitted rupiah Tildesmall "
+    "exclamdownsmall centoldstyle Lslashsmall Scaronsmall Zcaronsmall "
+    "Dieresissmall Brevesmall Caronsmall Dotaccentsmall Macronsmall "
+    "figuredash hypheninferior Ogoneksmall Ringsmall Cedillasmall "
+    "questiondownsmall oneeighth threeeighths fiveeighths seveneighths "
+    "onethird twothirds zerosuperior foursuperior fivesuperior "
+    "sixsuperior sevensuperior eightsuperior ninesuperior zeroinferior "
+    "oneinferior twoinferior threeinferior fourinferior fiveinferior "
+    "sixinferior seveninferior eightinferior nineinferior "
+    "centinferior dollarinferior periodinferior commainferior "
+    "Agravesmall Aacutesmall Acircumflexsmall Atildesmall "
+    "Adieresissmall Aringsmall AEsmall Ccedillasmall Egravesmall "
+    "Eacutesmall Ecircumflexsmall Edieresissmall Igravesmall "
+    "Iacutesmall Icircumflexsmall Idieresissmall Ethsmall Ntildesmall "
+    "Ogravesmall Oacutesmall Ocircumflexsmall Otildesmall "
+    "Odieresissmall OEsmall Oslashsmall Ugravesmall Uacutesmall "
+    "Ucircumflexsmall Udieresissmall Yacutesmall Thornsmall "
+    "Ydieresissmall 001.000 001.001 001.002 001.003 Black Bold Book "
+    "Light Medium Regular Roman Semibold"
+).split()
+assert len(CFF_STANDARD_STRINGS) == 391
+
+
+# ── sfnt (TrueType / OpenType) ───────────────────────────────────────────────
+
+
+def _sfnt_tables(data: bytes) -> dict[bytes, bytes] | None:
+    if len(data) < 12:
+        return None
+    tag = data[:4]
+    if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+        return None
+    (n_tables,) = _U16.unpack_from(data, 4)
+    tables: dict[bytes, bytes] = {}
+    for i in range(n_tables):
+        rec = 12 + 16 * i
+        if rec + 16 > len(data):
+            return None
+        t = data[rec : rec + 4]
+        off, length = struct.unpack_from(">II", data, rec + 8)
+        if off + length > len(data):
+            # tolerate a truncated LAST table by clamping (crawl reality)
+            length = max(0, len(data) - off)
+        tables[t] = data[off : off + length]
+    return tables
+
+
+def _parse_cmap_subtable(sub: bytes) -> dict[int, int] | None:
+    """One cmap subtable → {charcode: glyph_id} (formats 0, 4, 6)."""
+    if len(sub) < 4:
+        return None
+    (fmt,) = _U16.unpack_from(sub, 0)
+    out: dict[int, int] = {}
+    if fmt == 0:
+        if len(sub) < 6 + 256:
+            return None
+        for code in range(256):
+            g = sub[6 + code]
+            if g:
+                out[code] = g
+        return out
+    if fmt == 6:
+        if len(sub) < 10:
+            return None
+        first, count = struct.unpack_from(">HH", sub, 6)
+        if len(sub) < 10 + 2 * count:
+            return None
+        for i in range(count):
+            (g,) = _U16.unpack_from(sub, 10 + 2 * i)
+            if g:
+                out[first + i] = g
+        return out
+    if fmt == 4:
+        if len(sub) < 14:
+            return None
+        (seg_x2,) = _U16.unpack_from(sub, 6)
+        seg = seg_x2 // 2
+        need = 14 + seg_x2 * 4 + 2  # end[], pad, start[], delta[], rangeOff[]
+        if seg == 0 or len(sub) < need:
+            return None
+        end_off, start_off = 14, 14 + seg_x2 + 2
+        delta_off = start_off + seg_x2
+        range_off = delta_off + seg_x2
+        total = 0
+        for i in range(seg):
+            (end_c,) = _U16.unpack_from(sub, end_off + 2 * i)
+            (start_c,) = _U16.unpack_from(sub, start_off + 2 * i)
+            (delta,) = struct.unpack_from(">h", sub, delta_off + 2 * i)
+            (roff,) = _U16.unpack_from(sub, range_off + 2 * i)
+            if start_c > end_c:
+                continue
+            total += end_c - start_c + 1
+            if total > _MAX_CMAP_ENTRIES:
+                return out or None  # malformed segment sprawl: keep what we have
+            for c in range(start_c, end_c + 1):
+                if c == 0xFFFF:
+                    continue
+                if roff == 0:
+                    g = (c + delta) & 0xFFFF
+                else:
+                    addr = range_off + 2 * i + roff + 2 * (c - start_c)
+                    if addr + 2 > len(sub):
+                        continue
+                    (g,) = _U16.unpack_from(sub, addr)
+                    if g:
+                        g = (g + delta) & 0xFFFF
+                if g:
+                    out[c] = g
+        return out or None
+    return None  # formats 2/12/13/14: not needed for simple 8-bit fonts
+
+
+def _cmap_subtables(cmap: bytes) -> dict[tuple[int, int], dict[int, int]]:
+    subs: dict[tuple[int, int], dict[int, int]] = {}
+    if len(cmap) < 4:
+        return subs
+    (n,) = _U16.unpack_from(cmap, 2)
+    for i in range(n):
+        rec = 4 + 8 * i
+        if rec + 8 > len(cmap):
+            break
+        plat, enc = struct.unpack_from(">HH", cmap, rec)
+        (off,) = struct.unpack_from(">I", cmap, rec + 4)
+        if off >= len(cmap) or (plat, enc) in subs:
+            continue
+        parsed = _parse_cmap_subtable(cmap[off:])
+        if parsed:
+            subs[(plat, enc)] = parsed
+    return subs
+
+
+def _post_glyph_names(post: bytes) -> dict[int, str]:
+    """`post` table → {glyph_id: name} (formats 1.0 and 2.0)."""
+    names: dict[int, str] = {}
+    if len(post) < 32:
+        return names
+    (version,) = struct.unpack_from(">I", post, 0)
+    if version == 0x00010000:
+        return dict(enumerate(MAC_GLYPH_ORDER))
+    if version != 0x00020000 or len(post) < 34:
+        return names
+    (n_glyphs,) = _U16.unpack_from(post, 32)
+    idx_end = 34 + 2 * n_glyphs
+    if idx_end > len(post):
+        return names
+    indices = struct.unpack_from(f">{n_glyphs}H", post, 34)
+    # Pascal-string pool after the index array
+    pool: list[str] = []
+    pos = idx_end
+    while pos < len(post):
+        ln = post[pos]
+        pool.append(post[pos + 1 : pos + 1 + ln].decode("latin-1"))
+        pos += 1 + ln
+    for gid, idx in enumerate(indices):
+        if idx < 258:
+            names[gid] = MAC_GLYPH_ORDER[idx]
+        elif idx - 258 < len(pool):
+            names[gid] = pool[idx - 258]
+    return names
+
+
+def _truetype_code_to_unicode(
+    tables: dict[bytes, bytes], glyph_to_char
+) -> dict[int, str] | None:
+    subs = _cmap_subtables(tables.get(b"cmap", b""))
+    if not subs:
+        return None
+    uni_sub = subs.get((3, 1)) or next(
+        (m for (p, _e), m in subs.items() if p == 0), None
+    )
+    sym_sub = subs.get((3, 0))
+    mac_sub = subs.get((1, 0))
+    glyph_names = _post_glyph_names(tables.get(b"post", b""))
+    # reverse Unicode cmap (glyph → lowest codepoint) for glyphs without
+    # a usable post name — deterministic tie-break by min()
+    rev_uni: dict[int, int] = {}
+    if uni_sub:
+        for cp, g in uni_sub.items():
+            if g not in rev_uni or cp < rev_uni[g]:
+                rev_uni[g] = cp
+
+    out: dict[int, str] = {}
+    for code in range(256):
+        if sym_sub is not None:
+            # symbol fonts address codes at 0xF0xx (OpenType spec,
+            # "cmap — Windows Symbol"); bare code is the lenient fallback
+            g = sym_sub.get(0xF000 | code) or sym_sub.get(code)
+        elif mac_sub is not None:
+            g = mac_sub.get(code)
+        else:
+            g = uni_sub.get(code) if uni_sub else None
+        if not g:
+            continue
+        ch = None
+        name = glyph_names.get(g)
+        if name:
+            ch = glyph_to_char(name)
+        if ch is None or ch == "�":
+            cp = rev_uni.get(g)
+            if cp is not None and not 0xD800 <= cp <= 0xDFFF:
+                ch = chr(cp)
+        if ch and ch != "�":
+            out[code] = ch
+    return out or None
+
+
+# ── CFF (Compact Font Format) ────────────────────────────────────────────────
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int] | None:
+    """Parse one INDEX at pos → (items, next_pos)."""
+    if pos + 2 > len(data):
+        return None
+    (count,) = _U16.unpack_from(data, pos)
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    if not 1 <= off_size <= 4:
+        return None
+    offs_start = pos + 3
+    offs_end = offs_start + (count + 1) * off_size
+    if offs_end > len(data):
+        return None
+    offsets = []
+    for i in range(count + 1):
+        v = 0
+        for b in data[offs_start + i * off_size : offs_start + (i + 1) * off_size]:
+            v = (v << 8) | b
+        offsets.append(v)
+    base = offs_end - 1  # offsets are 1-based from the byte before data
+    items = []
+    for i in range(count):
+        lo, hi = base + offsets[i], base + offsets[i + 1]
+        if lo > hi or hi > len(data):
+            return None
+        items.append(data[lo:hi])
+    return items, base + offsets[count]
+
+
+def _cff_dict(data: bytes) -> dict[int, list[int]]:
+    """Top DICT → {op: operands}; op 12 xx is encoded as 1200+xx.
+    Real-number operands (30) are skipped (none of the ops we read
+    take them)."""
+    out: dict[int, list[int]] = {}
+    operands: list[int] = []
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        if b0 <= 21:
+            op = b0
+            i += 1
+            if b0 == 12:
+                if i >= len(data):
+                    break
+                op = 1200 + data[i]
+                i += 1
+            out[op] = operands
+            operands = []
+        elif b0 == 28:
+            operands.append(struct.unpack_from(">h", data, i + 1)[0])
+            i += 3
+        elif b0 == 29:
+            operands.append(struct.unpack_from(">i", data, i + 1)[0])
+            i += 5
+        elif b0 == 30:  # real number: skip nibbles to the 0xF terminator
+            i += 1
+            while i < len(data):
+                byte = data[i]
+                i += 1
+                if (byte & 0x0F) == 0x0F or (byte >> 4) == 0x0F:
+                    break
+            operands.append(0)
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        else:
+            i += 1
+    return out
+
+
+def _cff_charset(data: bytes, pos: int, n_glyphs: int) -> list[int] | None:
+    """charset → [SID per glyph] (formats 0/1/2); glyph 0 is .notdef."""
+    if pos >= len(data):
+        return None
+    fmt = data[pos]
+    sids = [0]
+    pos += 1
+    if fmt == 0:
+        for _ in range(n_glyphs - 1):
+            if pos + 2 > len(data):
+                return None
+            sids.append(_U16.unpack_from(data, pos)[0])
+            pos += 2
+        return sids
+    if fmt in (1, 2):
+        step = 3 if fmt == 1 else 4
+        while len(sids) < n_glyphs:
+            if pos + step > len(data):
+                return None
+            (first,) = _U16.unpack_from(data, pos)
+            n_left = (
+                data[pos + 2] if fmt == 1 else _U16.unpack_from(data, pos + 2)[0]
+            )
+            for k in range(n_left + 1):
+                if len(sids) >= n_glyphs:
+                    break
+                sids.append(first + k)
+            pos += step
+        return sids
+    return None
+
+
+def _cff_encoding(data: bytes, pos: int) -> dict[int, int] | None:
+    """Custom Encoding → {code: glyph_id}. Predefined encodings (offset
+    0/1 = Standard/Expert) are handled by the CALLER returning None —
+    this fallback targets custom-encoded subsetted fonts only."""
+    if pos >= len(data):
+        return None
+    fmt = data[pos]
+    has_sups = bool(fmt & 0x80)
+    fmt &= 0x7F
+    out: dict[int, int] = {}
+    pos += 1
+    if fmt == 0:
+        if pos >= len(data):
+            return None
+        n_codes = data[pos]
+        pos += 1
+        if pos + n_codes > len(data):
+            return None
+        for i in range(n_codes):
+            out[data[pos + i]] = i + 1  # glyph 0 is .notdef, unencoded
+        pos += n_codes
+    elif fmt == 1:
+        if pos >= len(data):
+            return None
+        n_ranges = data[pos]
+        pos += 1
+        gid = 1
+        for _ in range(n_ranges):
+            if pos + 2 > len(data):
+                return None
+            first, n_left = data[pos], data[pos + 1]
+            for k in range(n_left + 1):
+                code = first + k
+                if code <= 0xFF:
+                    out[code] = gid
+                gid += 1
+            pos += 2
+    else:
+        return None
+    if has_sups and pos < len(data):
+        # supplements map code→SID, not code→gid; the caller resolves
+        # them through the charset (returned separately)
+        n_sups = data[pos]
+        pos += 1
+        sups: dict[int, int] = {}
+        for _ in range(n_sups):
+            if pos + 3 > len(data):
+                break
+            sups[data[pos]] = _U16.unpack_from(data, pos + 1)[0]
+            pos += 3
+        out["sups"] = sups  # type: ignore[index]
+    return out
+
+
+def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
+    header = _cff_index(data, data[2] if len(data) > 3 else 4)  # Name INDEX
+    if header is None:
+        return None
+    _names, pos = header
+    top_dicts = _cff_index(data, pos)
+    if top_dicts is None or not top_dicts[0]:
+        return None
+    strings = _cff_index(data, top_dicts[1])
+    if strings is None:
+        return None
+    str_index, _ = strings
+    top = _cff_dict(top_dicts[0][0])
+    cs_off = top.get(17)
+    if not cs_off:
+        return None
+    charstrings = _cff_index(data, cs_off[0])
+    if charstrings is None:
+        return None
+    n_glyphs = len(charstrings[0])
+    enc_off = top.get(16, [0])[0]
+    if enc_off in (0, 1):
+        return None  # predefined Standard/Expert: out of scope (see above)
+    charset_off = top.get(15, [0])[0]
+    if charset_off in (0, 1, 2):
+        return None  # predefined charsets accompany predefined encodings
+    sids = _cff_charset(data, charset_off, n_glyphs)
+    enc = _cff_encoding(data, enc_off)
+    if not sids or not enc:
+        return None
+    sups = enc.pop("sups", {})  # type: ignore[arg-type]
+
+    def sid_name(sid: int) -> str | None:
+        if sid < 391:
+            return CFF_STANDARD_STRINGS[sid]
+        if sid - 391 < len(str_index):
+            return str_index[sid - 391].decode("latin-1")
+        return None
+
+    out: dict[int, str] = {}
+    for code, gid in enc.items():
+        if not isinstance(code, int) or not 0 <= gid < len(sids):
+            continue
+        name = sid_name(sids[gid])
+        if name is None:
+            continue
+        ch = glyph_to_char(name)
+        if ch and ch != "�":
+            out[code] = ch
+    for code, sid in sups.items():
+        name = sid_name(sid)
+        if name is None:
+            continue
+        ch = glyph_to_char(name)
+        if ch and ch != "�":
+            out[code] = ch
+    return out or None
+
+
+# ── entry point ──────────────────────────────────────────────────────────────
+
+
+def embedded_font_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
+    """code→unicode map for a simple single-byte font, from its embedded
+    program bytes (already decompressed by the PDF filter stack), or
+    None when the program is unparseable / predefined-encoded / yields
+    nothing. `glyph_to_char` is the AGL resolver (kernels/pdf.py
+    _glyph_to_char — returns U+FFFD for unknown names, which this
+    module treats as 'no mapping' so the code falls through to
+    latin-1 rather than pinning a replacement char)."""
+    try:
+        tables = _sfnt_tables(data)
+        if tables is not None:
+            cff = tables.get(b"CFF ")
+            if cff and b"cmap" not in tables:
+                return _cff_code_to_unicode(cff, glyph_to_char)
+            return _truetype_code_to_unicode(tables, glyph_to_char)
+        if len(data) >= 4 and data[0] == 1 and data[2] >= 4:
+            return _cff_code_to_unicode(data, glyph_to_char)
+    except Exception:
+        return None  # fail-soft: any malformed program keeps old behavior
+    return None

@@ -1437,6 +1437,19 @@ class PDFDocument:
                         full.update(narrow)  # ToUnicode wins over both
                         m = full
                     else:
+                        # No named base: the embedded font program is
+                        # the mapping layer under /Differences and
+                        # /ToUnicode (round 6 — pdfjs parity for
+                        # custom-encoded subsetted TrueType/CFF,
+                        # reference main.ts:149 via pdfjs-dist). A
+                        # PARTIAL ToUnicode — the common subset-writer
+                        # shape — still falls back per-code to the
+                        # program; codes neither maps keep latin-1.
+                        ffmap = self._embedded_font_map(f)
+                        if ffmap:
+                            full = dict(ffmap)
+                            full.update(m)
+                            m = full
                         m.update(narrow)  # ToUnicode wins over Differences
                     dec = m or None
             if fnum is not None:
@@ -1444,6 +1457,27 @@ class PDFDocument:
             if dec is not None:
                 out[str(fname)] = dec
         return out or None
+
+    def _embedded_font_map(self, f: dict) -> dict[int, str] | None:
+        """code→unicode fallback parsed from the font's embedded program
+        (/FontFile2 TrueType, /FontFile3 CFF/OpenType — kernels/fonts.py;
+        /FontFile Type1 is a documented scope cut there). Returns None on
+        any parse failure so callers keep the pre-round-6 behavior; the
+        result is cached by the caller via _font_dec_cache."""
+        from .fonts import embedded_font_code_to_unicode
+
+        fd = self.resolve(f.get("FontDescriptor"))
+        if not isinstance(fd, dict):
+            return None
+        for key in ("FontFile2", "FontFile3"):
+            ff = self.resolve(fd.get(key))
+            if isinstance(ff, _Stream):
+                try:
+                    data = self._decode_stream(ff)
+                except PDFParseError:
+                    return None
+                return embedded_font_code_to_unicode(data, _glyph_to_char)
+        return None
 
     # ── form XObjects (§8.10): text drawn via the `Do` operator ─────────
 

@@ -1,0 +1,230 @@
+"""Round 6: embedded font-program fallback (kernels/fonts.py).
+
+The divergence class this closes (VERDICT r5 "what's missing" #1): a
+simple font with NEITHER /ToUnicode nor a named/predefined encoding —
+pdfjs falls back to the embedded program's `cmap`/charstring names
+(reference main.ts:149 via pdfjs-dist); we pinned latin-1 and emitted
+silent mojibake. Decode priority under test:
+ToUnicode > /Differences > named base > font program > latin-1.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pdf_to_text_spark.kernels.fonts import (
+    CFF_STANDARD_STRINGS,
+    MAC_GLYPH_ORDER,
+    embedded_font_code_to_unicode,
+)
+from pdf_to_text_spark.kernels.pdf import _glyph_to_char, extract_pdf_text
+from tools.make_pdf import (
+    _EMBEDDED_CODES,
+    _EMBEDDED_NAMES,
+    build_cff_font_program,
+    build_pdf,
+    build_truetype_font_program,
+    embedded_font_pdf,
+)
+
+EXPECT = "Hello ΔW"
+
+
+# ── end-to-end through the PDF kernel ────────────────────────────────────────
+
+
+@pytest.mark.parametrize("kind", ["truetype", "truetype_symbol", "cff"])
+def test_embedded_font_extracts_real_text(kind):
+    assert extract_pdf_text(embedded_font_pdf(kind)) == (EXPECT, 1)
+
+
+def _pdf_with_font(font_obj: bytes, extra=()):
+    prog = build_truetype_font_program(_EMBEDDED_NAMES, uni_map={0x0394: 6})
+    descriptor = (
+        b"<< /Type /FontDescriptor /FontName /SUBSET+Custom /Flags 4 "
+        b"/FontFile2 7 0 R >>"
+    )
+    fontfile = (
+        b"<< /Length %d /Length1 %d >>\nstream\n" % (len(prog), len(prog))
+        + prog + b"\nendstream"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (" + _EMBEDDED_CODES + b") Tj ET"
+    return build_pdf(
+        [content], font_obj=font_obj,
+        extra_objects=(descriptor, fontfile) + tuple(extra),
+    )
+
+
+def test_named_base_encoding_shadows_font_program():
+    """Priority: a NAMED base encoding covers all 256 codes, so the
+    font-program layer never shows through (pdfjs-shaped chain)."""
+    pdf = _pdf_with_font(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /SUBSET+Custom "
+        b"/Encoding /WinAnsiEncoding /FontDescriptor 6 0 R >>"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text != EXPECT  # codes 1-7 are WinAnsi control bytes
+
+
+def test_differences_override_font_program_per_code():
+    pdf = _pdf_with_font(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /SUBSET+Custom "
+        b"/Encoding << /Differences [1 /A] >> /FontDescriptor 6 0 R >>"
+    )
+    assert extract_pdf_text(pdf) == ("Aello ΔW", 1)
+
+
+def test_tounicode_wins_over_font_program():
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin 1 begincmap\n"
+        b"1 beginbfchar <01> <0058> endbfchar\nendcmap end"
+    )
+    tu = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    pdf = _pdf_with_font(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /SUBSET+Custom "
+        b"/ToUnicode 8 0 R /FontDescriptor 6 0 R >>",
+        extra=(tu,),
+    )
+    assert extract_pdf_text(pdf) == ("Xello ΔW", 1)
+
+
+def test_unparseable_font_program_keeps_latin1_contract():
+    """Fail-soft: junk program bytes → pre-round-6 behavior (latin-1),
+    never an exception, never a parse_failed row."""
+    descriptor = (
+        b"<< /Type /FontDescriptor /FontName /SUBSET+Custom /Flags 4 "
+        b"/FontFile2 7 0 R >>"
+    )
+    junk = zlib.compress(b"not a font at all")
+    fontfile = (
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(junk)
+        + junk + b"\nendstream"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (AB) Tj ET"
+    pdf = build_pdf(
+        [content],
+        font_obj=(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /SUBSET+Custom "
+            b"/FontDescriptor 6 0 R >>"
+        ),
+        extra_objects=(descriptor, fontfile),
+    )
+    assert extract_pdf_text(pdf) == ("AB", 1)
+
+
+# ── parser unit surface ──────────────────────────────────────────────────────
+
+
+def test_tables_are_well_formed():
+    assert len(MAC_GLYPH_ORDER) == 258 and MAC_GLYPH_ORDER[3] == "space"
+    assert len(CFF_STANDARD_STRINGS) == 391
+    assert CFF_STANDARD_STRINGS[1] == "space"
+    assert CFF_STANDARD_STRINGS[390] == "Semibold"
+
+
+def test_garbage_and_truncation_return_none():
+    for data in (b"", b"junk", b"\x00\x01\x00\x00", b"\x00\x01\x00\x00" + b"\xff" * 8,
+                 b"OTTO" + b"\x00" * 100, bytes(range(256))):
+        assert embedded_font_code_to_unicode(data, _glyph_to_char) is None
+
+
+def test_truetype_roundtrip_with_nameless_glyph():
+    prog = build_truetype_font_program(_EMBEDDED_NAMES, uni_map={0x0394: 6})
+    m = embedded_font_code_to_unicode(prog, _glyph_to_char)
+    assert m == {1: "H", 2: "e", 3: "l", 4: "o", 5: " ", 6: "Δ", 7: "W"}
+
+
+def test_symbol_subtable_f000_addressing():
+    prog = build_truetype_font_program(
+        _EMBEDDED_NAMES, uni_map={0x0394: 6}, symbol=True
+    )
+    m = embedded_font_code_to_unicode(prog, _glyph_to_char)
+    assert m and m[1] == "H" and m[6] == "Δ"
+
+
+def test_format4_idrangeoffset_path():
+    """Hand-built format 4 subtable exercising idRangeOffset != 0 (the
+    glyphIdArray indirection the fixture builder never emits)."""
+    # one segment [0x41..0x43] with roff pointing at a 3-entry array,
+    # plus the terminal segment
+    seg = 2
+    end = struct.pack(">2H", 0x43, 0xFFFF)
+    start = struct.pack(">2H", 0x41, 0xFFFF)
+    delta = struct.pack(">2h", 5, 1)  # +5 applied AFTER array lookup
+    # idRangeOffset[0] must reach past both entries to the array
+    roff = struct.pack(">2H", 4, 0)
+    garray = struct.pack(">3H", 10, 0, 12)  # code 0x42 unmapped (gid 0)
+    body = end + b"\x00\x00" + start + delta + roff + garray
+    sub = struct.pack(">HHHHHHH", 4, 14 + len(body), 0, seg * 2, 0, 0, 0) + body
+    cmap = struct.pack(">HHHHI", 0, 1, 1, 0, 12) + sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    sfnt = _manual_sfnt({b"cmap": cmap, b"post": post})
+    m = embedded_font_code_to_unicode(sfnt, _glyph_to_char)
+    # gid 15 = (10+5): mac order index 15 = comma; gid 17 = period
+    assert MAC_GLYPH_ORDER[15] == "comma" and MAC_GLYPH_ORDER[17] == "period"
+    assert m == {0x41: ",", 0x43: "."}
+
+
+def _manual_sfnt(tables):
+    n = len(tables)
+    out = bytearray(b"\x00\x01\x00\x00" + struct.pack(">HHHH", n, 0, 0, 0))
+    off = 12 + 16 * n
+    body = bytearray()
+    for tag in sorted(tables):
+        out += tag + struct.pack(">III", 0, off + len(body), len(tables[tag]))
+        body += tables[tag]
+    return bytes(out + body)
+
+
+def test_post_v1_standard_mac_order():
+    """post 1.0: gid i bears the i-th standard Macintosh glyph name."""
+    cmap_sub = struct.pack(">HHHHH", 6, 14, 0, 0x20, 2) + struct.pack(">2H", 3, 4)
+    cmap = struct.pack(">HHHHI", 0, 1, 1, 0, 12) + cmap_sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    m = embedded_font_code_to_unicode(
+        _manual_sfnt({b"cmap": cmap, b"post": post}), _glyph_to_char
+    )
+    assert m == {0x20: " ", 0x21: "!"}  # gid3=space, gid4=exclam
+
+
+def test_cff_roundtrip_and_standard_sid():
+    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+    prog = build_cff_font_program(names, standard_sids={"space": 1})
+    m = embedded_font_code_to_unicode(prog, _glyph_to_char)
+    assert m == {1: "H", 2: "e", 3: "l", 4: "o", 5: " ", 6: "Δ", 7: "W"}
+
+
+def test_cff_encoding_format1_ranges():
+    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+    prog = build_cff_font_program(
+        names, standard_sids={"space": 1}, encoding_format=1
+    )
+    m = embedded_font_code_to_unicode(prog, _glyph_to_char)
+    assert m == {1: "H", 2: "e", 3: "l", 4: "o", 5: " ", 6: "Δ", 7: "W"}
+
+
+def test_cff_predefined_encoding_is_out_of_scope():
+    """Predefined Standard/Expert encodings return None (documented
+    scope cut — the named-encoding path approximates those fonts)."""
+    from pdf_to_text_spark.kernels import fonts as F
+
+    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+    prog = bytearray(build_cff_font_program(names, standard_sids={"space": 1}))
+    # patch the Top DICT's Encoding operand (op 16, int32 operand) to 0
+    i = prog.find(b"\x10", prog.find(b"\x1d"))  # first op-16 byte after an int29
+    # safer: rebuild via the internal dict parse to find the operand
+    top_start = None
+    # locate by scanning for the 18-byte top dict: 3×(1d xxxxxxxx op)
+    for j in range(len(prog) - 18):
+        if (prog[j] == 0x1D and prog[j + 5] == 15
+                and prog[j + 6] == 0x1D and prog[j + 11] == 16
+                and prog[j + 12] == 0x1D and prog[j + 17] == 17):
+            top_start = j
+            break
+    assert top_start is not None
+    prog[top_start + 7 : top_start + 11] = struct.pack(">i", 0)
+    assert F._cff_code_to_unicode(bytes(prog), _glyph_to_char) is None
+    assert embedded_font_code_to_unicode(bytes(prog), _glyph_to_char) is None

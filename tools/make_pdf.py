@@ -12,6 +12,7 @@ Fixture matrix: FIXTURES.md §3.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 # ── filter encoders (mirror the kernel's decoders; fixtures only) ───────────
@@ -855,6 +856,227 @@ def recovered_objstm_pdf() -> bytes:
     return damaged_pdf(good, "bad_startxref")
 
 
+# ── round 6: embedded font programs (TrueType cmap/post, CFF) ────────────────
+# Minimal-but-valid font programs for the no-ToUnicode/no-named-encoding
+# fallback (kernels/fonts.py). Layouts follow the public OpenType spec
+# (cmap formats 4/6, post v2.0) and Adobe CFF spec (#5176). The builders
+# are independent re-implementations of the WRITER side so the test is
+# not the parser checking itself.
+
+
+def _sfnt(tables: dict[bytes, bytes]) -> bytes:
+    n = len(tables)
+    out = bytearray(b"\x00\x01\x00\x00" + struct.pack(">HHHH", n, 16 * n, 0, 0))
+    offset = 12 + 16 * n
+    body = bytearray()
+    for tag in sorted(tables):
+        data = tables[tag]
+        out += tag + struct.pack(">III", 0, offset + len(body), len(data))
+        body += data + b"\x00" * (-len(data) % 4)
+    return bytes(out + body)
+
+
+def _cmap_format6(first: int, gids: list[int]) -> bytes:
+    return struct.pack(
+        ">HHHHH", 6, 10 + 2 * len(gids), 0, first, len(gids)
+    ) + struct.pack(f">{len(gids)}H", *gids)
+
+
+def _cmap_format4(mapping: dict[int, int]) -> bytes:
+    """Single-code segments + the mandatory terminal 0xFFFF segment,
+    all idRangeOffset=0 (glyph = code + delta)."""
+    segs = [(c, c, (g - c) & 0xFFFF) for c, g in sorted(mapping.items())]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    n = len(segs)
+    body = struct.pack(f">{n}H", *[e for _s, e, _d in segs]) + b"\x00\x00"
+    body += struct.pack(f">{n}H", *[s for s, _e, _d in segs])
+    body += struct.pack(f">{n}h", *[d - 0x10000 if d > 0x7FFF else d for _s, _e, d in segs])
+    body += b"\x00\x00" * n  # idRangeOffset
+    return struct.pack(">HHHHHHH", 4, 14 + len(body), 0, n * 2, 2, 1, 0) + body
+
+
+def _cmap_table(subtables: list[tuple[int, int, bytes]]) -> bytes:
+    head = struct.pack(">HH", 0, len(subtables))
+    off = 4 + 8 * len(subtables)
+    recs, body = b"", b""
+    for plat, enc, sub in subtables:
+        recs += struct.pack(">HHI", plat, enc, off + len(body))
+        body += sub
+    return head + recs + body
+
+
+def _post_v2(glyph_names: list[str | None]) -> bytes:
+    """post 2.0; None entries get an out-of-pool index (no name — the
+    parser must fall through to the reverse unicode cmap)."""
+    pool = [n for n in glyph_names if n and n != ".notdef"]
+    head = struct.pack(">I", 0x00020000) + b"\x00" * 28
+    idx, seen = [], {}
+    for n in glyph_names:
+        if n == ".notdef":
+            idx.append(0)
+        elif n is None:
+            idx.append(258 + len(pool) + 17)  # deliberately dangling
+        else:
+            idx.append(258 + seen.setdefault(n, len(seen)))
+    pool = list(dict.fromkeys(pool))
+    out = head + struct.pack(f">H{len(idx)}H", len(idx), *idx)
+    for n in pool:
+        b = n.encode("latin-1")
+        out += bytes([len(b)]) + b
+    return out
+
+
+def build_truetype_font_program(
+    code_names: dict[int, str | None], uni_map: dict[int, int] | None = None,
+    *, symbol: bool = False,
+) -> bytes:
+    """sfnt with cmap + post v2.0. Codes map to gids 1..n in sorted
+    order; `code_names[c]` is the post glyph name (None = nameless —
+    resolvable only through `uni_map`, {codepoint: code}, which becomes
+    a (3,1) format-4 subtable). `symbol` swaps the byte subtable for a
+    (3,0) format 4 at 0xF000|code."""
+    codes = sorted(code_names)
+    gid_of = {c: i + 1 for i, c in enumerate(codes)}
+    if symbol:
+        byte_sub = (3, 0, _cmap_format4({0xF000 | c: gid_of[c] for c in codes}))
+    else:
+        lo, hi = codes[0], codes[-1]
+        byte_sub = (1, 0, _cmap_format6(
+            lo, [gid_of.get(c, 0) for c in range(lo, hi + 1)]
+        ))
+    subtables = [byte_sub]
+    if uni_map:
+        subtables.append(
+            (3, 1, _cmap_format4({cp: gid_of[c] for cp, c in uni_map.items()}))
+        )
+    names: list[str | None] = [".notdef"] + [code_names[c] for c in codes]
+    return _sfnt({
+        b"cmap": _cmap_table(subtables),
+        b"post": _post_v2(names),
+    })
+
+
+def _cff_index_bytes(items: list[bytes]) -> bytes:
+    if not items:
+        return b"\x00\x00"
+    data = b"".join(items)
+    off_size = 1 if len(data) + 1 < 256 else 2
+    out = struct.pack(">H", len(items)) + bytes([off_size])
+    pos = 1
+    offs = [1]
+    for it in items:
+        pos += len(it)
+        offs.append(pos)
+    for o in offs:
+        out += o.to_bytes(off_size, "big")
+    return out + data
+
+
+def build_cff_font_program(
+    code_names: dict[int, str], *, standard_sids: dict[str, int] | None = None,
+    encoding_format: int = 0,
+) -> bytes:
+    """Bare CFF: custom Encoding (format 0 or 1), charset format 0,
+    one endchar charstring per glyph. Names in `standard_sids` (e.g.
+    {"space": 1}) use the standard-strings SID; the rest go through the
+    String INDEX (SID 391+)."""
+    standard_sids = standard_sids or {}
+    codes = sorted(code_names)
+    custom: list[str] = []
+    sids = []
+    for c in codes:
+        name = code_names[c]
+        if name in standard_sids:
+            sids.append(standard_sids[name])
+        else:
+            if name not in custom:
+                custom.append(name)
+            sids.append(391 + custom.index(name))
+    n_glyphs = len(codes) + 1
+
+    def assemble(charset_off: int, enc_off: int, cs_off: int) -> bytes:
+        top = b""
+        for val, op in ((charset_off, 15), (enc_off, 16), (cs_off, 17)):
+            top += b"\x1d" + struct.pack(">i", val) + bytes([op])
+        parts = [
+            bytes([1, 0, 4, 4]),                       # header
+            _cff_index_bytes([b"CUSTOM+Font"]),        # Name INDEX
+            _cff_index_bytes([top]),                   # Top DICT INDEX
+            _cff_index_bytes([n.encode("latin-1") for n in custom]),
+            b"\x00\x00",                               # Global Subr INDEX
+        ]
+        pre = b"".join(parts)
+        charset = b"\x00" + struct.pack(f">{len(sids)}H", *sids)
+        if encoding_format == 0:
+            enc = b"\x00" + bytes([len(codes)]) + bytes(codes)
+        else:  # format 1: one range per code run
+            runs: list[tuple[int, int]] = []
+            for c in codes:
+                if runs and runs[-1][0] + runs[-1][1] + 1 == c:
+                    runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+                else:
+                    runs.append((c, 0))
+            enc = b"\x01" + bytes([len(runs)])
+            for first, n_left in runs:
+                enc += bytes([first, n_left])
+        charstrings = _cff_index_bytes([b"\x0e"] * n_glyphs)
+        co = len(pre)
+        eo = co + len(charset)
+        so = eo + len(enc)
+        if (charset_off, enc_off, cs_off) != (co, eo, so):
+            return assemble(co, eo, so)
+        return pre + charset + enc + charstrings
+
+    return assemble(0, 0, 0)
+
+
+_EMBEDDED_CODES = bytes([1, 2, 3, 3, 4, 5, 6, 7])  # → "Hello ΔW"
+_EMBEDDED_NAMES: dict[int, str | None] = {
+    1: "H", 2: "e", 3: "l", 4: "o", 5: "space", 6: None, 7: "W",
+}
+
+
+def embedded_font_pdf(kind: str = "truetype") -> bytes:
+    """One page showing custom codes through a font with NO /ToUnicode,
+    NO /Encoding — only the embedded program maps codes to text
+    (pre-round-6 extraction: latin-1 mojibake control bytes)."""
+    if kind == "truetype":
+        prog = build_truetype_font_program(
+            _EMBEDDED_NAMES, uni_map={0x0394: 6}
+        )
+        ff_key, ff_extra = b"/FontFile2", b""
+        subtype = b"/TrueType"
+    elif kind == "truetype_symbol":
+        prog = build_truetype_font_program(
+            _EMBEDDED_NAMES, uni_map={0x0394: 6}, symbol=True
+        )
+        ff_key, ff_extra = b"/FontFile2", b""
+        subtype = b"/TrueType"
+    elif kind == "cff":
+        names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+        prog = build_cff_font_program(names, standard_sids={"space": 1})
+        ff_key, ff_extra = b"/FontFile3", b"/Subtype /Type1C "
+        subtype = b"/Type1"
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    content = b"BT /F1 12 Tf 72 720 Td (" + _EMBEDDED_CODES + b") Tj ET"
+    font_obj = (
+        b"<< /Type /Font /Subtype " + subtype + b" /BaseFont /SUBSET+Custom "
+        b"/FirstChar 1 /LastChar 7 /FontDescriptor 6 0 R >>"
+    )
+    descriptor = (
+        b"<< /Type /FontDescriptor /FontName /SUBSET+Custom /Flags 4 "
+        + ff_key + b" 7 0 R >>"
+    )
+    fontfile = (
+        b"<< " + ff_extra + b"/Length %d /Length1 %d >>\nstream\n"
+        % (len(prog), len(prog)) + prog + b"\nendstream"
+    )
+    return build_pdf(
+        [content], font_obj=font_obj, extra_objects=(descriptor, fontfile)
+    )
+
+
 def incremental_update_xref_stream_pdf() -> bytes:
     """PDF 1.5 file with TWO xref streams: the original (object 6,
     /Root 1 → "old revision text") plus an appended incremental update
@@ -1025,6 +1247,13 @@ FIXTURES = {
             b"/Encoding /MacRomanEncoding >>"
         ),
     ),
+    # round 6: fonts with NEITHER /ToUnicode nor a named encoding — the
+    # embedded program (TrueType cmap/post, CFF charset/encoding) is the
+    # only mapping; pre-r6 these extracted as latin-1 control-byte
+    # mojibake (pdfjs parity via kernels/fonts.py)
+    "embedded_truetype": lambda: embedded_font_pdf("truetype"),
+    "embedded_truetype_symbol": lambda: embedded_font_pdf("truetype_symbol"),
+    "embedded_cff": lambda: embedded_font_pdf("cff"),
     # round 5: predefined CMap outside both decodable families (JIS X
     # 0212 supplement — genuinely needs Adobe's tables) stays the
     # countable unsupported_cmap representative
