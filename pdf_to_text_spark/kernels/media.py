@@ -1,0 +1,333 @@
+"""Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
+
+PNG and WAV-PCM decode with zero external dependencies, so
+`media_features` / `image_resize` compute over REAL pixels and samples
+instead of the contract-sanctioned stub (which remains the fallback for
+formats that genuinely need external libraries — JPEG, MP3, MP4 —
+and is now reported distinctly as decode_status='stub').
+
+Public specs implemented:
+* PNG (RFC 2083 / W3C PNG): signature, IHDR/PLTE/IDAT/IEND chunk walk,
+  zlib inflate, the five scanline filters (None/Sub/Up/Average/Paeth),
+  bit depth 8, color types 0/2/3/4/6, interlace 0. Adam7 interlacing
+  and bit depths 1/2/4/16 are documented scope cuts (rare in crawl
+  thumbnails; such files fall back to the stub path).
+* WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned and
+  16-bit signed little-endian PCM, any channel count.
+
+Encoding (for the resize sink) writes the simplest valid PNG: filter-0
+scanlines, one IDAT, CRC32 per chunk.
+
+Features are 16-dim, computed from decoded content with
+order-independent integer/streaming math and rounded to 6 decimals so
+the driver's VALUES oracle reproduces them bit-identically after the
+float32 cast.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+FEATURE_DIM = 16
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+MAX_PIXELS = 64_000_000  # decompression-bomb cap (~64 MP, same spirit
+# as the PDF filter caps: a 100-byte payload must not inflate unbounded)
+
+
+class MediaDecodeError(ValueError):
+    """Payload is not decodable by these codecs (caller falls back)."""
+
+
+# ── PNG decode ───────────────────────────────────────────────────────────────
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise MediaDecodeError("short pixel data")
+    out = bytearray(height * stride)
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row_off = y * stride
+        line = raw[pos : pos + stride]
+        pos += stride
+        if ftype == 0:
+            out[row_off : row_off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[row_off + x - bpp] if x >= bpp else 0
+                out[row_off + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[row_off : row_off + stride] = line
+            else:
+                for x in range(stride):
+                    out[row_off + x] = (line[x] + out[row_off + prev_off + x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[row_off + x - bpp] if x >= bpp else 0
+                up = out[row_off + prev_off + x] if y > 0 else 0
+                out[row_off + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[row_off + x - bpp] if x >= bpp else 0
+                up = out[row_off + prev_off + x] if y > 0 else 0
+                ul = out[row_off + prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
+                out[row_off + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise MediaDecodeError(f"unknown filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes → (width, height, channels, pixels row-major).
+
+    Palette images are expanded to RGB through PLTE. Raises
+    MediaDecodeError for anything outside the supported profile."""
+    if not data.startswith(PNG_MAGIC):
+        raise MediaDecodeError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    plte = b""
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc (crc not verified: crawl leniency)
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                raise MediaDecodeError("short IHDR")
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", body, 0)
+            )
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise MediaDecodeError("missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+        raise MediaDecodeError(
+            f"unsupported profile depth={bit_depth} color={color_type} "
+            f"interlace={interlace}"
+        )
+    if width == 0 or height == 0 or width * height > MAX_PIXELS:
+        raise MediaDecodeError("dimension bomb")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"bad IDAT: {e}") from None
+    ch = _CHANNELS[color_type]
+    pixels = _unfilter(raw, width, height, ch)
+    if color_type == 3:
+        if not plte:
+            raise MediaDecodeError("palette image without PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(pixels):
+            off = idx * 3
+            if off + 3 > len(plte):
+                raise MediaDecodeError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = plte[off : off + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(pixels)
+
+
+# ── PNG encode (filter-0 scanlines) ──────────────────────────────────────────
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None or len(pixels) != width * height * channels:
+        raise ValueError("bad encode geometry")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ── bilinear resize ──────────────────────────────────────────────────────────
+
+
+def bilinear_resize(
+    pixels: bytes, w: int, h: int, ch: int, tw: int, th: int
+) -> bytes:
+    """Fixed-point (16.16) bilinear sample — integer math end to end so
+    the result is platform-deterministic (no float rounding drift
+    between executor architectures)."""
+    if tw <= 0 or th <= 0 or len(pixels) != w * h * ch:
+        raise ValueError("bad resize geometry")
+    out = bytearray(tw * th * ch)
+    # edge-to-edge mapping: src = (dst + 0.5) * (size/target) - 0.5
+    fx = (w << 16) // tw
+    fy = (h << 16) // th
+    for ty in range(th):
+        sy = max(0, ((ty * 2 + 1) * fy - (1 << 16)) >> 1)
+        y0 = min(sy >> 16, h - 1)
+        y1 = min(y0 + 1, h - 1)
+        wy = sy & 0xFFFF
+        for tx in range(tw):
+            sx = max(0, ((tx * 2 + 1) * fx - (1 << 16)) >> 1)
+            x0 = min(sx >> 16, w - 1)
+            x1 = min(x0 + 1, w - 1)
+            wx = sx & 0xFFFF
+            p00 = (y0 * w + x0) * ch
+            p01 = (y0 * w + x1) * ch
+            p10 = (y1 * w + x0) * ch
+            p11 = (y1 * w + x1) * ch
+            o = (ty * tw + tx) * ch
+            for c in range(ch):
+                top = pixels[p00 + c] * (0x10000 - wx) + pixels[p01 + c] * wx
+                bot = pixels[p10 + c] * (0x10000 - wx) + pixels[p11 + c] * wx
+                v = (top * (0x10000 - wy) + bot * wy + (1 << 31)) >> 32
+                out[o + c] = min(255, v)
+    return bytes(out)
+
+
+# ── WAV decode ───────────────────────────────────────────────────────────────
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """WAV bytes → (sample_rate, n_channels, samples interleaved).
+
+    PCM 8-bit (rebased to signed) and 16-bit LE only; other codecs
+    raise MediaDecodeError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeError("not a WAV")
+    pos = 12
+    rate = nch = bits = None
+    frames = b""
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise MediaDecodeError("short fmt chunk")
+            fmt_tag, nch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:
+                raise MediaDecodeError(f"non-PCM format {fmt_tag}")
+        elif cid == b"data":
+            frames = body
+    if rate is None or not frames or not nch:
+        raise MediaDecodeError("missing fmt/data")
+    if bits == 16:
+        n = len(frames) // 2
+        samples = list(struct.unpack(f"<{n}h", frames[: 2 * n]))
+    elif bits == 8:
+        samples = [b - 128 for b in frames]
+    else:
+        raise MediaDecodeError(f"unsupported bit depth {bits}")
+    return rate, nch, samples
+
+
+def encode_wav(rate: int, nch: int, samples: list[int]) -> bytes:
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ── 16-dim features over decoded content ─────────────────────────────────────
+
+
+def _r6(x: float) -> float:
+    return round(x, 6)
+
+
+# FLOAT32-RECOVERY CONTRACT (shared with __spark_entry__'s feature_k
+# projection and the VALUES oracle): every feature is rounded to the
+# 1e-6 lattice AND bounded to |x| <= 2, so after the Arrow float32 cast
+# the absolute error (<= 2 * 2^-23 ≈ 2.4e-7) stays under half a lattice
+# step and round(x * 1e6) recovers the exact integer. Logs are divided
+# by 16 purely to honor the bound.
+
+
+def image_features(w: int, h: int, ch: int, pixels: bytes) -> list[float]:
+    """[log-w/16, log-h/16, ch/4, aspect/8, global mean/std, per-channel
+    means (pad 0), 4-bucket histogram fractions, extremes] — integer
+    accumulation, order-independent, rounded per the contract above."""
+    import math
+
+    n = w * h
+    total = len(pixels)
+    s = sum(pixels)
+    s2 = sum(b * b for b in pixels)
+    mean = s / total
+    var = max(0.0, s2 / total - mean * mean)
+    cmeans = [0.0] * 4
+    for c in range(ch):
+        cs = sum(pixels[c::ch])
+        cmeans[c] = cs / n
+    hist = [0] * 4
+    for b in pixels:
+        hist[b >> 6] += 1
+    return [
+        _r6(math.log1p(w) / 16), _r6(math.log1p(h) / 16), ch / 4,
+        _r6(min(w / h, 16.0) / 8),
+        _r6(mean / 255.0), _r6(math.sqrt(var) / 255.0),
+        *[_r6(c / 255.0) for c in cmeans],
+        *[_r6(v / total) for v in hist],
+        _r6(min(pixels) / 255.0), _r6(max(pixels) / 255.0),
+    ]
+
+
+def audio_features(rate: int, nch: int, samples: list[int]) -> list[float]:
+    """[log-rate/16, ch/4, log-length/16, mean, rms, min, max,
+    zero-cross rate, 8-bucket coarse energy profile] (16-bit full-range
+    scale; same float32-recovery contract as image_features)."""
+    import math
+
+    n = len(samples)
+    if n == 0:
+        return [_r6(math.log1p(rate) / 16), nch / 4] + [0.0] * (FEATURE_DIM - 2)
+    s = sum(samples)
+    s2 = sum(x * x for x in samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] >= 0) != (samples[i] >= 0)
+    )
+    seg = [0.0] * 8
+    k = (n + 7) // 8
+    for j in range(8):
+        part = samples[j * k : (j + 1) * k]
+        if part:
+            seg[j] = math.sqrt(sum(x * x for x in part) / len(part)) / 32768.0
+    return [
+        _r6(math.log1p(rate) / 16), nch / 4, _r6(math.log1p(n) / 16),
+        _r6(s / n / 32768.0), _r6(math.sqrt(s2 / n) / 32768.0),
+        _r6(min(samples) / 32768.0), _r6(max(samples) / 32768.0),
+        _r6(zc / (n - 1)) if n > 1 else 0.0,
+        *[_r6(v) for v in seg],
+    ]

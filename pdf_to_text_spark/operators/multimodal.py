@@ -73,12 +73,31 @@ def decode_stub_ks(payload: bytes) -> list[int]:
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB — deterministic fake 'decode + feature extract'.
 
-    Real deployment: image → PIL.decode/resize/embed; audio → resample +
-    fbank; video → frame-sample + per-frame features. Here: a blake2b of
-    the payload expanded to FEATURE_DIM floats in [-1, 1), so tests can
-    assert exact values and the Arrow plumbing is exercised end-to-end.
-    """
+    Since round 6 this is only the FALLBACK for formats whose codecs
+    genuinely need external libraries (JPEG, MP3, MP4, video
+    containers) — PNG and WAV-PCM payloads decode for REAL in
+    kernels/media.py and compute features over actual pixels/samples.
+    The stub: a blake2b of the payload expanded to FEATURE_DIM floats
+    in [-1, 1), so tests can assert exact values and the Arrow plumbing
+    is exercised end-to-end."""
     return [k / 1_000_000.0 - 1.0 for k in decode_stub_ks(payload)]
+
+
+def _decode_real(payload: bytes, kind: str):
+    """Default decode (round 6): REAL stdlib codecs for PNG and WAV,
+    stub for everything else — returns (features, status) where status
+    'ok' means real decoded content and 'stub' declares the sanctioned
+    fallback (observable in the driver gate, not silently green). A
+    recognized-but-malformed payload raises (→ 'decode_failed')."""
+    from ..kernels import media as M
+
+    if payload.startswith(M.PNG_MAGIC):
+        w, h, ch, pixels = M.decode_png(payload)
+        return M.image_features(w, h, ch, pixels), "ok"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, nch, samples = M.decode_wav(payload)
+        return M.audio_features(rate, nch, samples), "ok"
+    return _decode_stub(payload, kind), "stub"
 
 
 def _byte_capped_frames(
@@ -113,11 +132,14 @@ def media_features(media: DataFrame, decode=None,
     ``(payload: bytes, kind: str) -> list[float]`` — e.g. a PIL/librosa
     wrapper like ``lambda p, k: embed(Image.open(io.BytesIO(p)))`` —
     shipped to executors via the closure (cloudpickle). Defaults to the
-    sanctioned deterministic stub; the batching, schema, and per-row
-    error routing are identical either way (a decode raise becomes a
+    round-6 real-codec path (_decode_real: PNG/WAV decode for real,
+    'stub' status for formats needing external libs); a custom callable
+    may return either a plain feature list (status 'ok') or a
+    (features, status) pair. The batching, schema, and per-row error
+    routing are identical either way (a decode raise becomes a
     'decode_failed' row, never a task failure —
     tests/test_text_analysis.py::test_media_codec_injection_seam)."""
-    decode = decode or _decode_stub
+    decode = decode or _decode_real
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def rows():
@@ -128,12 +150,17 @@ def media_features(media: DataFrame, decode=None,
                         continue
                     p = bytes(payload)
                     try:
-                        feat = [float(x) for x in decode(p, kind)]
+                        res = decode(p, kind)
+                        if isinstance(res, tuple):
+                            raw_feat, status = res
+                        else:
+                            raw_feat, status = res, "ok"
+                        feat = [float(x) for x in raw_feat]
                     except Exception:
                         yield (mid, kind, len(p), None, None, "decode_failed"), len(p)
                         continue
                     digest = hashlib.blake2b(p, digest_size=16).hexdigest()
-                    yield (mid, kind, len(p), digest, feat, "ok"), len(p)
+                    yield (mid, kind, len(p), digest, feat, status), len(p)
 
         yield from _byte_capped_frames(
             rows(), list(FEATURE_SCHEMA.fieldNames()), batch_bytes
@@ -159,15 +186,29 @@ RESIZE_SCHEMA = T.StructType(
 def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
     """STUB — deterministic fake 'decode + bilinear resize + re-encode'.
 
-    Real deployment: PIL.Image.open(payload).resize((tw, th)).  Here the
-    output bytes are a blake2b keyed by (payload, tw, th) repeated to a
-    plausible size (tw*th//8), so tests can assert exact values and the
-    byte-capped Arrow plumbing carries realistic volumes."""
+    Since round 6 only the fallback for non-PNG images (JPEG etc. need
+    external libs). The output bytes are a blake2b keyed by
+    (payload, tw, th) repeated to a plausible size (tw*th//8), so tests
+    can assert exact values and the byte-capped Arrow plumbing carries
+    realistic volumes."""
     seed = hashlib.blake2b(
         payload, digest_size=32, person=struct.pack("<ii", tw, th)
     ).digest()
     size = max(16, (tw * th) // 8)
     return (seed * (size // 32 + 1))[:size]
+
+
+def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
+    """Default resize (round 6): PNG → real decode + fixed-point
+    bilinear + PNG re-encode ((bytes, 'ok')); non-PNG → stub with the
+    declared 'stub' status. Malformed PNG raises (→ 'decode_failed')."""
+    from ..kernels import media as M
+
+    if payload.startswith(M.PNG_MAGIC):
+        dw, dh, ch, pixels = M.decode_png(payload)
+        out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
+        return M.encode_png(tw, th, ch, out), "ok"
+    return _resize_stub(payload, w, h, tw, th), "stub"
 
 
 def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
@@ -179,10 +220,11 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
     without image dims route to a per-row status, never a task failure.
 
     THE codec seam (VERDICT r3 #7): `resize` is any callable
-    ``(payload: bytes, w, h, tw, th) -> bytes`` — e.g. a PIL wrapper
-    returning re-encoded bytes — defaulting to the sanctioned stub; a
+    ``(payload: bytes, w, h, tw, th) -> bytes | (bytes, status)`` —
+    defaulting to the round-6 real path (_resize_real: PNG decode +
+    fixed-point bilinear + re-encode; 'stub' status for non-PNG); a
     raise becomes a 'decode_failed' row."""
-    resize = resize or _resize_stub
+    resize = resize or _resize_real
 
     def gen(batches):
         def rows():
@@ -201,12 +243,16 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
                     ow = max(1, int(w * scale))
                     oh = max(1, int(h * scale))
                     try:
-                        out = bytes(resize(bytes(payload), w, h, ow, oh))
+                        res = resize(bytes(payload), w, h, ow, oh)
+                        if isinstance(res, tuple):
+                            out, status = bytes(res[0]), res[1]
+                        else:
+                            out, status = bytes(res), "ok"
                     except Exception:
                         yield (mid, None, None, 0, None, "decode_failed"), 0
                         continue
                     digest = hashlib.blake2b(out, digest_size=16).hexdigest()
-                    yield (mid, ow, oh, len(out), digest, "ok"), len(out)
+                    yield (mid, ow, oh, len(out), digest, status), len(out)
 
         yield from _byte_capped_frames(rows(), list(RESIZE_SCHEMA.fieldNames()))
 
@@ -268,19 +314,47 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 def synth_media_rows(n: int = 60) -> list[tuple]:
     """Deterministic tiny media rows (pure function of n — shared by the
-    Spark table builder and the VALUES oracle precompute)."""
+    Spark table builder and the VALUES oracle precompute).
+
+    Round 6: image rows carry REAL PNGs (filter types 0-4, gray/RGB/
+    RGBA/gray-alpha/palette — tools/make_media.py, the independent
+    writer side) and audio rows carry REAL PCM WAVs, so the default
+    decode path computes features over actual pixels/samples. Declared
+    slices keep the other statuses observable: i%17==5 null payloads,
+    i%15==12 non-PNG image bytes ('stub' fallback), i%18==6 corrupt
+    PNGs ('decode_failed'), i%45==13 non-WAV audio bytes ('stub');
+    video payloads stay opaque ('stub' — no stdlib container codec)."""
+    from tools.make_media import corrupt_png, media_audio, media_image
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = None if i % 17 == 5 else bytes([(i * 7 + j) % 251 for j in range(64 + i)])
-        meta = (
-            (64 + i % 512, 48 + i % 256, None, None)
-            if kind == "image"
-            else (None, None, 16000, None)
-            if kind == "audio"
-            else (None, None, None, 30 * (1 + i % 10))
-        )
+        lattice = bytes([(i * 7 + j) % 251 for j in range(64 + i)])
+        if i % 17 == 5:
+            payload, meta = None, (None, None, None, None)
+            if kind == "image":
+                meta = (64 + i % 512, 48 + i % 256, None, None)
+            elif kind == "audio":
+                meta = (None, None, 16000, None)
+            else:
+                meta = (None, None, None, 30 * (1 + i % 10))
+        elif kind == "image":
+            if i % 15 == 12:  # undecodable format → sanctioned stub
+                payload, meta = lattice, (64 + i % 512, 48 + i % 256, None, None)
+            else:
+                png, w, h = media_image(i)
+                if i % 18 == 6:  # recognized-but-malformed → decode_failed
+                    png = corrupt_png(png)
+                payload, meta = png, (w, h, None, None)
+        elif kind == "audio":
+            if i % 45 == 13:  # undecodable format → sanctioned stub
+                payload, meta = lattice, (None, None, 16000, None)
+            else:
+                wav, rate = media_audio(i)
+                payload, meta = wav, (None, None, rate, None)
+        else:
+            payload, meta = lattice, (None, None, None, 30 * (1 + i % 10))
         rows.append((i, kind, payload, meta))
     return rows
 

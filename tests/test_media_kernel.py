@@ -1,0 +1,118 @@
+"""kernels/media.py unit surface (round 6): PNG/WAV codec edges the
+round-trip tests in test_multimodal_independent.py don't reach."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pdf_to_text_spark.kernels.media import (
+    MediaDecodeError,
+    bilinear_resize,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+from tools.make_media import make_png, make_wav, pixels_for
+
+
+def test_png_rejects_unsupported_profiles():
+    px = pixels_for(1, 4, 4, 1)
+    good = make_png(4, 4, 1, px)
+    # 16-bit depth
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(MediaDecodeError):
+        decode_png(bytes(bad_depth))
+    # Adam7 interlace
+    bad_il = bytearray(good)
+    bad_il[28] = 1  # IHDR interlace byte
+    with pytest.raises(MediaDecodeError):
+        decode_png(bytes(bad_il))
+    for junk in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\nXXXX"):
+        with pytest.raises(MediaDecodeError):
+            decode_png(junk)
+
+
+def test_png_dimension_bomb_capped():
+    """A crafted IHDR claiming gigapixel dims must be rejected BEFORE
+    allocating pixel buffers (same spirit as the PDF filter caps)."""
+    px = pixels_for(0, 2, 2, 1)
+    data = bytearray(make_png(2, 2, 1, px))
+    struct.pack_into(">II", data, 16, 2_000_000, 2_000_000)  # w, h in IHDR
+    with pytest.raises(MediaDecodeError):
+        decode_png(bytes(data))
+
+
+def test_png_short_pixel_data():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    short = zlib.compress(b"\x00abc")  # one partial scanline for a 4x4
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_png(data)
+
+
+def test_png_palette_out_of_range_index():
+    palette = bytes(range(6))  # 2 entries only
+    idx = bytes([0, 1, 2, 3])  # indices 2,3 exceed the palette
+    data = make_png(2, 2, 1, idx, palette=palette)
+    with pytest.raises(MediaDecodeError):
+        decode_png(data)
+
+
+def test_wav_8bit_and_alignment():
+    samples = [-128, -1, 0, 1, 127]
+    wav = make_wav(8000, 1, samples, bits=8)
+    rate, nch, got = decode_wav(wav)
+    assert (rate, nch) == (8000, 1) and got == samples
+    # odd-length 16-bit data chunk exercises RIFF word alignment
+    wav2 = make_wav(16000, 1, [5, -5, 100])
+    assert decode_wav(wav2)[2] == [5, -5, 100]
+
+
+def test_wav_rejects_non_pcm_and_junk():
+    wav = bytearray(make_wav(8000, 1, [1, 2, 3]))
+    at = wav.find(b"fmt ") + 8
+    struct.pack_into("<H", wav, at, 3)  # IEEE-float format tag
+    with pytest.raises(MediaDecodeError):
+        decode_wav(bytes(wav))
+    for junk in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE"):
+        with pytest.raises(MediaDecodeError):
+            decode_wav(junk)
+
+
+def test_encode_decode_inverse():
+    px = pixels_for(7, 5, 3, 4)
+    assert decode_png(encode_png(5, 3, 4, px)) == (5, 3, 4, px)
+    s = [-32768, 32767, 0, 12345]
+    assert decode_wav(encode_wav(44100, 1, s)) == (44100, 1, s)
+
+
+def test_bilinear_downscale_constant_image_is_exact():
+    """A constant image must stay exactly constant through the fixed-
+    point resampler at ANY geometry (weights sum to 2^32)."""
+    px = bytes([200] * (7 * 5 * 3))
+    for tw, th in ((1, 1), (3, 2), (14, 10), (7, 5)):
+        out = bilinear_resize(px, 7, 5, 3, tw, th)
+        assert set(out) == {200}, (tw, th)
+
+
+def test_bilinear_2x_upscale_midpoints():
+    """1-D midpoint check: upscaling [0, 100] 2× samples at quarter
+    positions — fixed-point result pinned by hand."""
+    px = bytes([0, 100])
+    out = bilinear_resize(px, 2, 1, 1, 4, 1)
+    # src positions: -0.25(clamp 0), 0.25, 0.75, 1.25(clamp into edge)
+    assert list(out) == [0, 25, 75, 100]

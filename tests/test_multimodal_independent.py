@@ -1,27 +1,35 @@
 """Independent (non-replay) checks for the multimodal family.
 
-The driver's VALUES oracles for media_features / image_resize replay the
-SAME stub kernels (tools/oracle_values.py documents this honestly), so a
-shared kernel/oracle bug would pass the gate silently — the one family
-with no cross-family check (VERDICT r4 #4). These tests recompute the
-full expected outputs for the 60-row synth table in straight-line
-Python written FROM THE SPEC in the operator docstrings: no import of
-_decode_stub/_resize_stub/decode_stub_ks/_byte_capped_frames, no
-pandas, different byte-twiddling (int.from_bytes instead of
-struct.unpack), independent status routing and aspect math. What both
-sides share is hashlib.blake2b itself — a stdlib primitive, trusted the
-same way the AES kernel trusts FIPS-197 vectors.
+The driver's VALUES oracles for media_features / image_resize replay
+the SAME codec kernels (tools/oracle_values.py documents this
+honestly), so a shared kernel/oracle bug would pass the gate silently.
+These tests recompute the full expected outputs for the 60-row synth
+table in straight-line Python written FROM THE SPECS:
 
-A bug in the Arrow batching (dropped/duplicated rows at cap
-boundaries), column ordering, status routing, meta plumbing, float32
-casting, or the aspect-fit math shows up here; it cannot hide in a
-replayed oracle.
+* expected IMAGE features come from the pixel FORMULA
+  (pixels_for/palette lattice, re-stated here — not imported), so the
+  engine must correctly unfilter real PNGs written with filter types
+  0-4 to reach them; the decoder itself is never invoked by the test;
+* expected AUDIO features come from the sample formula the same way;
+* the bilinear resize is re-implemented here from the fixed-point
+  spec with a different code shape (per-pixel sample helper instead of
+  the kernel's fused loops) — all-integer math, so a match is exact;
+* stub rows re-state the blake2b lattice with int.from_bytes instead
+  of struct.unpack; status routing is re-derived from the slice spec.
+
+What both sides share is zlib/hashlib themselves — stdlib primitives,
+trusted the way the AES kernel trusts FIPS-197 vectors. A bug in PNG
+unfiltering, WAV parsing, feature math, Arrow batching, status
+routing, meta plumbing, or float32 casting shows up here; it cannot
+hide in a replayed oracle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
+import zlib
 
 import pytest
 
@@ -36,37 +44,145 @@ from pdf_to_text_spark.operators.multimodal import (
 N = 60
 
 
-def _payload(i: int) -> bytes | None:
-    # re-stated from the synth_media_rows spec, not imported
-    if i % 17 == 5:
-        return None
-    return bytes([(i * 7 + j) % 251 for j in range(64 + i)])
-
-
 def _kind(i: int) -> str:
     return ["image", "audio", "video"][i % 3]
+
+
+def _f32(x: float) -> float:
+    return struct.unpack("<f", struct.pack("<f", x))[0]
+
+
+def _r6(x: float) -> float:
+    return round(x, 6)
+
+
+# ── synth slice spec, re-stated ──────────────────────────────────────────────
+
+
+def _image_geom(i: int) -> tuple[int, int]:
+    return 8 + i % 17, 6 + i % 11
+
+
+def _image_pixels(i: int) -> tuple[int, bytes]:
+    """(channels, pixels) from the content formula — decoder-free."""
+    w, h = _image_geom(i)
+    if i % 9 == 3:  # palette slice expands to RGB through PLTE
+        palette = bytes((k * 5 + i) % 256 for k in range(48))
+        out = bytearray()
+        for y in range(h):
+            for x in range(w):
+                idx = (x * 3 + y * 5 + i) % 16
+                out += palette[3 * idx : 3 * idx + 3]
+        return 3, bytes(out)
+    ch = [1, 3, 4, 2][i % 4]
+    return ch, bytes(
+        (x * 7 + y * 13 + c * 41 + i * 29) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+
+
+def _audio_spec(i: int) -> tuple[int, list[int]]:
+    rate = [8000, 16000, 44100][i % 3]
+    n = 40 + (i * 13) % 160
+    samples = [
+        (((j * 997 + i * 6151) % 4001) - 2000) * (8 if j % 2 else -8)
+        for j in range(n)
+    ]
+    return rate, samples
+
+
+def _lattice(i: int) -> bytes:
+    return bytes((i * 7 + j) % 251 for j in range(64 + i))
+
+
+def _stub_feature(p: bytes) -> list[float]:
+    feat = []
+    for d in range(16):
+        dig = hashlib.blake2b(
+            p, digest_size=8, person=d.to_bytes(8, "little")
+        ).digest()
+        k = int.from_bytes(dig, "little", signed=True) % 2_000_000
+        feat.append(k / 1e6 - 1.0)
+    return feat
+
+
+# ── independent feature math (different coding, same integer sums) ───────────
+
+
+def _image_feat(w: int, h: int, ch: int, px: bytes) -> list[float]:
+    tot = len(px)
+    mean = sum(px) / tot
+    var = max(0.0, sum(v * v for v in px) / tot - mean * mean)
+    cm = [sum(px[c::ch]) / (w * h) / 255.0 if c < ch else 0.0 for c in range(4)]
+    hist = [sum(1 for v in px if v >> 6 == b) / tot for b in range(4)]
+    return [
+        _r6(math.log1p(w) / 16), _r6(math.log1p(h) / 16), ch / 4,
+        _r6(min(w / h, 16.0) / 8), _r6(mean / 255.0),
+        _r6(math.sqrt(var) / 255.0), *map(_r6, cm), *map(_r6, hist),
+        _r6(min(px) / 255.0), _r6(max(px) / 255.0),
+    ]
+
+
+def _audio_feat(rate: int, samples: list[int]) -> list[float]:
+    n = len(samples)
+    seg = []
+    k = (n + 7) // 8
+    for j in range(8):
+        part = samples[j * k : (j + 1) * k]
+        seg.append(
+            math.sqrt(sum(x * x for x in part) / len(part)) / 32768.0
+            if part else 0.0
+        )
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    return [
+        _r6(math.log1p(rate) / 16), 1 / 4, _r6(math.log1p(n) / 16),
+        _r6(sum(samples) / n / 32768.0),
+        _r6(math.sqrt(sum(x * x for x in samples) / n) / 32768.0),
+        _r6(min(samples) / 32768.0), _r6(max(samples) / 32768.0),
+        _r6(zc / (n - 1)), *map(_r6, seg),
+    ]
 
 
 def _expected_features() -> set[tuple]:
     out = set()
     for i in range(N):
-        p = _payload(i)
-        if p is None:
-            out.add((i, _kind(i), 0, None, None, "null_payload"))
+        kind = _kind(i)
+        if i % 17 == 5:
+            out.add((i, kind, 0, None, None, "null_payload"))
             continue
-        feat = []
-        for d in range(16):
-            dig = hashlib.blake2b(
-                p, digest_size=8, person=d.to_bytes(8, "little")
-            ).digest()
-            k = int.from_bytes(dig, "little", signed=True) % 2_000_000
-            # the operator stores float32; round-trip through one
-            f32 = struct.unpack("<f", struct.pack("<f", k / 1e6 - 1.0))[0]
-            feat.append(f32)
+        if kind == "image":
+            if i % 15 == 12:
+                p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            elif i % 18 == 6:
+                from tools.make_media import corrupt_png, media_image
+
+                p = corrupt_png(media_image(i)[0])
+                out.add((i, kind, len(p), None, None, "decode_failed"))
+                continue
+            else:
+                from tools.make_media import media_image
+
+                p = media_image(i)[0]
+                w, h = _image_geom(i)
+                ch, px = _image_pixels(i)
+                feat, status = _image_feat(w, h, ch, px), "ok"
+        elif kind == "audio":
+            if i % 45 == 13:
+                p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            else:
+                from tools.make_media import media_audio
+
+                p = media_audio(i)[0]
+                rate, samples = _audio_spec(i)
+                feat, status = _audio_feat(rate, samples), "ok"
+        else:
+            p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
         out.add((
-            i, _kind(i), len(p),
+            i, kind, len(p),
             hashlib.blake2b(p, digest_size=16).hexdigest(),
-            tuple(feat), "ok",
+            tuple(_f32(f) for f in feat), status,
         ))
     return out
 
@@ -83,24 +199,83 @@ def test_media_features_matches_independent_recompute(spark):
     assert got == _expected_features()
 
 
+# ── independent resize (fixed-point spec, different code shape) ──────────────
+
+
+def _sample_bilinear(px, w, h, ch, x_fixed, y_fixed, c):
+    x0, wx = min(x_fixed >> 16, w - 1), x_fixed & 0xFFFF
+    y0, wy = min(y_fixed >> 16, h - 1), y_fixed & 0xFFFF
+    x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+
+    def at(xx, yy):
+        return px[(yy * w + xx) * ch + c]
+
+    top = at(x0, y0) * (0x10000 - wx) + at(x1, y0) * wx
+    bot = at(x0, y1) * (0x10000 - wx) + at(x1, y1) * wx
+    return min(255, (top * (0x10000 - wy) + bot * wy + (1 << 31)) >> 32)
+
+
+def _indep_resize(px, w, h, ch, tw, th) -> bytes:
+    fx, fy = (w << 16) // tw, (h << 16) // th
+    out = bytearray()
+    for ty in range(th):
+        sy = max(0, ((ty * 2 + 1) * fy - (1 << 16)) >> 1)
+        for tx in range(tw):
+            sx = max(0, ((tx * 2 + 1) * fx - (1 << 16)) >> 1)
+            for c in range(ch):
+                out.append(_sample_bilinear(px, w, h, ch, sx, sy, c))
+    return bytes(out)
+
+
+def _indep_png(w, h, ch, px) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[ch], 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + px[y * w * ch : (y + 1) * w * ch] for y in range(h)
+    )
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
 def _expected_resize(tw: int = 224, th: int = 224) -> set[tuple]:
     out = set()
     for i in range(N):
         if _kind(i) != "image":
             continue
-        p = _payload(i)
-        if p is None:
+        if i % 17 == 5:
             out.add((i, None, None, 0, None, "null_payload"))
             continue
-        w, h = 64 + i % 512, 48 + i % 256  # synth spec; always valid dims
+        if i % 15 == 12:  # stub slice: meta dims + blake2b body
+            w, h = 64 + i % 512, 48 + i % 256
+            scale = min(tw / w, th / h)
+            ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+            p = _lattice(i)
+            seed = hashlib.blake2b(
+                p, digest_size=32,
+                person=struct.pack("<i", ow) + struct.pack("<i", oh),
+            ).digest()
+            size = max(16, ow * oh // 8)
+            body = (seed * (size // 32 + 1))[:size]
+            out.add((
+                i, ow, oh, len(body),
+                hashlib.blake2b(body, digest_size=16).hexdigest(), "stub",
+            ))
+            continue
+        w, h = _image_geom(i)
         scale = min(tw / w, th / h)
         ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-        seed = hashlib.blake2b(
-            p, digest_size=32,
-            person=struct.pack("<i", ow) + struct.pack("<i", oh),
-        ).digest()
-        size = max(16, ow * oh // 8)
-        body = (seed * (size // 32 + 1))[:size]
+        if i % 18 == 6:
+            out.add((i, None, None, 0, None, "decode_failed"))
+            continue
+        ch, px = _image_pixels(i)
+        body = _indep_png(ow, oh, ch, _indep_resize(px, w, h, ch, ow, oh))
         out.add((
             i, ow, oh, len(body),
             hashlib.blake2b(body, digest_size=16).hexdigest(), "ok",
@@ -121,31 +296,23 @@ def test_audio_resample_plan_matches_independent_recompute(spark):
     for i in range(N):
         if _kind(i) != "audio":
             continue
-        # synth spec: every audio row carries sample_rate 16000 == target
-        expect.add((i, 16000, 16000, "copy"))
+        rate = 16000 if i % 17 == 5 or i % 45 == 13 else [8000, 16000, 44100][i % 3]
+        mode = (
+            "copy" if rate == 16000
+            else "downsample" if rate > 16000 else "upsample"
+        )
+        expect.add((i, rate, 16000, mode))
     assert got == expect
-    # a non-trivial rate exercises the mode branches through the same
-    # operator on a hand-built table
-    import pyspark.sql.types as T  # noqa: N812
-
+    # no_rate branch through the same operator on a hand-built table
     schema = synth_media_df(spark, 1).schema
-    rows = [
-        (0, "audio", None, (None, None, 44100, None)),
-        (1, "audio", None, (None, None, 8000, None)),
-        (2, "audio", None, (None, None, None, None)),
-    ]
+    rows = [(0, "audio", None, (None, None, None, None))]
     got2 = {
         tuple(r)
         for r in audio_resample_plan(
             spark.createDataFrame(rows, schema=schema)
         ).collect()
     }
-    assert got2 == {
-        (0, 44100, 16000, "downsample"),
-        (1, 8000, 16000, "upsample"),
-        (2, None, 16000, "no_rate"),
-    }
-    assert isinstance(schema, T.StructType)
+    assert got2 == {(0, None, 16000, "no_rate")}
 
 
 def test_frame_sample_plan_matches_independent_recompute(spark):
@@ -178,9 +345,26 @@ def test_feature_batching_survives_tiny_byte_cap(spark):
         ).collect()
     ]
     assert len(got) == N  # list, not set: duplicates must fail too
-    assert set(got) == {
-        (i, "null_payload" if i % 17 == 5 else "ok") for i in range(N)
-    }
+    statuses = {k: v for k, v in _expected_statuses().items()}
+    assert set(got) == set(statuses.items())
+
+
+def _expected_statuses() -> dict[int, str]:
+    out = {}
+    for i in range(N):
+        kind = _kind(i)
+        if i % 17 == 5:
+            out[i] = "null_payload"
+        elif kind == "image":
+            out[i] = (
+                "stub" if i % 15 == 12
+                else "decode_failed" if i % 18 == 6 else "ok"
+            )
+        elif kind == "audio":
+            out[i] = "stub" if i % 45 == 13 else "ok"
+        else:
+            out[i] = "stub"
+    return out
 
 
 @pytest.mark.parametrize("w,h,tw,th,ow,oh", [
@@ -194,4 +378,4 @@ def test_resize_aspect_fit_math(spark, w, h, tw, th, ow, oh):
         [(0, "image", b"xy" * 40, (w, h, None, None))], schema=schema
     )
     row = image_resize(df, tw, th).collect()[0]
-    assert (row.out_width, row.out_height, row.resize_status) == (ow, oh, "ok")
+    assert (row.out_width, row.out_height, row.resize_status) == (ow, oh, "stub")

@@ -143,17 +143,27 @@ def winnow_oracle(sf: str) -> str:
 
 @functools.lru_cache(maxsize=1)
 def media_oracle(n: int = 60) -> str:
-    from pdf_to_text_spark.operators.multimodal import decode_stub_ks, synth_media_rows
+    from pdf_to_text_spark.operators.multimodal import _decode_real, synth_media_rows
 
     rows = []
     for media_id, kind, payload, _meta in synth_media_rows(n):
         if payload is None:
             rows.append((media_id, kind, 0, None, None, "null_payload"))
             continue
-        ks = decode_stub_ks(payload)
+        try:
+            feat, status = _decode_real(bytes(payload), kind)
+        except Exception:
+            rows.append(
+                (media_id, kind, len(payload), None, None, "decode_failed")
+            )
+            continue
+        # same integer recovery as the Spark projection: features sit on
+        # the 1e-6 lattice with |x|<=2 (kernels/media.py contract), so
+        # round((f+1)*1e6) is exact on both sides of the float32 cast
+        ks = [round((float(f) + 1.0) * 1e6) for f in feat]
         js = "[" + ",".join(str(k) for k in ks) + "]"
         digest = hashlib.blake2b(payload, digest_size=16).hexdigest()
-        rows.append((media_id, kind, len(payload), digest, js, "ok"))
+        rows.append((media_id, kind, len(payload), digest, js, status))
     return values_sql(
         [
             ("media_id", "BIGINT"),
@@ -169,7 +179,7 @@ def media_oracle(n: int = 60) -> str:
 
 @functools.lru_cache(maxsize=1)
 def image_resize_oracle(n: int = 60, tw: int = 224, th: int = 224) -> str:
-    from pdf_to_text_spark.operators.multimodal import _resize_stub, synth_media_rows
+    from pdf_to_text_spark.operators.multimodal import _resize_real, synth_media_rows
 
     rows = []
     for media_id, kind, payload, meta in synth_media_rows(n):
@@ -185,10 +195,14 @@ def image_resize_oracle(n: int = 60, tw: int = 224, th: int = 224) -> str:
         scale = min(tw / w, th / h)
         ow = max(1, int(w * scale))
         oh = max(1, int(h * scale))
-        out = _resize_stub(payload, w, h, ow, oh)
+        try:
+            out, status = _resize_real(bytes(payload), w, h, ow, oh)
+        except Exception:
+            rows.append((media_id, None, None, 0, None, "decode_failed"))
+            continue
         rows.append(
             (media_id, ow, oh, len(out),
-             hashlib.blake2b(out, digest_size=16).hexdigest(), "ok")
+             hashlib.blake2b(out, digest_size=16).hexdigest(), status)
         )
     return values_sql(
         [
