@@ -228,3 +228,51 @@ def test_cff_predefined_encoding_is_out_of_scope():
     prog[top_start + 7 : top_start + 11] = struct.pack(">i", 0)
     assert F._cff_code_to_unicode(bytes(prog), _glyph_to_char) is None
     assert embedded_font_code_to_unicode(bytes(prog), _glyph_to_char) is None
+
+
+# ── symbolic Standard-14 built-in encodings (round 6, Annex D.5/D.6) ─────────
+
+
+def _symbolic_pdf(base_font: bytes, codes: bytes, encoding: bytes = b"") -> bytes:
+    return build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (" + codes + b") Tj ET"],
+        font_obj=(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /" + base_font
+            + b" " + encoding + b">>"
+        ),
+    )
+
+
+def test_symbol_builtin_encoding():
+    text, _ = extract_pdf_text(_symbolic_pdf(b"Symbol", b"abg \x44 \xce \xf2"))
+    assert text == "αβγ Δ ∈ ∫"
+
+
+def test_zapf_dingbats_builtin_encoding():
+    text, _ = extract_pdf_text(
+        _symbolic_pdf(b"ZapfDingbats", b"3 % \xac \xc0 \xca \xd8")
+    )
+    assert text == "✓ ☎ ① ➀ ➊ ➘"
+
+
+def test_symbol_subset_prefix_is_stripped():
+    text, _ = extract_pdf_text(_symbolic_pdf(b"ABCDEF+Symbol", b"abg"))
+    assert text == "αβγ"
+
+
+def test_named_encoding_overrides_symbol_name():
+    """/Encoding names win over the BaseFont-implied builtin table."""
+    text, _ = extract_pdf_text(
+        _symbolic_pdf(b"Symbol", b"abg", b"/Encoding /WinAnsiEncoding ")
+    )
+    assert text == "abg"
+
+
+def test_embedded_program_beats_symbol_name_table():
+    """A subsetted font merely NAMED Symbol decodes through its own
+    embedded cmap, not the Adobe table (pdfjs parity)."""
+    pdf = _pdf_with_font(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /ABCDEF+Symbol "
+        b"/FontDescriptor 6 0 R >>"
+    )
+    assert extract_pdf_text(pdf) == (EXPECT, 1)

@@ -1247,6 +1247,18 @@ FIXTURES = {
             b"/Encoding /MacRomanEncoding >>"
         ),
     ),
+    # round 6: symbolic Standard-14 built-in encodings (Annex D.5/D.6)
+    # selected by BaseFont name — Greek/math via /Symbol ("αβγ ∀x∈A:
+    # x≤Ω ∑ ∫"), dingbats via /ZapfDingbats (checks/stars/arrows)
+    "symbol_font": lambda: build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (abg \x22x\xceA: x\xa3W \xe5 \xf2) Tj "
+         b"0 -14 Td (\x44 = p r\xb2 \xb9 \xbb) Tj ET"],
+        font_obj=b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>",
+    ),
+    "zapf_dingbats_font": lambda: build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (3 8 % * + \xab \xac \xb6 \xd8) Tj ET"],
+        font_obj=b"<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats >>",
+    ),
     # round 6: fonts with NEITHER /ToUnicode nor a named encoding — the
     # embedded program (TrueType cmap/post, CFF charset/encoding) is the
     # only mapping; pre-r6 these extracted as latin-1 control-byte
