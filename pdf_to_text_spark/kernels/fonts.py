@@ -28,12 +28,14 @@ falls through to the previous behavior — every entry point returns
 
 Deliberate scope cuts (documented divergences, all fail-soft):
 
-* CFF fonts using a PREDEFINED encoding (Standard/Expert) return None:
-  those are not the custom-encoded subsetted class this fallback
-  exists for, and the named-encoding path already approximates them.
-* Type1 /FontFile (eexec-encrypted PFB) is out of scope — the crawl
-  frequency is far below subsetted TrueType/CFF, and its /Encoding is
-  usually mirrored in the font dict where the existing paths see it.
+* CFF and Type1 fonts using a PREDEFINED encoding (Standard/Expert/
+  StandardEncoding) return None: those are not the custom-encoded
+  subsetted class this fallback exists for, and the named-encoding
+  path already approximates them.
+* Type1 /FontFile custom encodings DO decode (the encoding vector
+  lives in the cleartext section before eexec — no decryption needed);
+  only the eexec-encrypted charstring names are out of reach, which
+  the /Encoding vector makes irrelevant for text.
 """
 
 from __future__ import annotations
@@ -552,6 +554,57 @@ def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
     return out or None
 
 
+# ── Type1 (/FontFile) ────────────────────────────────────────────────────────
+
+_T1_DUP_RE = None  # compiled lazily (module import cost)
+
+
+def _type1_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
+    """Type1 custom /Encoding from the CLEARTEXT portion of the font
+    program (Adobe Type 1 Font Format spec §2.3): the encoding vector
+    is written as ``dup <code> /<name> put`` lines BEFORE eexec, so no
+    decryption is needed. ``/Encoding StandardEncoding def`` returns
+    None (predefined — same scope rule as CFF's Standard/Expert).
+    PFB segment headers (0x80 0x01 len32) are stripped if present."""
+    global _T1_DUP_RE
+    import re
+
+    if _T1_DUP_RE is None:
+        _T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/{}()\[\]<>]+)\s+put")
+    if data[:1] == b"\x80":  # PFB: walk ascii segments
+        clear = bytearray()
+        pos = 0
+        while pos + 6 <= len(data) and data[pos] == 0x80:
+            seg_type = data[pos + 1]
+            seg_len = int.from_bytes(data[pos + 2 : pos + 6], "little")
+            if seg_type == 1:
+                clear += data[pos + 6 : pos + 6 + seg_len]
+            elif seg_type == 3:
+                break
+            pos += 6 + seg_len
+        head = bytes(clear)
+    else:
+        head = data
+    cut = head.find(b"eexec")
+    if cut >= 0:
+        head = head[:cut]
+    enc_at = head.find(b"/Encoding")
+    if enc_at < 0:
+        return None
+    tail = head[enc_at:]
+    if tail[: tail.find(b"def") + 3].find(b"StandardEncoding") >= 0:
+        return None
+    out: dict[int, str] = {}
+    for code_b, name_b in _T1_DUP_RE.findall(tail):
+        code = int(code_b)
+        if not 0 <= code <= 255:
+            continue
+        ch = glyph_to_char(name_b.decode("latin-1"))
+        if ch and ch != "�":
+            out[code] = ch
+    return out or None
+
+
 # ── entry point ──────────────────────────────────────────────────────────────
 
 
@@ -570,6 +623,8 @@ def embedded_font_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] 
             if cff and b"cmap" not in tables:
                 return _cff_code_to_unicode(cff, glyph_to_char)
             return _truetype_code_to_unicode(tables, glyph_to_char)
+        if data[:2] == b"%!" or data[:1] == b"\x80":  # Type1 PFA/PFB
+            return _type1_code_to_unicode(data, glyph_to_char)
         if len(data) >= 4 and data[0] == 1 and data[2] >= 4:
             return _cff_code_to_unicode(data, glyph_to_char)
     except Exception:

@@ -1478,16 +1478,16 @@ class PDFDocument:
 
     def _embedded_font_map(self, f: dict) -> dict[int, str] | None:
         """code→unicode fallback parsed from the font's embedded program
-        (/FontFile2 TrueType, /FontFile3 CFF/OpenType — kernels/fonts.py;
-        /FontFile Type1 is a documented scope cut there). Returns None on
-        any parse failure so callers keep the pre-round-6 behavior; the
+        (/FontFile2 TrueType, /FontFile3 CFF/OpenType, /FontFile Type1
+        cleartext /Encoding — kernels/fonts.py). Returns None on any
+        parse failure so callers keep the pre-round-6 behavior; the
         result is cached by the caller via _font_dec_cache."""
         from .fonts import embedded_font_code_to_unicode
 
         fd = self.resolve(f.get("FontDescriptor"))
         if not isinstance(fd, dict):
             return None
-        for key in ("FontFile2", "FontFile3"):
+        for key in ("FontFile2", "FontFile3", "FontFile"):
             ff = self.resolve(fd.get(key))
             if isinstance(ff, _Stream):
                 try:

@@ -24,7 +24,7 @@ SEED = 42
 # Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
 # cache directories embed it, so a stale cache can't silently serve the
 # previous round's corpus (r4 review; replaces the manual delete step).
-PAGES_GEN = 7
+PAGES_GEN = 8
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle
@@ -109,7 +109,9 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             # extracted as latin-1 control-byte mojibake.
             from tools.make_pdf import embedded_font_pdf
 
-            kind = ["truetype", "cff", "truetype_symbol"][(i // 270) % 3]
+            kind = [
+                "truetype", "cff", "type1", "truetype_symbol", "type1_pfb",
+            ][(i // 270) % 5]
             return url, ts, embedded_font_pdf(kind), None, lang
         if i % 270 == 102:
             # ~0.4% damaged-but-COMPLETE PDFs (a real crawl's broken

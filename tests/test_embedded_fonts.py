@@ -276,3 +276,34 @@ def test_embedded_program_beats_symbol_name_table():
         b"/FontDescriptor 6 0 R >>"
     )
     assert extract_pdf_text(pdf) == (EXPECT, 1)
+
+
+# ── Type1 /FontFile cleartext encoding (round 6 follow-up) ───────────────────
+
+
+@pytest.mark.parametrize("kind", ["type1", "type1_pfb"])
+def test_type1_cleartext_encoding_extracts(kind):
+    assert extract_pdf_text(embedded_font_pdf(kind)) == (EXPECT, 1)
+
+
+def test_type1_standard_encoding_out_of_scope():
+    from tools.make_pdf import build_type1_font_program
+
+    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+    prog = build_type1_font_program(names, standard=True)
+    assert embedded_font_code_to_unicode(prog, _glyph_to_char) is None
+    # malformed PFB headers fail soft
+    assert embedded_font_code_to_unicode(b"\x80\x01\xff\xff\xff\xff", _glyph_to_char) is None
+    assert embedded_font_code_to_unicode(b"%!PS no encoding here", _glyph_to_char) is None
+
+
+def test_type1_dup_lines_after_eexec_are_ignored():
+    """Encoding entries must come from the CLEARTEXT section only —
+    bytes after eexec are ciphertext and any 'dup N /x put' pattern in
+    them is coincidental garbage."""
+    from tools.make_pdf import build_type1_font_program
+
+    prog = build_type1_font_program({65: "alpha"})
+    poisoned = prog + b"\ndup 66 /Omega put\n"  # after eexec blob
+    m = embedded_font_code_to_unicode(poisoned, _glyph_to_char)
+    assert m == {65: "α"}

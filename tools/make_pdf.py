@@ -1030,6 +1030,46 @@ def build_cff_font_program(
     return assemble(0, 0, 0)
 
 
+def build_type1_font_program(
+    code_names: dict[int, str], *, pfb: bool = False,
+    standard: bool = False,
+) -> bytes:
+    """Type1 cleartext header with a custom /Encoding vector (``dup N
+    /name put`` lines, Adobe Type 1 spec §2.3) followed by a fake
+    eexec-encrypted blob (never decrypted by the reader — the encoding
+    vector is all text extraction needs). `pfb` wraps the output in
+    PFB segment headers; `standard` writes StandardEncoding instead."""
+    enc = (
+        b"/Encoding StandardEncoding def\n"
+        if standard
+        else (
+            b"/Encoding 256 array\n"
+            b"0 1 255 {1 index exch /.notdef put} for\n"
+            + b"".join(
+                b"dup %d /%s put\n" % (c, n.encode("latin-1"))
+                for c, n in sorted(code_names.items())
+            )
+            + b"readonly def\n"
+        )
+    )
+    clear = (
+        b"%!PS-AdobeFont-1.0: CustomT1 001.000\n"
+        b"/FontName /CUSTOM+T1 def\n/PaintType 0 def\n/FontType 1 def\n"
+        b"/FontMatrix [0.001 0 0 0.001 0 0] readonly def\n"
+        + enc
+        + b"currentdict end\ncurrentfile eexec\n"
+    )
+    binary = bytes((i * 37 + 11) % 256 for i in range(96))  # opaque blob
+    tail = b"0" * 512 + b"\ncleartomark\n"
+    if not pfb:
+        return clear + binary + tail
+    out = bytearray()
+    for seg_type, seg in ((1, clear), (2, binary), (1, tail)):
+        out += bytes([0x80, seg_type]) + len(seg).to_bytes(4, "little") + seg
+    out += bytes([0x80, 3])
+    return bytes(out)
+
+
 _EMBEDDED_CODES = bytes([1, 2, 3, 3, 4, 5, 6, 7])  # → "Hello ΔW"
 _EMBEDDED_NAMES: dict[int, str | None] = {
     1: "H", 2: "e", 3: "l", 4: "o", 5: "space", 6: None, 7: "W",
@@ -1056,6 +1096,12 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
         names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
         prog = build_cff_font_program(names, standard_sids={"space": 1})
         ff_key, ff_extra = b"/FontFile3", b"/Subtype /Type1C "
+        subtype = b"/Type1"
+    elif kind in ("type1", "type1_pfb"):
+        names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+        prog = build_type1_font_program(names, pfb=kind == "type1_pfb")
+        ff_key = b"/FontFile"
+        ff_extra = b"/Length1 0 /Length2 0 /Length3 0 "
         subtype = b"/Type1"
     else:
         raise ValueError(f"unknown kind {kind!r}")
@@ -1266,6 +1312,8 @@ FIXTURES = {
     "embedded_truetype": lambda: embedded_font_pdf("truetype"),
     "embedded_truetype_symbol": lambda: embedded_font_pdf("truetype_symbol"),
     "embedded_cff": lambda: embedded_font_pdf("cff"),
+    "embedded_type1": lambda: embedded_font_pdf("type1"),
+    "embedded_type1_pfb": lambda: embedded_font_pdf("type1_pfb"),
     # round 5: predefined CMap outside both decodable families (JIS X
     # 0212 supplement — genuinely needs Adobe's tables) stays the
     # countable unsupported_cmap representative
