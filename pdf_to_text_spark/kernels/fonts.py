@@ -441,10 +441,13 @@ def _cff_charset(data: bytes, pos: int, n_glyphs: int) -> list[int] | None:
     return None
 
 
-def _cff_encoding(data: bytes, pos: int) -> dict[int, int] | None:
-    """Custom Encoding → {code: glyph_id}. Predefined encodings (offset
-    0/1 = Standard/Expert) are handled by the CALLER returning None —
-    this fallback targets custom-encoded subsetted fonts only."""
+def _cff_encoding(
+    data: bytes, pos: int
+) -> tuple[dict[int, int], dict[int, int]] | None:
+    """Custom Encoding → ({code: glyph_id}, {code: SID supplements}).
+    Predefined encodings (offset 0/1 = Standard/Expert) are handled by
+    the CALLER returning None — this fallback targets custom-encoded
+    subsetted fonts only."""
     if pos >= len(data):
         return None
     fmt = data[pos]
@@ -480,19 +483,18 @@ def _cff_encoding(data: bytes, pos: int) -> dict[int, int] | None:
             pos += 2
     else:
         return None
+    sups: dict[int, int] = {}
     if has_sups and pos < len(data):
-        # supplements map code→SID, not code→gid; the caller resolves
-        # them through the charset (returned separately)
+        # supplements map code→SID directly (not code→gid); the caller
+        # resolves them without the charset walk
         n_sups = data[pos]
         pos += 1
-        sups: dict[int, int] = {}
         for _ in range(n_sups):
             if pos + 3 > len(data):
                 break
             sups[data[pos]] = _U16.unpack_from(data, pos + 1)[0]
             pos += 3
-        out["sups"] = sups  # type: ignore[index]
-    return out
+    return out, sups
 
 
 def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
@@ -522,10 +524,10 @@ def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
     if charset_off in (0, 1, 2):
         return None  # predefined charsets accompany predefined encodings
     sids = _cff_charset(data, charset_off, n_glyphs)
-    enc = _cff_encoding(data, enc_off)
-    if not sids or not enc:
+    parsed = _cff_encoding(data, enc_off)
+    if not sids or parsed is None:
         return None
-    sups = enc.pop("sups", {})  # type: ignore[arg-type]
+    enc, sups = parsed
 
     def sid_name(sid: int) -> str | None:
         if sid < 391:
@@ -536,7 +538,7 @@ def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
 
     out: dict[int, str] = {}
     for code, gid in enc.items():
-        if not isinstance(code, int) or not 0 <= gid < len(sids):
+        if not 0 <= gid < len(sids):
             continue
         name = sid_name(sids[gid])
         if name is None:

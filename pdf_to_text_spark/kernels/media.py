@@ -32,8 +32,16 @@ import zlib
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 FEATURE_DIM = 16
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-MAX_PIXELS = 64_000_000  # decompression-bomb cap (~64 MP, same spirit
-# as the PDF filter caps: a 100-byte payload must not inflate unbounded)
+# Decompression-bomb caps, same spirit as the PDF filter caps: a tiny
+# crawl payload must not force unbounded executor allocations. 4 MP
+# bounds both memory AND the pure-Python unfilter time (the per-byte
+# loops would take minutes at 64 MP); beyond-cap media surfaces the
+# countable decode_failed status (r6 review #1).
+MAX_PIXELS = 4_000_000
+# WAV samples materialize as a Python int list (~28 bytes/element):
+# 4M samples ≈ 112 MB worst-case per row, the accepted ceiling
+# (r6 review #2). ~4 minutes of 16-bit mono at 16 kHz.
+MAX_SAMPLES = 4_000_000
 
 
 class MediaDecodeError(ValueError):
@@ -129,11 +137,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         )
     if width == 0 or height == 0 or width * height > MAX_PIXELS:
         raise MediaDecodeError("dimension bomb")
+    ch = _CHANNELS[color_type]
+    # Inflate AT MOST the geometry the IHDR declares (+1 slack byte to
+    # detect overlong streams) — zlib.decompress alone is unbounded, so
+    # a 200 KB IDAT could otherwise inflate to hundreds of MB before
+    # the length check (r6 review #1, confirmed experimentally).
+    expected = height * (width * ch + 1)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise MediaDecodeError(f"bad IDAT: {e}") from None
-    ch = _CHANNELS[color_type]
+    if len(raw) > expected:
+        raise MediaDecodeError("IDAT inflates past declared geometry")
     pixels = _unfilter(raw, width, height, ch)
     if color_type == 3:
         if not plte:
@@ -242,6 +258,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             frames = body
     if rate is None or not frames or not nch:
         raise MediaDecodeError("missing fmt/data")
+    if len(frames) > MAX_SAMPLES * (2 if bits == 16 else 1):
+        raise MediaDecodeError("data chunk exceeds sample cap")
     if bits == 16:
         n = len(frames) // 2
         samples = list(struct.unpack(f"<{n}h", frames[: 2 * n]))

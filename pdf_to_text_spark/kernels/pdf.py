@@ -1427,22 +1427,19 @@ class PDFDocument:
                 base = (
                     _base_encoding_overrides(base_name) if base_name else None
                 )
-                if base is None and base_name is None:
+                has_ff = self._has_font_file(f)
+                if base is None and base_name is None and not has_ff:
                     # Symbolic Standard-14 fonts carry their encoding
                     # BUILT IN, selected by BaseFont name (round 6,
                     # Annex D.5/D.6 — a /Symbol show string under
                     # latin-1 is mojibake: 0x61 is alpha, not 'a').
-                    # Subset prefixes (ABCDEF+Symbol) are stripped.
+                    # Subset prefixes (ABCDEF+Symbol) are stripped. A
+                    # font that EMBEDS a program skips this: its own
+                    # cmap wins (pdfjs parity), via the lazy path below
+                    # — key-presence check only, no parse (r6 review #6).
                     bf = str(self.resolve(f.get("BaseFont")) or "")
                     bf = bf.rsplit("+", 1)[-1]
-                    # an EMBEDDED program wins over the name-implied
-                    # table: a subsetted font merely NAMED Symbol may
-                    # re-encode glyphs arbitrarily (pdfjs reads the
-                    # program's cmap there too). Runs at most once per
-                    # font object (the decoder is cached per fnum).
-                    if bf in ("Symbol", "ZapfDingbats") and (
-                        self._embedded_font_map(f) is None
-                    ):
+                    if bf in ("Symbol", "ZapfDingbats"):
                         base_name = bf
                         base = _base_encoding_overrides(bf)
                 if base and not m and not narrow:
@@ -1454,27 +1451,38 @@ class PDFDocument:
                         full.update(m)       # Differences override base
                         full.update(narrow)  # ToUnicode wins over both
                         m = full
+                        dec = m or None
                     else:
                         # No named base: the embedded font program is
                         # the mapping layer under /Differences and
                         # /ToUnicode (round 6 — pdfjs parity for
-                        # custom-encoded subsetted TrueType/CFF,
-                        # reference main.ts:149 via pdfjs-dist). A
-                        # PARTIAL ToUnicode — the common subset-writer
-                        # shape — still falls back per-code to the
-                        # program; codes neither maps keep latin-1.
-                        ffmap = self._embedded_font_map(f)
-                        if ffmap:
-                            full = dict(ffmap)
-                            full.update(m)
-                            m = full
+                        # custom-encoded subsetted TrueType/CFF/Type1,
+                        # reference main.ts:149 via pdfjs-dist). The
+                        # program is parsed LAZILY on the first code
+                        # the overlay misses — a complete /ToUnicode
+                        # (the common subset-writer shape) never pays
+                        # the parse; a PARTIAL one still falls back
+                        # per-code; codes neither maps keep latin-1.
                         m.update(narrow)  # ToUnicode wins over Differences
-                    dec = m or None
+                        if has_ff:
+                            dec = _LazyProgramMap(
+                                m, lambda f=f: self._embedded_font_map(f)
+                            )
+                        else:
+                            dec = m or None
             if fnum is not None:
                 self._font_dec_cache[fnum] = dec
             if dec is not None:
                 out[str(fname)] = dec
         return out or None
+
+    def _has_font_file(self, f: dict) -> bool:
+        """Key-presence probe (no stream decode, no parse) — gates the
+        lazy program path and the Symbol-name table (r6 review #5/#6)."""
+        fd = self.resolve(f.get("FontDescriptor"))
+        return isinstance(fd, dict) and any(
+            k in fd for k in ("FontFile2", "FontFile3", "FontFile")
+        )
 
     def _embedded_font_map(self, f: dict) -> dict[int, str] | None:
         """code→unicode fallback parsed from the font's embedded program
@@ -1839,6 +1847,36 @@ class _WideMap(dict):
     extractor consumes show-string bytes pairwise when it sees one."""
 
 
+class _LazyProgramMap(dict):
+    """Override dict whose misses fall back to the font's embedded
+    program map, parsed ON FIRST MISS only (r6 review #5): a subsetted
+    font whose /ToUnicode already covers every shown code — the
+    overwhelmingly common crawl shape — never pays the program
+    decompression/parse. The dict itself holds the overlay
+    (Differences < ToUnicode); the loader result fills gaps UNDER it."""
+
+    __slots__ = ("_loader",)
+
+    def __init__(self, overlay: dict, loader):
+        super().__init__(overlay)
+        self._loader = loader
+
+    def get(self, key, default=None):
+        v = dict.get(self, key)
+        if v is not None:
+            return v
+        if self._loader is not None:
+            loader, self._loader = self._loader, None
+            for k, vv in (loader() or {}).items():
+                if k not in self:  # overlay wins over the program
+                    self[k] = vv
+            return dict.get(self, key, default)
+        return default
+
+    def __bool__(self):  # an empty overlay must still reach the loader
+        return True
+
+
 class _Translate:
     """Sentinel font map: latin-1 decode + one C-level str.translate.
 
@@ -1991,8 +2029,14 @@ def _zapf_dingbats_build() -> dict[int, str]:
         out[0xC0 + k] = chr(0x2780 + k)   # ➀-➉
         out[0xCA + k] = chr(0x278A + k)   # ➊-➓
     out.update({0xD4: "➔", 0xD5: "→", 0xD6: "↔", 0xD7: "↕"})
-    for c in range(0xD8, 0xFF):
-        out[c] = chr(0x2798 + (c - 0xD8))  # ➘..➾
+    # final runs: U+2798-27AF for 0xD8-0xEF, then U+27B1-27BE for
+    # 0xF1-0xFE — position 0xF0 is UNDEFINED in the font (U+27B0 has no
+    # dingbat), so it keeps the latin-1 passthrough like every other
+    # Annex-D-undefined slot (r6 review #3)
+    for c in range(0xD8, 0xF0):
+        out[c] = chr(0x2798 + (c - 0xD8))
+    for c in range(0xF1, 0xFF):
+        out[c] = chr(0x27B1 + (c - 0xF1))
     return out
 
 

@@ -151,7 +151,16 @@ def media_features(media: DataFrame, decode=None,
                     p = bytes(payload)
                     try:
                         res = decode(p, kind)
-                        if isinstance(res, tuple):
+                        # (features, status) pair vs a bare feature
+                        # sequence: a LEGACY/custom codec may return a
+                        # tuple OF floats, so only a 2-tuple whose
+                        # second element is a str is a pair (r6 review
+                        # #4 — anything else would silently turn every
+                        # row into decode_failed)
+                        if (
+                            isinstance(res, tuple) and len(res) == 2
+                            and isinstance(res[1], str)
+                        ):
                             raw_feat, status = res
                         else:
                             raw_feat, status = res, "ok"
@@ -244,7 +253,12 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
                     oh = max(1, int(h * scale))
                     try:
                         res = resize(bytes(payload), w, h, ow, oh)
-                        if isinstance(res, tuple):
+                        # same pair-vs-bare rule as media_features
+                        # (r6 review #4)
+                        if (
+                            isinstance(res, tuple) and len(res) == 2
+                            and isinstance(res[1], str)
+                        ):
                             out, status = bytes(res[0]), res[1]
                         else:
                             out, status = bytes(res), "ok"

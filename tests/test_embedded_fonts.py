@@ -307,3 +307,58 @@ def test_type1_dup_lines_after_eexec_are_ignored():
     poisoned = prog + b"\ndup 66 /Omega put\n"  # after eexec blob
     m = embedded_font_code_to_unicode(poisoned, _glyph_to_char)
     assert m == {65: "α"}
+
+
+def test_zapf_dingbats_0xf0_is_undefined():
+    """r6 review #3: position 0xF0 has no dingbat (U+27B0 is absent
+    from the font) — it keeps latin-1 passthrough; its neighbors map."""
+    from pdf_to_text_spark.kernels.pdf import _base_encoding_overrides
+
+    t = _base_encoding_overrides("ZapfDingbats")
+    assert 0xF0 not in t
+    assert t[0xEF] == "➯" and t[0xF1] == "➱"
+
+
+def test_complete_tounicode_never_parses_program(monkeypatch):
+    """r6 review #5: the program parse is LAZY — a font whose ToUnicode
+    covers every shown code must never decompress/parse the program."""
+    import pdf_to_text_spark.kernels.pdf as P
+
+    def boom(self, f):
+        raise AssertionError("program parsed despite complete ToUnicode")
+
+    cmap = (
+        b"/CIDInit begincmap\n7 beginbfchar\n"
+        + b"".join(b"<%02x> <%04x> \n" % (c, ord(u)) for c, u in
+                   {1: "H", 2: "e", 3: "l", 4: "o", 5: " ", 6: "Δ",
+                    7: "W"}.items())
+        + b"endbfchar\nendcmap"
+    )
+    tu = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    pdf = _pdf_with_font(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /SUBSET+Custom "
+        b"/ToUnicode 8 0 R /FontDescriptor 6 0 R >>",
+        extra=(tu,),
+    )
+    monkeypatch.setattr(P.PDFDocument, "_embedded_font_map", boom)
+    assert P.extract_pdf_text(pdf) == (EXPECT, 1)
+
+
+def test_seam_accepts_tuple_of_floats(spark):
+    """r6 review #4: a legacy codec returning a TUPLE of 16 floats must
+    not be mistaken for a (features, status) pair — pre-fix, every row
+    silently became decode_failed."""
+    from pdf_to_text_spark.operators.multimodal import (
+        media_features,
+        synth_media_df,
+    )
+
+    def tuple_codec(payload: bytes, kind: str):
+        return tuple(float(i) / 16 for i in range(16))
+
+    rows = media_features(
+        synth_media_df(spark, 12), decode=tuple_codec
+    ).collect()
+    ok = [r for r in rows if r.decode_status == "ok"]
+    assert len(ok) >= 10  # every non-null row
+    assert all(len(r.feature) == 16 for r in ok)

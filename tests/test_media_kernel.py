@@ -116,3 +116,55 @@ def test_bilinear_2x_upscale_midpoints():
     out = bilinear_resize(px, 2, 1, 1, 4, 1)
     # src positions: -0.25(clamp 0), 0.25, 0.75, 1.25(clamp into edge)
     assert list(out) == [0, 25, 75, 100]
+
+
+def test_png_inflate_bomb_capped():
+    """r6 review #1 (confirmed experimentally pre-fix): an IDAT that
+    inflates far past the declared geometry must be rejected WITHOUT
+    materializing the inflated bytes — a 1x1 image whose IDAT holds
+    200 MB of zeros decodes in O(declared size), raising."""
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    bomb = zlib.compress(b"\x00" * 200_000_000, 9)  # ~190 KB compressed
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    assert len(data) < 300_000
+    import time
+    t0 = time.perf_counter()
+    with pytest.raises(MediaDecodeError):
+        decode_png(data)
+    assert time.perf_counter() - t0 < 2.0  # never inflated the 200 MB
+
+
+def test_png_pixel_count_cap():
+    ihdr = struct.pack(">IIBBBBB", 3000, 3000, 8, 2, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError):  # 9 MP > MAX_PIXELS
+        decode_png(data)
+
+
+def test_wav_sample_cap():
+    """r6 review #2: a forged data-chunk length must not materialize an
+    unbounded Python int list (~28 bytes/sample amplification)."""
+    frames = b"\x00\x00" * 4_100_000  # just past MAX_SAMPLES
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
