@@ -179,14 +179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_redact_pii(spark, sf):
         """PII scrubbing over crafted rows (the corpus carries no PII, so
-        the gate exercises real matches) — same regexes both engines."""
-        rows = [
-            (1, "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
-            (2, "server at 192.168.1.100 logged jane@sub.domain.org twice"),
-            (3, "no sensitive content here at all"),
-            (4, "edge: a@b.io x@y.z 10.0.0.1 555-123-4567 999.999.999.999"),
-        ]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
+        the gate exercises real matches) — same regexes both engines.
+        r6: 150 generated rows (sources/crafted.py) instead of 4
+        hand-listed ones; same edge classes, real volume."""
+        from pdf_to_text_spark.sources.crafted import pii_rows
+
+        df = spark.createDataFrame(pii_rows(), "doc_id long, text string")
         return text_analysis.redact_pii(df)
 
     def q_repetition_stats(spark, sf):
@@ -231,29 +229,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_strip_duplicate_lines(spark, sf):
         """C4-style global line dedup over crafted multi-line docs (the
         synthetic corpus is single-line and dup-free, so the gate uses
-        rows that exercise drops, short-line keeps, and reassembly)."""
-        rows = [
-            (1, "alpha one two three four five\nshared boilerplate line repeated here\nend of doc one"),
-            (2, "shared boilerplate line repeated here\nbravo six seven eight nine ten\nshort line"),
-            (3, "short line\nshared boilerplate line repeated here"),
-            (4, "charlie text eleven twelve thirteen fourteen"),
-        ]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rows that exercise drops, short-line keeps, and reassembly).
+        r6: 120 generated rows (sources/crafted.py) — corpus-hot
+        boilerplate, always-kept short lines, docs that empty."""
+        from pdf_to_text_spark.sources.crafted import dup_line_rows
+
+        df = spark.createDataFrame(dup_line_rows(), "doc_id long, text string")
         return dedup.strip_duplicate_lines(df, min_words=5)
 
     def q_strip_duplicate_substrings(spark, sf):
         """ExactSubstr-style k-token duplicate-span removal (Lee et al.
         ACL'22) over crafted docs: cross-doc repeats, intra-doc repeats,
-        short docs, and a fully-duplicate doc that empties."""
-        rows = [
-            (1, "intro zero b0 b1 b2 b3 b4 b5 tail zero"),
-            (2, "intro one b0 b1 b2 b3 b4 b5 end one"),
-            (3, "totally unique text that is not repeated"),
-            (4, "short doc"),
-            (5, "b0 b1 b2 b3 b4 b5"),
-            (6, "r0 r1 r2 r3 r4 r5 pad r0 r1 r2 r3 r4 r5"),
-        ]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
+        short docs, and fully-duplicate docs that empty. r6: 120
+        generated rows (sources/crafted.py)."""
+        from pdf_to_text_spark.sources.crafted import dup_span_rows
+
+        df = spark.createDataFrame(dup_span_rows(), "doc_id long, text string")
         return dedup.strip_duplicate_substrings(df, k=6)
 
     def q_near_dup_clusters(spark, sf):
@@ -334,18 +325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.audio_resample_plan(multimodal.synth_media_df(spark, 60))
 
     def q_llm_record_ingest(spark, sf):
+        """r6: 100 generated responses (sources/crafted.py) — fenced/
+        unfenced arrays of 1-3 records, empty arrays, invalid JSON, no
+        JSON — instead of 3 hand-listed rows."""
         from pdf_to_text_spark.operators.records import records_from_llm_responses
+        from pdf_to_text_spark.sources.crafted import llm_response_rows
 
-        rows = [
-            ("u1", 0, 'ok ```json [{"SucursalName":"A","EAN":"111",'
-                      '"CantidadVendida":"2","Importe":"3.50"},'
-                      '{"SucursalName":"B","EAN":"222",'
-                      '"CantidadVendida":"5","Importe":"9.90"}] ```'),
-            ("u1", 1, '[{"SucursalName":"C","EAN":"333",'
-                      '"CantidadVendida":"x","Importe":"y"}]'),
-            ("u2", 0, "no json here at all"),
-        ]
-        df = spark.createDataFrame(rows, "url string, chunk_id int, response string")
+        df = spark.createDataFrame(
+            llm_response_rows(), "url string, chunk_id int, response string"
+        )
         return records_from_llm_responses(df)
 
     def q_streaming_minute_metrics(spark, sf):
@@ -432,15 +420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # values stay off round-half boundaries: Java's %.2f rounds the
         # shortest-repr digits half-up while C printf rounds the exact
         # binary expansion — identical except exactly at .xx5 (that edge
-        # is pinned by the pytest kernel contract instead)
-        rows = [
-            ("d1", 0, 0, 0, 'He said "hi"', "E1", "7", "49.9"),
-            ("d1", 0, 0, 1, "Plain", "E2", "xx", "junk"),
-            ("d1", 0, 1, 0, "Trunc", "E3", "3.9", "12.344"),
-            ("d2", 0, 0, 0, "Neg", "E4", "-5", "-1.01"),
-        ]
+        # is pinned by the pytest kernel contract instead). r6: 120
+        # generated rows (sources/crafted.py) over 9 documents.
+        from pdf_to_text_spark.sources.crafted import csv_record_rows
+
         df = spark.createDataFrame(
-            rows,
+            csv_record_rows(),
             "url string, chunk_id int, block_pos int, record_pos int, "
             "SucursalName string, EAN string, CantidadVendida string, Importe string",
         )
@@ -515,6 +500,35 @@ _LANG_PROFILES_SQL = {
     "de": "['der','die','und','den','von','zu','das','mit','sich','auf']",
     "fr": "['le','et','les','des','une','dans','est','pour','qui','par']",
 }
+
+
+def _crafted_values(which: str) -> str:
+    """VALUES body for the crafted-input queries — SAME generated rows
+    the Spark side feeds (sources/crafted.py), rendered for DuckDB; the
+    SQL logic on top stays fully independent (r6, VERDICT r5 #4: the
+    4-6 hand-listed rows were materially weaker gate evidence)."""
+    from pdf_to_text_spark.sources.crafted import (
+        dup_line_rows,
+        dup_span_rows,
+        pii_rows,
+        render_values,
+    )
+
+    from pdf_to_text_spark.sources.crafted import (
+        csv_record_rows,
+        llm_response_rows,
+        render_values_mixed,
+    )
+
+    if which in ("csv", "llm"):
+        rows_m = csv_record_rows() if which == "csv" else llm_response_rows()
+        return render_values_mixed(rows_m)
+    rows = {
+        "pii": pii_rows,
+        "lines": dup_line_rows,
+        "spans": dup_span_rows,
+    }[which]()
+    return render_values(rows)
 
 
 def oracle_sql(_only: set | None = None) -> dict[str, str]:
@@ -728,14 +742,9 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
               WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
             GROUP BY l_returnflag ORDER BY l_returnflag
         """,
-        "strip_duplicate_substrings": r"""
+        "strip_duplicate_substrings": rf"""
             WITH t(doc_id, text) AS (VALUES
-              (1, 'intro zero b0 b1 b2 b3 b4 b5 tail zero'),
-              (2, 'intro one b0 b1 b2 b3 b4 b5 end one'),
-              (3, 'totally unique text that is not repeated'),
-              (4, 'short doc'),
-              (5, 'b0 b1 b2 b3 b4 b5'),
-              (6, 'r0 r1 r2 r3 r4 r5 pad r0 r1 r2 r3 r4 r5')),
+              {_crafted_values('spans')}),
             w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS ws FROM t),
             toks AS (
               SELECT doc_id, pos, word FROM (
@@ -838,10 +847,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         """,
         "redact_pii": f"""
             WITH t(doc_id, text) AS (VALUES
-              (1, 'contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now'),
-              (2, 'server at 192.168.1.100 logged jane@sub.domain.org twice'),
-              (3, 'no sensitive content here at all'),
-              (4, 'edge: a@b.io x@y.z 10.0.0.1 555-123-4567 999.999.999.999'))
+              {_crafted_values('pii')})
             SELECT doc_id::bigint AS doc_id,
                    {pii_counts},
                    {pii_redacted} AS redacted_text
@@ -895,16 +901,9 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
                    min(doc_id) AS rep_doc_id, count(*) AS group_size
             FROM documents GROUP BY 1
         """,
-        "strip_duplicate_lines": r"""
+        "strip_duplicate_lines": rf"""
             WITH t(doc_id, text) AS (VALUES
-              (1, 'alpha one two three four five' || chr(10) ||
-                  'shared boilerplate line repeated here' || chr(10) ||
-                  'end of doc one'),
-              (2, 'shared boilerplate line repeated here' || chr(10) ||
-                  'bravo six seven eight nine ten' || chr(10) || 'short line'),
-              (3, 'short line' || chr(10) ||
-                  'shared boilerplate line repeated here'),
-              (4, 'charlie text eleven twelve thirteen fourteen')),
+              {_crafted_values('lines')}),
             ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
             lines AS (
               SELECT doc_id, i::int AS pos, ls[i + 1] AS line
@@ -983,13 +982,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         """,
         "llm_record_ingest": r"""
             WITH resp(url, chunk_id, response) AS (VALUES
-              ('u1', 0, 'ok ```json [{"SucursalName":"A","EAN":"111",' ||
-                        '"CantidadVendida":"2","Importe":"3.50"},' ||
-                        '{"SucursalName":"B","EAN":"222",' ||
-                        '"CantidadVendida":"5","Importe":"9.90"}] ```'),
-              ('u1', 1, '[{"SucursalName":"C","EAN":"333",' ||
-                        '"CantidadVendida":"x","Importe":"y"}]'),
-              ('u2', 0, 'no json here at all')),
+              """ + _crafted_values("llm") + r"""),
             ext AS (SELECT url, chunk_id,
               trim(CASE WHEN regexp_extract(response, '```json([\s\S]+?)```', 1) <> ''
                    THEN regexp_extract(response, '```json([\s\S]+?)```', 1)
@@ -1008,16 +1001,19 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
                    rec.CantidadVendida AS CantidadVendida, rec.Importe AS Importe
             FROM good
             UNION ALL
-            SELECT url, chunk_id, NULL::int, 0, NULL, NULL, NULL, NULL
-            FROM parsed WHERE recs IS NULL
+            -- marker rows: invalid JSON (parse_ok=0) AND valid EMPTY
+            -- arrays (parse_ok=1) — Spark's posexplode_outer emits one
+            -- null row for empty arrays too (pinned in
+            -- tests/test_llm_responses.py; r6 generator adds [] rows)
+            SELECT url, chunk_id, NULL::int,
+                   CASE WHEN recs IS NULL THEN 0 ELSE 1 END,
+                   NULL, NULL, NULL, NULL
+            FROM parsed WHERE recs IS NULL OR len(recs) = 0
         """,
-        "csv_serialization": r"""
+        "csv_serialization": rf"""
             WITH recs(url, chunk_id, block_pos, record_pos,
                       SucursalName, EAN, CantidadVendida, Importe) AS (VALUES
-              ('d1', 0, 0, 0, 'He said "hi"', 'E1', '7', '49.9'),
-              ('d1', 0, 0, 1, 'Plain', 'E2', 'xx', 'junk'),
-              ('d1', 0, 1, 0, 'Trunc', 'E3', '3.9', '12.344'),
-              ('d2', 0, 0, 0, 'Neg', 'E4', '-5', '-1.01')),
+              {_crafted_values('csv')}),
             lines AS (SELECT url, chunk_id, block_pos, record_pos,
               '"' || SucursalName || '","' || EAN || '",' ||
               coalesce(try_cast(regexp_extract(CantidadVendida,
@@ -1029,7 +1025,10 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             SELECT url,
                    'SucursalName,EAN,CantidadVendida,Importe' || chr(10) ||
                    string_agg(line, chr(10)
-                     ORDER BY chunk_id, block_pos, record_pos) AS csv
+                     -- line as final tiebreaker mirrors Spark's
+                     -- sort_array(struct(ord, line)) exactly; keys are
+                     -- unique per url by construction, this is defense
+                     ORDER BY chunk_id, block_pos, record_pos, line) AS csv
             FROM lines GROUP BY url
         """,
     }
