@@ -508,15 +508,12 @@ def _crafted_values(which: str) -> str:
     SQL logic on top stays fully independent (r6, VERDICT r5 #4: the
     4-6 hand-listed rows were materially weaker gate evidence)."""
     from pdf_to_text_spark.sources.crafted import (
+        csv_record_rows,
         dup_line_rows,
         dup_span_rows,
+        llm_response_rows,
         pii_rows,
         render_values,
-    )
-
-    from pdf_to_text_spark.sources.crafted import (
-        csv_record_rows,
-        llm_response_rows,
         render_values_mixed,
     )
 

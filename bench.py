@@ -27,16 +27,17 @@ def _force(df) -> int:
     return 0
 
 
-def _machine_ceiling(pages_path: str, procs: int, n_docs: int = 8000) -> float:
+def _machine_ceiling(payloads: list, procs: int, n_docs: int = 8000) -> float:
     """Same-window no-Spark control: the identical kernel through a bare
     multiprocessing.Pool (docs/sec). Recorded alongside the Spark number
     so the JSON artifact is self-interpreting on this shared VM (VERDICT
     r3 #8): extraction_docs_per_sec moves 2-3× with host tenancy, but
     the spark/ceiling ratio isolates what the ENGINE adds on top of what
-    the machine gives the kernel in the same window."""
-    from bench.scaling import load_pool_payloads, pool_throughput
+    the machine gives the kernel in the same window. `payloads` is the
+    window-classification sample, reused — no second parquet scan."""
+    from bench.scaling import pool_throughput
 
-    return pool_throughput(load_pool_payloads(pages_path, n_docs), procs)
+    return pool_throughput(payloads[:n_docs], procs)
 
 
 def _classify_window(pages_path: str) -> dict:
@@ -50,10 +51,14 @@ def _classify_window(pages_path: str) -> dict:
     recorded artifact is then self-interpreting instead of silently
     recording whatever the host happened to be doing (BENCH_r05's
     26.13s "regression" was exactly that)."""
-    from bench.scaling import DEGRADED_CONTROL_EFF, _pool_control
+    from bench.scaling import DEGRADED_CONTROL_EFF, load_pool_payloads, pool_throughput
 
     retries = int(os.environ.get("PTS_BENCH_RETRIES", "2"))
     cooldown = int(os.environ.get("PTS_BENCH_COOLDOWN", "150"))
+    # one parquet scan for every retry attempt AND the later machine-
+    # ceiling marker — re-reading 24k payloads per attempt only lengthened
+    # exactly the degraded windows where the box was already struggling
+    payloads = load_pool_payloads(pages_path)
     attempts = []
     for attempt in range(1 + max(0, retries)):
         if attempt:
@@ -63,15 +68,18 @@ def _classify_window(pages_path: str) -> dict:
                 f"(attempt {attempt + 1})", file=sys.stderr,
             )
             time.sleep(cooldown)
-        control = _pool_control(pages_path, 4, 16)
-        attempts.append(control["efficiency"])
-        if control["efficiency"] >= DEGRADED_CONTROL_EFF:
+        t_low = pool_throughput(payloads, 4)   # low first — same order
+        t_high = pool_throughput(payloads, 16)  # as scaling._pool_control
+        eff = (t_high / t_low) / 4.0
+        attempts.append(eff)
+        if eff >= DEGRADED_CONTROL_EFF:
             break
     eff = attempts[-1]
     return {
         "window_control_eff": round(eff, 3),
         "window_control_attempts": [round(a, 3) for a in attempts],
         "degraded": eff < DEGRADED_CONTROL_EFF,
+        "_payloads": payloads,
     }
 
 
@@ -81,7 +89,8 @@ def _extraction_16c_anchor(pages_path: str, reps: int = 2) -> dict:
     bound kernels regress 32-wide). Recorded beside the in-session
     local[cpus] number so round-over-round movement can be judged at
     the parallelism level where the machine, not the scheduler, is the
-    ceiling (VERDICT r5 #1)."""
+    ceiling (VERDICT r5 #1). Reps via PTS_BENCH_16C_REPS (defaults to
+    PTS_BENCH_REPS; 0 skips the anchor entirely)."""
     from bench.scaling import run_once
 
     best = None
@@ -179,6 +188,7 @@ def main() -> int:
     # window classification BEFORE the timed region (r6: the self-gating
     # protocol from bench/scaling.py --auto; retries on a degraded host)
     window = _classify_window(str(pages_path))
+    pool_payloads = window.pop("_payloads")  # reused by the ceiling marker
     print(f"window control {window['window_control_eff']} "
           f"degraded={window['degraded']}", file=sys.stderr)
 
@@ -223,12 +233,19 @@ def main() -> int:
     extras["extraction_docs"] = n_extracted
     # same-window tenancy marker (no Spark): lets the recorded artifact
     # separate engine movement from host movement between rounds
-    ceiling = _machine_ceiling(str(pages_path), cpus)
+    ceiling = _machine_ceiling(pool_payloads, cpus)
     extras["ceiling_docs_per_sec"] = round(ceiling, 2)
     extras["spark_vs_ceiling"] = round(
         extras["extraction_docs_per_sec"] / ceiling, 3
     )
-    extras.update(_extraction_16c_anchor(str(pages_path)))
+    # the 16c anchor spawns its OWN cold JVM — stop this session first so
+    # the resident local[cpus] heap + worker pool can't depress it (the
+    # standalone BENCH/BASELINE.md runs it cites have no other session
+    # alive); nothing below needs `spark`
+    spark.stop()
+    reps16 = int(os.environ.get("PTS_BENCH_16C_REPS", str(max(1, reps))))
+    if reps16 > 0:
+        extras.update(_extraction_16c_anchor(str(pages_path), reps=reps16))
 
     out = {
         "metric": "headline_suite_seconds",
@@ -242,7 +259,6 @@ def main() -> int:
         **extras,
     }
     print(json.dumps(out))
-    spark.stop()
     return 0
 
 

@@ -194,12 +194,19 @@ def _rewrite_tally(text: str) -> str:
     rows = [l for l in lines if l.startswith("| AW-")]
     cells = [[c.strip() for c in r.split("|")[1:-1]] for r in rows]
     ok = [c for c in cells if len(c) > 8 and c[7] == "ok"]
+    # count skips by the GATE column: single-window mode (skip_degraded
+    # False) appends degraded rows whose Spark reps DID run (gate miss/
+    # PASS) — lumping those under "degraded-skipped" by class would be
+    # the hand-vs-derived drift this function exists to prevent
+    skipped = [c for c in cells if len(c) > 8 and c[8] == "skipped"]
+    ran_degraded = len(rows) - len(ok) - len(skipped)
     passes = [c for c in cells if len(c) > 8 and c[8] == "PASS"]
     pass_ids = ", ".join(f"{c[0]} ({c[5]})" for c in passes) or "none"
     tally = (
         f"{TALLY_PREFIX} {len(rows)} windows, {len(ok)} non-degraded, "
-        f"{len(rows) - len(ok)} degraded-skipped; {len(passes)} median "
-        f"PASSes: {pass_ids}."
+        f"{len(skipped)} degraded-skipped"
+        + (f", {ran_degraded} degraded-but-run" if ran_degraded else "")
+        + f"; {len(passes)} median PASSes: {pass_ids}."
     )
     out: list[str] = []
     skip_blank = False

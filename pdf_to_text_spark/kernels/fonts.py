@@ -12,9 +12,10 @@ the least visible because it produces no countable status).
 
 Everything here implements PUBLIC specs only:
 
-* TrueType/OpenType sfnt + `cmap` subtable formats 0/4/6 + `post`
+* TrueType/OpenType sfnt + `cmap` subtable formats 0/4/6/12 + `post`
   table v1.0/v2.0 (Apple TrueType Reference Manual; Microsoft
-  OpenType spec §cmap/§post).
+  OpenType spec §cmap/§post); (3,10) UCS-4 tables rank just below
+  (3,1) BMP ones.
 * CFF INDEX / Top DICT / charset / Encoding structures and the 391
   standard strings (Adobe Technical Note #5176, "The Compact Font
   Format Specification", Appendix A).
@@ -232,7 +233,28 @@ def _parse_cmap_subtable(sub: bytes) -> dict[int, int] | None:
                 if g:
                     out[c] = g
         return out or None
-    return None  # formats 2/12/13/14: not needed for simple 8-bit fonts
+    if fmt == 12:
+        # segmented coverage (u32 codes) — modern subsetters often emit
+        # ONLY a (3,10)/(0,4) format-12 table, no format 4 alongside
+        if len(sub) < 16:
+            return None
+        (n_groups,) = struct.unpack_from(">I", sub, 12)
+        if len(sub) < 16 + 12 * n_groups:
+            n_groups = (len(sub) - 16) // 12  # truncated: keep whole groups
+        total = 0
+        for i in range(n_groups):
+            start_c, end_c, start_g = struct.unpack_from(">III", sub, 16 + 12 * i)
+            if start_c > end_c:
+                continue
+            total += end_c - start_c + 1
+            if total > _MAX_CMAP_ENTRIES:
+                return out or None  # malformed group sprawl: keep what we have
+            for c in range(start_c, end_c + 1):
+                g = start_g + (c - start_c)
+                if 0 < g <= 0xFFFF:  # sfnt glyph ids are u16; don't mask
+                    out[c] = g
+        return out or None
+    return None  # formats 2/13/14: not needed for simple 8-bit fonts
 
 
 def _cmap_subtables(cmap: bytes) -> dict[tuple[int, int], dict[int, int]]:
@@ -290,7 +312,9 @@ def _truetype_code_to_unicode(
     subs = _cmap_subtables(tables.get(b"cmap", b""))
     if not subs:
         return None
-    uni_sub = subs.get((3, 1)) or next(
+    # (3,10) is the UCS-4 Windows table (format 12) modern subsetters
+    # emit, sometimes WITHOUT a (3,1) BMP table beside it (r6)
+    uni_sub = subs.get((3, 1)) or subs.get((3, 10)) or next(
         (m for (p, _e), m in subs.items() if p == 0), None
     )
     sym_sub = subs.get((3, 0))

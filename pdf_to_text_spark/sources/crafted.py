@@ -118,9 +118,10 @@ def csv_record_rows(n: int = N_CSV_RECORDS) -> list[tuple]:
     """(url, chunk_id, block_pos, record_pos, SucursalName, EAN,
     CantidadVendida, Importe) rows exercising the reference's CSV
     quirks at volume: embedded quotes, junk numerics, negatives,
-    leading whitespace, scientific notation. Importe always carries
-    exactly two decimals so %.2f needs no rounding (the .xx5 half-even
-    edge is pinned by the pytest kernel contract instead)."""
+    leading whitespace, scientific notation, and THREE-decimal values
+    whose last digit is 4 — %.2f must round them, but safely off the
+    .xx5 half boundary where Java and C printf diverge (that edge is
+    pinned by the pytest kernel contract instead)."""
     rows: list[tuple] = []
     for i in range(n):
         url = f"d{i % 9}"
@@ -142,7 +143,7 @@ def csv_record_rows(n: int = N_CSV_RECORDS) -> list[tuple]:
         ][k]
         qty = [str(i % 40), "xx", f"  {i % 9}", str(-(i % 7)), f"{i % 5}.9", ""][k]
         imp = [
-            f"{(i * 7) % 500}.{(i * 13) % 100:02d}",
+            f"{(i * 7) % 500}.{(i * 13) % 100:02d}4",
             "junk",
             f"-{(i * 3) % 90}.{(i * 17) % 100:02d}",
             f"  {(i * 11) % 40}.{(i * 23) % 100:02d}",

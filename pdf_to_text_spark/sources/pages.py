@@ -24,7 +24,7 @@ SEED = 42
 # Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
 # cache directories embed it, so a stale cache can't silently serve the
 # previous round's corpus (r4 review; replaces the manual delete step).
-PAGES_GEN = 8
+PAGES_GEN = 9
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle
@@ -111,7 +111,8 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
 
             kind = [
                 "truetype", "cff", "type1", "truetype_symbol", "type1_pfb",
-            ][(i // 270) % 5]
+                "truetype_f12",  # r6: (3,10)-only format-12 cmap
+            ][(i // 270) % 6]
             return url, ts, embedded_font_pdf(kind), None, lang
         if i % 270 == 102:
             # ~0.4% damaged-but-COMPLETE PDFs (a real crawl's broken

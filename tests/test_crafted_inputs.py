@@ -83,6 +83,21 @@ def test_render_values_roundtrips_through_duckdb():
     assert duckdb.sql(sql2).fetchall() == mixed
 
 
+def test_csv_rounding_class_present_and_keys_unique():
+    rows = csv_record_rows()
+    # three-decimal Importe values force %.2f rounding, last digit 4
+    # keeps them off the .xx5 half boundary where the engines diverge
+    three_dec = [r for r in rows if r[7].count(".") == 1
+                 and r[7].split(".")[1].isdigit()
+                 and len(r[7].split(".")[1]) == 3]
+    assert three_dec and all(r[7].endswith("4") for r in three_dec)
+    # (url, chunk, block, rec) unique: duplicate sort keys would make
+    # Spark's sort_array (ties by line text) and DuckDB's string_agg
+    # (ties by input order) hash-diverge
+    keys = [(r[0], r[1], r[2], r[3]) for r in rows]
+    assert len(set(keys)) == len(keys)
+
+
 def test_llm_response_classes_present():
     texts = [t for _u, _c, t in llm_response_rows()]
     assert any(t.startswith("Here are the records: ```json") for t in texts)

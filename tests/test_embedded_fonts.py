@@ -36,7 +36,9 @@ EXPECT = "Hello ΔW"
 # ── end-to-end through the PDF kernel ────────────────────────────────────────
 
 
-@pytest.mark.parametrize("kind", ["truetype", "truetype_symbol", "cff"])
+@pytest.mark.parametrize(
+    "kind", ["truetype", "truetype_symbol", "truetype_f12", "cff"]
+)
 def test_embedded_font_extracts_real_text(kind):
     assert extract_pdf_text(embedded_font_pdf(kind)) == (EXPECT, 1)
 
@@ -166,6 +168,50 @@ def test_format4_idrangeoffset_path():
     # gid 15 = (10+5): mac order index 15 = comma; gid 17 = period
     assert MAC_GLYPH_ORDER[15] == "comma" and MAC_GLYPH_ORDER[17] == "period"
     assert m == {0x41: ",", 0x43: "."}
+
+
+def test_format12_ucs4_only_font():
+    """A (3,10)-only format-12 cmap (what modern subsetters emit when
+    they skip the BMP table) must decode; gids past u16 are skipped,
+    not masked."""
+    groups = [
+        (0x41, 0x43, 15),       # A..C → gids 15..17 (comma/hyphen/period)
+        (0x10400, 0x10400, 6),  # supplementary-plane code: ignored at
+        (0x44, 0x44, 0x10005),  # 8-bit decode; malformed u32 gid skipped
+    ]
+    body = b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    sub = struct.pack(">HHIII", 12, 0, 16 + len(body), 0, len(groups)) + body
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    m = embedded_font_code_to_unicode(_manual_sfnt({b"cmap": cmap, b"post": post}),
+                                      _glyph_to_char)
+    assert MAC_GLYPH_ORDER[15] == "comma" and MAC_GLYPH_ORDER[17] == "period"
+    assert m == {0x41: ",", 0x42: "-", 0x43: "."}
+
+
+def test_format12_group_sprawl_is_capped():
+    """A malformed group spanning the whole u32 space keeps the entries
+    parsed so far instead of materializing 2^32 codes."""
+    groups = [(0x41, 0x41, 15), (0x100, 0xFFFFFFF0, 1)]
+    body = b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    sub = struct.pack(">HHIII", 12, 0, 16 + len(body), 0, len(groups)) + body
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    m = embedded_font_code_to_unicode(_manual_sfnt({b"cmap": cmap, b"post": post}),
+                                      _glyph_to_char)
+    assert m == {0x41: ","}
+
+
+def test_format12_truncated_groups_keep_whole_prefix():
+    """nGroups claiming more than the table holds → parse only the
+    complete groups."""
+    body = struct.pack(">III", 0x41, 0x41, 15) + b"\x00\x00"  # half a group
+    sub = struct.pack(">HHIII", 12, 0, 16 + len(body), 0, 2) + body
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    m = embedded_font_code_to_unicode(_manual_sfnt({b"cmap": cmap, b"post": post}),
+                                      _glyph_to_char)
+    assert m == {0x41: ","}
 
 
 def _manual_sfnt(tables):

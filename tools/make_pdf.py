@@ -895,6 +895,20 @@ def _cmap_format4(mapping: dict[int, int]) -> bytes:
     return struct.pack(">HHHHHHH", 4, 14 + len(body), 0, n * 2, 2, 1, 0) + body
 
 
+def _cmap_format12(mapping: dict[int, int]) -> bytes:
+    """Segmented-coverage groups; consecutive codes with consecutive
+    gids coalesce into one group (the shape real subsetters emit)."""
+    groups: list[list[int]] = []
+    for cp in sorted(mapping):
+        g = mapping[cp]
+        if groups and cp == groups[-1][1] + 1 and g == groups[-1][2] + (cp - groups[-1][0]):
+            groups[-1][1] = cp
+        else:
+            groups.append([cp, cp, g])
+    body = b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    return struct.pack(">HHIII", 12, 0, 16 + len(body), 0, len(groups)) + body
+
+
 def _cmap_table(subtables: list[tuple[int, int, bytes]]) -> bytes:
     head = struct.pack(">HH", 0, len(subtables))
     off = 4 + 8 * len(subtables)
@@ -928,13 +942,14 @@ def _post_v2(glyph_names: list[str | None]) -> bytes:
 
 def build_truetype_font_program(
     code_names: dict[int, str | None], uni_map: dict[int, int] | None = None,
-    *, symbol: bool = False,
+    *, symbol: bool = False, uni_fmt12: bool = False,
 ) -> bytes:
     """sfnt with cmap + post v2.0. Codes map to gids 1..n in sorted
     order; `code_names[c]` is the post glyph name (None = nameless —
     resolvable only through `uni_map`, {codepoint: code}, which becomes
-    a (3,1) format-4 subtable). `symbol` swaps the byte subtable for a
-    (3,0) format 4 at 0xF000|code."""
+    a (3,1) format-4 subtable — or, with `uni_fmt12`, a (3,10) UCS-4
+    format-12 subtable, the shape modern subsetters emit). `symbol`
+    swaps the byte subtable for a (3,0) format 4 at 0xF000|code."""
     codes = sorted(code_names)
     gid_of = {c: i + 1 for i, c in enumerate(codes)}
     if symbol:
@@ -946,9 +961,11 @@ def build_truetype_font_program(
         ))
     subtables = [byte_sub]
     if uni_map:
-        subtables.append(
-            (3, 1, _cmap_format4({cp: gid_of[c] for cp, c in uni_map.items()}))
-        )
+        uni = {cp: gid_of[c] for cp, c in uni_map.items()}
+        if uni_fmt12:
+            subtables.append((3, 10, _cmap_format12(uni)))
+        else:
+            subtables.append((3, 1, _cmap_format4(uni)))
     names: list[str | None] = [".notdef"] + [code_names[c] for c in codes]
     return _sfnt({
         b"cmap": _cmap_table(subtables),
@@ -1089,6 +1106,17 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
     elif kind == "truetype_symbol":
         prog = build_truetype_font_program(
             _EMBEDDED_NAMES, uni_map={0x0394: 6}, symbol=True
+        )
+        ff_key, ff_extra = b"/FontFile2", b""
+        subtype = b"/TrueType"
+    elif kind == "truetype_f12":
+        # ALL glyphs nameless: the only route to text is the (3,10)
+        # format-12 table through the reverse-unicode fallback (r6)
+        prog = build_truetype_font_program(
+            {c: None for c in _EMBEDDED_NAMES},
+            uni_map={0x48: 1, 0x65: 2, 0x6C: 3, 0x6F: 4, 0x20: 5,
+                     0x0394: 6, 0x57: 7},
+            uni_fmt12=True,
         )
         ff_key, ff_extra = b"/FontFile2", b""
         subtype = b"/TrueType"
@@ -1314,6 +1342,7 @@ FIXTURES = {
     "embedded_cff": lambda: embedded_font_pdf("cff"),
     "embedded_type1": lambda: embedded_font_pdf("type1"),
     "embedded_type1_pfb": lambda: embedded_font_pdf("type1_pfb"),
+    "embedded_truetype_f12": lambda: embedded_font_pdf("truetype_f12"),
     # round 5: predefined CMap outside both decodable families (JIS X
     # 0212 supplement — genuinely needs Adobe's tables) stays the
     # countable unsupported_cmap representative
