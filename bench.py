@@ -51,7 +51,7 @@ def _classify_window(pages_path: str) -> dict:
     recorded artifact is then self-interpreting instead of silently
     recording whatever the host happened to be doing (BENCH_r05's
     26.13s "regression" was exactly that)."""
-    from bench.scaling import DEGRADED_CONTROL_EFF, load_pool_payloads, pool_throughput
+    from bench.scaling import DEGRADED_CONTROL_EFF, _pool_control, load_pool_payloads
 
     retries = int(os.environ.get("PTS_BENCH_RETRIES", "2"))
     cooldown = int(os.environ.get("PTS_BENCH_COOLDOWN", "150"))
@@ -68,9 +68,7 @@ def _classify_window(pages_path: str) -> dict:
                 f"(attempt {attempt + 1})", file=sys.stderr,
             )
             time.sleep(cooldown)
-        t_low = pool_throughput(payloads, 4)   # low first — same order
-        t_high = pool_throughput(payloads, 16)  # as scaling._pool_control
-        eff = (t_high / t_low) / 4.0
+        eff = _pool_control(pages_path, 4, 16, payloads=payloads)["efficiency"]
         attempts.append(eff)
         if eff >= DEGRADED_CONTROL_EFF:
             break
@@ -79,7 +77,10 @@ def _classify_window(pages_path: str) -> dict:
         "window_control_eff": round(eff, 3),
         "window_control_attempts": [round(a, 3) for a in attempts],
         "degraded": eff < DEGRADED_CONTROL_EFF,
-        "_payloads": payloads,
+        # keep only what the ceiling marker slices — holding all ~24k
+        # payloads (~150 MB) resident through the timed Spark region
+        # would change the measurement environment vs rounds 1-5
+        "_payloads": payloads[:8000],
     }
 
 

@@ -140,13 +140,20 @@ def pool_throughput(payloads: list, procs: int) -> float:
     return len(payloads) / dt
 
 
-def _pool_control(pages_path: str, low: int, high: int, n_docs: int = 24000) -> dict:
+def _pool_control(
+    pages_path: str, low: int, high: int, n_docs: int = 24000,
+    payloads: list | None = None,
+) -> dict:
     """Bare multiprocessing control: the same kernel with NO Spark.
 
     Separates engine overhead from machine ceiling — if a plain process
     pool can't scale this workload on this box, no executor layout can.
+    `payloads` lets a caller that already holds the sample (bench.py's
+    retry loop) skip the parquet re-scan — and keeps the efficiency
+    formula in exactly one place.
     """
-    payloads = load_pool_payloads(pages_path, n_docs)
+    if payloads is None:
+        payloads = load_pool_payloads(pages_path, n_docs)
     out = {procs: pool_throughput(payloads, procs) for procs in (low, high)}
     out["efficiency"] = (out[high] / out[low]) / (high / low)
     return out

@@ -244,6 +244,11 @@ def _parse_cmap_subtable(sub: bytes) -> dict[int, int] | None:
         total = 0
         for i in range(n_groups):
             start_c, end_c, start_g = struct.unpack_from(">III", sub, 16 + 12 * i)
+            # u32 field, but Unicode stops at 0x10FFFF — a malformed
+            # group above it would later make chr() raise and void the
+            # WHOLE font map (the kernel's broad except falls back to
+            # latin-1), losing the valid 99% of a mostly-good table
+            end_c = min(end_c, 0x10FFFF)
             if start_c > end_c:
                 continue
             total += end_c - start_c + 1

@@ -202,6 +202,24 @@ def test_format12_group_sprawl_is_capped():
     assert m == {0x41: ","}
 
 
+def test_format12_beyond_unicode_group_cannot_void_the_map():
+    """A malformed group above 0x10FFFF (a u32 field allows it) must not
+    reach chr() later — that ValueError would void the WHOLE font map
+    via the kernel's broad except. The valid groups must survive."""
+    groups = [
+        (0x41, 0x41, 15),
+        (0x110000, 0x110001, 16),   # entirely beyond Unicode: dropped
+        (0x10FFFE, 0x110002, 17),   # straddling: clamped to 0x10FFFF
+    ]
+    body = b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    sub = struct.pack(">HHIII", 12, 0, 16 + len(body), 0, len(groups)) + body
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    m = embedded_font_code_to_unicode(_manual_sfnt({b"cmap": cmap, b"post": post}),
+                                      _glyph_to_char)
+    assert m == {0x41: ","}  # parsed, not latin-1 fallback
+
+
 def test_format12_truncated_groups_keep_whole_prefix():
     """nGroups claiming more than the table holds → parse only the
     complete groups."""
