@@ -1,0 +1,79 @@
+"""Adversarial fuzzing of the round-6 media codecs.
+
+`decode_png` / `decode_wav` run inside executor Pandas UDFs over
+arbitrary binary columns, so their contract mirrors the PDF kernel's:
+any input either decodes or raises the typed `MediaDecodeError` fast —
+never a foreign exception, never a hang, never a memory bomb (the
+directed cap tests pin the bomb sizes; fuzzing pins the exception
+surface and termination on arbitrary shapes).
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_to_text_spark.kernels.media import (
+    PNG_MAGIC,
+    MediaDecodeError,
+    decode_png,
+    decode_wav,
+    encode_png,
+)
+from tools.make_media import media_audio, media_image
+
+
+def _try_png(data: bytes):
+    try:
+        w, h, ch, pixels = decode_png(data)
+        assert w > 0 and h > 0 and ch in (1, 2, 3, 4) and len(pixels) == w * h * ch
+    except MediaDecodeError:
+        pass
+
+
+def _try_wav(data: bytes):
+    try:
+        rate, nch, samples = decode_wav(data)
+        assert rate > 0 and nch > 0
+        assert all(-32768 <= s <= 32767 for s in samples[:64])
+    except MediaDecodeError:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_png_fails_typed(junk, where, overwrite):
+    good, _w, _h = media_image(7)
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_png(data)
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_wav_fails_typed(junk, where, overwrite):
+    good, _rate = media_audio(11)
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_wav(data)
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(max_size=2048))
+def test_random_bytes_behind_magics_fail_typed(data):
+    _try_png(PNG_MAGIC + data)
+    _try_wav(b"RIFF" + data[:4].ljust(4, b"\x00") + b"WAVE" + data)
+
+
+@settings(max_examples=60, deadline=2000)
+@given(
+    st.integers(1, 8), st.integers(1, 8), st.sampled_from([1, 2, 3, 4]),
+    st.binary(min_size=1, max_size=256),
+)
+def test_encode_decode_roundtrip_any_pixels(w, h, ch, pix):
+    pix = (pix * (w * h * ch // len(pix) + 1))[: w * h * ch]
+    assert decode_png(encode_png(w, h, ch, pix)) == (w, h, ch, pix)
