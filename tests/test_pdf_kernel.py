@@ -1135,3 +1135,13 @@ def test_incremental_update_reconstruction_newest_root_wins():
     expect = ("new revision text", 1)
     assert extract_pdf_text(good) == expect            # normal load
     assert extract_pdf_text(damaged_pdf(good, "bad_startxref")) == expect
+
+
+def test_type3_font_decodes_via_differences():
+    """r6: /Type3 glyph-proc fonts carry a REQUIRED /Encoding
+    /Differences vector (ISO 32000-1 §9.6.5) and must decode through
+    the ordinary simple-font path — extraction never renders the
+    CharProcs content streams."""
+    from tools.make_pdf import type3_pdf
+
+    assert extract_pdf_text(type3_pdf()) == ("Type 3", 1)

@@ -1151,6 +1151,29 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
     )
 
 
+def type3_pdf() -> bytes:
+    """One page shown through a /Type3 font: glyphs are tiny content
+    streams (/CharProcs), codes map to names ONLY via the required
+    /Encoding /Differences (ISO 32000-1 §9.6.5). Text extraction never
+    renders the glyph procs — the Differences vector is the whole
+    decode path, exactly like any simple font (the reference gets this
+    from pdfjs's shared simple-font evaluator, main.ts:149)."""
+    glyph = b"<< /Length 14 >>\nstream\n0 0 0 0 0 0 d1\nendstream"
+    charprocs = b"<< /T /7 0 R /y /7 0 R /p /7 0 R /e /7 0 R /space /7 0 R /three /7 0 R >>"
+    font_obj = (
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs 6 0 R "
+        b"/Encoding << /Type /Encoding /Differences "
+        b"[65 /T /y /p /e /space /three] >> "
+        b"/FirstChar 65 /LastChar 70 "
+        b"/Widths [600 600 600 600 600 600] >>"
+    )
+    # codes 65..70 → T y p e ' ' 3
+    content = b"BT /F1 12 Tf 72 720 Td (ABCDEF) Tj ET"
+    return build_pdf([content], font_obj=font_obj,
+                     extra_objects=(charprocs, glyph))
+
+
 def incremental_update_xref_stream_pdf() -> bytes:
     """PDF 1.5 file with TWO xref streams: the original (object 6,
     /Root 1 → "old revision text") plus an appended incremental update
@@ -1343,6 +1366,9 @@ FIXTURES = {
     "embedded_type1": lambda: embedded_font_pdf("type1"),
     "embedded_type1_pfb": lambda: embedded_font_pdf("type1_pfb"),
     "embedded_truetype_f12": lambda: embedded_font_pdf("truetype_f12"),
+    # r6: /Type3 glyph-proc fonts decode through the ordinary
+    # /Differences path (extraction never renders the procs)
+    "type3_font": type3_pdf,
     # round 5: predefined CMap outside both decodable families (JIS X
     # 0212 supplement — genuinely needs Adobe's tables) stays the
     # countable unsupported_cmap representative
