@@ -1,6 +1,6 @@
 """Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
 
-PNG and WAV-PCM decode with zero external dependencies, so
+PNG, GIF and WAV-PCM decode with zero external dependencies, so
 `media_features` / `image_resize` compute over REAL pixels and samples
 instead of the contract-sanctioned stub (which remains the fallback for
 formats that genuinely need external libraries — JPEG, MP3, MP4 —
@@ -12,6 +12,11 @@ Public specs implemented:
   bit depth 8, color types 0/2/3/4/6, interlace 0. Adam7 interlacing
   and bit depths 1/2/4/16 are documented scope cuts (rare in crawl
   thumbnails; such files fall back to the stub path).
+* GIF (GIF89a spec): logical screen + image descriptors, global/local
+  color tables, extension-block skip, GIF-variant LZW (LSB-first,
+  CLEAR/EOI, 3..12-bit growing codes — the opposite bit order of the
+  PDF/TIFF LZW in kernels/pdf.py), 4-pass de-interlace, palette→RGB.
+  First frame only (animation is a documented scope cut).
 * WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned and
   16-bit signed little-endian PCM, any channel count.
 
@@ -162,6 +167,134 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             rgb[3 * i : 3 * i + 3] = plte[off : off + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(pixels)
+
+
+# ── GIF decode ───────────────────────────────────────────────────────────────
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/EOI codes, code
+    width grows 3..12 bits as the table fills — the OPPOSITE bit order
+    of the PDF/TIFF LZW in kernels/pdf.py, hence a separate decoder).
+    Output is clamped at `max_out` indices: trailing codes past the
+    declared geometry are ignored rather than ballooning memory."""
+    if not 2 <= min_code_size <= 11:
+        raise MediaDecodeError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise MediaDecodeError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise MediaDecodeError("LZW code out of range")
+            out += entry
+            if len(out) >= max_out:
+                return out
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """GIF bytes → (width, height, 3, RGB pixels) of the FIRST image
+    (animation frames beyond the first are a documented scope cut —
+    frame_sample_plan operates on declared metadata, not re-decode).
+    Interlaced images are de-interlaced; local palettes override the
+    global one. Raises MediaDecodeError outside the profile."""
+    if data[:6] not in GIF_MAGICS or len(data) < 13:
+        raise MediaDecodeError("not a GIF")
+    sw, sh, packed = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise MediaDecodeError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise MediaDecodeError("short image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if w == 0 or h == 0 or w * h > MAX_PIXELS:
+            raise MediaDecodeError("dimension bomb")
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = data[pos : pos + n]
+            pos += n
+        if not pal:
+            raise MediaDecodeError("image without a color table")
+        if pos >= len(data):
+            raise MediaDecodeError("missing LZW data")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+        if len(idx) < w * h:
+            raise MediaDecodeError("short pixel data")
+        if ipacked & 0x40:  # de-interlace: rows arrive in 4 passes
+            rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            deint: list[bytearray | None] = [None] * h
+            for src_row, y in enumerate(order):
+                deint[y] = rows[src_row]
+            idx = bytearray(b"".join(bytes(r) for r in deint))  # type: ignore[arg-type]
+        rgb = bytearray(w * h * 3)
+        npal = len(pal) // 3
+        for i, k in enumerate(idx[: w * h]):
+            if k >= npal:
+                raise MediaDecodeError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = pal[3 * k : 3 * k + 3]
+        return w, h, 3, bytes(rgb)
+    raise MediaDecodeError("no image block before trailer")
 
 
 # ── PNG encode (filter-0 scanlines) ──────────────────────────────────────────

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shape, partition layout,
-byte-capped batching) is REAL and tested; the codec calls themselves are
-deterministic stubs because no image/audio library ships in this sandbox
-(task contract: "STUB the decode step … make the Spark-side plumbing
-real"). Swapping in PIL/librosa is a body-of-one-function change.
+byte-capped batching) is REAL and tested. Since round 6 the codecs are
+REAL too for PNG, GIF and WAV-PCM (kernels/media.py, stdlib-only):
+features/resize compute over actual pixels and samples. Formats whose
+decoders genuinely need external libraries (JPEG, MP3, video
+containers) fall back to the deterministic stub, DECLARED via
+decode_status='stub' (task contract: "STUB the decode step … make the
+Spark-side plumbing real"); swapping in PIL/librosa for those is a
+body-of-one-function change.
 
 Data model: a media table
     (media_id long, kind string[image|audio|video], payload binary,
@@ -84,15 +88,19 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def _decode_real(payload: bytes, kind: str):
-    """Default decode (round 6): REAL stdlib codecs for PNG and WAV,
-    stub for everything else — returns (features, status) where status
-    'ok' means real decoded content and 'stub' declares the sanctioned
-    fallback (observable in the driver gate, not silently green). A
-    recognized-but-malformed payload raises (→ 'decode_failed')."""
+    """Default decode (round 6): REAL stdlib codecs for PNG, GIF and
+    WAV, stub for everything else — returns (features, status) where
+    status 'ok' means real decoded content and 'stub' declares the
+    sanctioned fallback (observable in the driver gate, not silently
+    green). A recognized-but-malformed payload raises
+    (→ 'decode_failed')."""
     from ..kernels import media as M
 
     if payload.startswith(M.PNG_MAGIC):
         w, h, ch, pixels = M.decode_png(payload)
+        return M.image_features(w, h, ch, pixels), "ok"
+    if payload[:6] in M.GIF_MAGICS:
+        w, h, ch, pixels = M.decode_gif(payload)
         return M.image_features(w, h, ch, pixels), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, nch, samples = M.decode_wav(payload)
@@ -208,13 +216,19 @@ def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
 
 
 def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
-    """Default resize (round 6): PNG → real decode + fixed-point
-    bilinear + PNG re-encode ((bytes, 'ok')); non-PNG → stub with the
-    declared 'stub' status. Malformed PNG raises (→ 'decode_failed')."""
+    """Default resize (round 6): PNG/GIF → real decode + fixed-point
+    bilinear + PNG re-encode ((bytes, 'ok'); GIF input re-encodes as
+    RGB PNG — the resize sink normalizes formats, standard vision
+    preprocessing); other formats → stub with the declared 'stub'
+    status. Malformed payloads raise (→ 'decode_failed')."""
     from ..kernels import media as M
 
     if payload.startswith(M.PNG_MAGIC):
         dw, dh, ch, pixels = M.decode_png(payload)
+        out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
+        return M.encode_png(tw, th, ch, out), "ok"
+    if payload[:6] in M.GIF_MAGICS:
+        dw, dh, ch, pixels = M.decode_gif(payload)
         out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
         return M.encode_png(tw, th, ch, out), "ok"
     return _resize_stub(payload, w, h, tw, th), "stub"
@@ -332,13 +346,15 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
 
     Round 6: image rows carry REAL PNGs (filter types 0-4, gray/RGB/
     RGBA/gray-alpha/palette — tools/make_media.py, the independent
-    writer side) and audio rows carry REAL PCM WAVs, so the default
-    decode path computes features over actual pixels/samples. Declared
-    slices keep the other statuses observable: i%17==5 null payloads,
-    i%15==12 non-PNG image bytes ('stub' fallback), i%18==6 corrupt
-    PNGs ('decode_failed'), i%45==13 non-WAV audio bytes ('stub');
-    video payloads stay opaque ('stub' — no stdlib container codec)."""
-    from tools.make_media import corrupt_png, media_audio, media_image
+    writer side) or REAL GIFs (i%12==9 slice: LZW, interlace, local
+    palettes, comment blocks) and audio rows carry REAL PCM WAVs, so
+    the default decode path computes features over actual
+    pixels/samples. Declared slices keep the other statuses observable:
+    i%17==5 null payloads, i%15==12 undecodable image bytes ('stub'
+    fallback), i%18==6 corrupt PNGs ('decode_failed'), i%45==13
+    non-WAV audio bytes ('stub'); video payloads stay opaque ('stub' —
+    no stdlib container codec)."""
+    from tools.make_media import corrupt_png, media_audio, media_gif, media_image
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -356,6 +372,9 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
         elif kind == "image":
             if i % 15 == 12:  # undecodable format → sanctioned stub
                 payload, meta = lattice, (64 + i % 512, 48 + i % 256, None, None)
+            elif i % 12 == 9:  # GIF slice (real decode, r6)
+                gif, w, h = media_gif(i)
+                payload, meta = gif, (w, h, None, None)
             else:
                 png, w, h = media_image(i)
                 if i % 18 == 6:  # recognized-but-malformed → decode_failed

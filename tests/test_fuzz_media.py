@@ -77,3 +77,34 @@ def test_random_bytes_behind_magics_fail_typed(data):
 def test_encode_decode_roundtrip_any_pixels(w, h, ch, pix):
     pix = (pix * (w * h * ch // len(pix) + 1))[: w * h * ch]
     assert decode_png(encode_png(w, h, ch, pix)) == (w, h, ch, pix)
+
+
+def _try_gif(data: bytes):
+    from pdf_to_text_spark.kernels.media import decode_gif
+
+    try:
+        w, h, ch, pixels = decode_gif(data)
+        assert w > 0 and h > 0 and ch == 3 and len(pixels) == w * h * 3
+    except MediaDecodeError:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_gif_fails_typed(junk, where, overwrite):
+    from tools.make_media import media_gif
+
+    good = media_gif(9)[0]
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_gif(data)
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(max_size=2048))
+def test_random_bytes_behind_gif_magic_fail_typed(data):
+    _try_gif(b"GIF89a" + data)
+    _try_gif(b"GIF87a" + data)

@@ -168,3 +168,79 @@ def test_wav_sample_cap():
     body += b"data" + struct.pack("<I", len(frames)) + frames
     with pytest.raises(MediaDecodeError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ── GIF (round 6) ────────────────────────────────────────────────────────────
+
+
+def _tiny_gif(**kw):
+    from tools.make_media import gif_indices_for, gif_palette_for, make_gif
+
+    w, h = 9, 7
+    return make_gif(w, h, gif_indices_for(3, w, h), gif_palette_for(3), **kw), w, h
+
+
+def test_gif_roundtrip_plain_interlaced_local_palette():
+    from pdf_to_text_spark.kernels.media import decode_gif
+    from tools.make_media import gif_indices_for, gif_palette_for
+
+    pal, idx = gif_palette_for(3), gif_indices_for(3, 9, 7)
+    want = b"".join(pal[3 * k : 3 * k + 3] for k in idx)
+    for kw in ({}, {"interlace": True}, {"local_palette": True},
+               {"interlace": True, "local_palette": True, "comment": b"x"}):
+        gif, w, h = _tiny_gif(**kw)
+        assert decode_gif(gif) == (w, h, 3, want), kw
+
+
+def test_gif_dimension_bomb_capped():
+    from pdf_to_text_spark.kernels.media import decode_gif
+
+    gif, _w, _h = _tiny_gif()
+    # rewrite the image descriptor's w/h to a 16 MP frame
+    at = gif.find(b"\x2c")
+    forged = (
+        gif[: at + 5] + struct.pack("<HH", 4000, 4000) + gif[at + 9 :]
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_gif(forged)
+
+
+def test_gif_truncated_lzw_is_short_pixel_data():
+    from pdf_to_text_spark.kernels.media import decode_gif
+
+    gif, _w, _h = _tiny_gif()
+    with pytest.raises(MediaDecodeError):
+        decode_gif(gif[: len(gif) // 2])
+
+
+def test_gif_no_color_table_rejected():
+    from pdf_to_text_spark.kernels.media import decode_gif
+
+    gif, _w, _h = _tiny_gif()
+    # clear the global-color-table flag without supplying a local one
+    mutated = bytearray(gif)
+    mutated[10] &= 0x7F
+    # the (now-orphaned) table bytes are parsed as blocks → typed error
+    with pytest.raises(MediaDecodeError):
+        decode_gif(bytes(mutated))
+
+
+def test_gif_lzw_code_out_of_range_rejected():
+    from pdf_to_text_spark.kernels.media import _gif_lzw_decode
+
+    # width 3 stream: CLEAR(100)=4, then code 7 with an empty table slot
+    # (table holds 0..5 +2 slack): 7 > len(table) → typed error
+    #   bits LSB-first: 100 111 -> 0b00111100 = 0x3C
+    with pytest.raises(MediaDecodeError):
+        _gif_lzw_decode(2, b"\x3c", 100)
+
+
+def test_gif_max_out_clamps_runaway_stream():
+    from pdf_to_text_spark.kernels.media import _gif_lzw_decode
+    from tools.make_media import _gif_lzw_encode
+
+    data = bytes((j * 3) % 4 for j in range(1000))
+    enc = _gif_lzw_encode(2, data)
+    out = _gif_lzw_decode(2, enc, 10)
+    assert len(out) in (10, 11, 12)  # clamped at/just past max_out
+    assert bytes(out[:10]) == data[:10]

@@ -81,6 +81,21 @@ def _image_pixels(i: int) -> tuple[int, bytes]:
     )
 
 
+def _gif_pixels(i: int) -> tuple[int, int, bytes]:
+    """(w, h, RGB pixels) for the i%12==9 GIF slice, from the palette
+    and index FORMULAS (re-stated, not imported) — the engine must
+    LZW-decode, de-interlace and palette-expand real GIFs to match."""
+    w, h = 7 + i % 13, 5 + i % 9
+    npal = [4, 16, 8][i % 3]
+    pal = [(k * 11 + c * 59 + i * 37) % 256 for k in range(npal) for c in range(3)]
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            k = (x * 3 + y * 5 + i) % npal
+            out += bytes(pal[3 * k : 3 * k + 3])
+    return w, h, bytes(out)
+
+
 def _audio_spec(i: int) -> tuple[int, list[int]]:
     rate = [8000, 16000, 44100][i % 3]
     n = 40 + (i * 13) % 160
@@ -155,6 +170,12 @@ def _expected_features() -> set[tuple]:
         if kind == "image":
             if i % 15 == 12:
                 p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            elif i % 12 == 9:  # GIF slice (r6)
+                from tools.make_media import media_gif
+
+                p = media_gif(i)[0]
+                w, h, px = _gif_pixels(i)
+                feat, status = _image_feat(w, h, 3, px), "ok"
             elif i % 18 == 6:
                 from tools.make_media import corrupt_png, media_image
 
@@ -266,6 +287,16 @@ def _expected_resize(tw: int = 224, th: int = 224) -> set[tuple]:
             out.add((
                 i, ow, oh, len(body),
                 hashlib.blake2b(body, digest_size=16).hexdigest(), "stub",
+            ))
+            continue
+        if i % 12 == 9:  # GIF slice (r6): own geometry, RGB expansion
+            w, h, px = _gif_pixels(i)
+            scale = min(tw / w, th / h)
+            ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+            body = _indep_png(ow, oh, 3, _indep_resize(px, w, h, 3, ow, oh))
+            out.add((
+                i, ow, oh, len(body),
+                hashlib.blake2b(body, digest_size=16).hexdigest(), "ok",
             ))
             continue
         w, h = _image_geom(i)

@@ -132,6 +132,114 @@ def make_wav(rate: int, nch: int, samples: list[int], *, bits: int = 16) -> byte
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Greedy longest-match GIF LZW (the writer is a COMPRESSOR, so it
+    shares no code shape with the kernel's decompressor). LSB-first bit
+    packing; width grows with the table exactly as the spec's decoder
+    mirror requires; CLEAR re-emitted near the 12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for k in indices:
+        cur = prev + bytes([k])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # STRICTLY greater (giflib convention): the decoder's table runs
+        # one entry behind the encoder's (it can't learn a pair's entry
+        # until the next code arrives), so the width bump must lag one
+        # insertion too or the streams desynchronize
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(clear)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = bytes([k])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(
+    w: int, h: int, indices: bytes, palette: bytes, *,
+    interlace: bool = False, local_palette: bool = False,
+    comment: bytes | None = None,
+) -> bytes:
+    """GIF89a with one image. `palette` is 3*2^n bytes (n in 1..8);
+    `indices` are w*h palette indices in row-major (pre-interlace)
+    order. `interlace` reorders rows into the 4-pass layout;
+    `local_palette` moves the table onto the image descriptor;
+    `comment` adds an extension block (readers must skip it)."""
+    n_entries = len(palette) // 3
+    size_bits = max(1, (n_entries - 1).bit_length())
+    if len(palette) != 3 * (1 << size_bits):
+        raise ValueError("palette length must be 3 * a power of two")
+    min_code = max(2, size_bits)
+    out = bytearray(b"GIF89a")
+    gpacked = 0 if local_palette else (0x80 | (size_bits - 1))
+    out += struct.pack("<HHBBB", w, h, gpacked, 0, 0)
+    if not local_palette:
+        out += palette
+    if comment is not None:
+        out += b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00"
+    ipacked = (0x80 | (size_bits - 1)) if local_palette else 0
+    if interlace:
+        ipacked |= 0x40
+        rows = [indices[y * w : (y + 1) * w] for y in range(h)]
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        indices = b"".join(rows[y] for y in order)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_palette:
+        out += palette
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(min_code, indices)
+    for off in range(0, len(lzw), 255):
+        part = lzw[off : off + 255]
+        out += bytes([len(part)]) + part
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_palette_for(i: int, n: int = 16) -> bytes:
+    """Deterministic 3n-byte palette (n a power of two)."""
+    return bytes(((k * 11 + c * 59 + i * 37) % 256)
+                 for k in range(n) for c in range(3))
+
+
+def gif_indices_for(i: int, w: int, h: int, n: int = 16) -> bytes:
+    """Deterministic palette indices — same lattice idea as pixels_for."""
+    return bytes(
+        ((x * 3 + y * 5 + i) % n) for y in range(h) for x in range(w)
+    )
+
+
 def media_image(i: int) -> tuple[bytes, int, int]:
     """(png_bytes, w, h) for synthetic image row i — geometry varies
     with i; a slice of rows is palette-coded."""
@@ -144,6 +252,23 @@ def media_image(i: int) -> tuple[bytes, int, int]:
         return make_png(w, h, 1, idx, palette=palette), w, h
     ch = [1, 3, 4, 2][i % 4]
     return make_png(w, h, ch, pixels_for(i, w, h, ch)), w, h
+
+
+def media_gif(i: int) -> tuple[bytes, int, int]:
+    """(gif_bytes, w, h) for synthetic GIF row i — palette size,
+    interlace, local-vs-global table and comment blocks all vary."""
+    w, h = 7 + i % 13, 5 + i % 9
+    npal = [4, 16, 8][i % 3]
+    pal = gif_palette_for(i, npal)
+    idx = gif_indices_for(i, w, h, npal)
+    return (
+        make_gif(
+            w, h, idx, pal,
+            interlace=i % 2 == 1, local_palette=i % 4 == 1,
+            comment=b"c%d" % i if i % 5 == 0 else None,
+        ),
+        w, h,
+    )
 
 
 def media_audio(i: int) -> tuple[bytes, int]:
