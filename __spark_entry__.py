@@ -320,9 +320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_shipped(spark)
         return multimodal.image_resize(multimodal.synth_media_df(spark, 60))
 
-    def q_audio_resample_plan(spark, sf):
+    def q_audio_resample(spark, sf):
+        """r6: the EXECUTING resample stage (real fixed-point linear DSP
+        over decoded WAV-PCM) replaces the metadata-only plan in this
+        gate slot; audio_resample_plan keeps its pytest coverage."""
         _ensure_shipped(spark)
-        return multimodal.audio_resample_plan(multimodal.synth_media_df(spark, 60))
+        return multimodal.audio_resample(multimodal.synth_media_df(spark, 60))
 
     def q_llm_record_ingest(spark, sf):
         """r6: 100 generated responses (sources/crafted.py) — fenced/
@@ -479,7 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
         "image_resize": q_image_resize,
-        "audio_resample_plan": q_audio_resample_plan,
+        "audio_resample": q_audio_resample,
         "knn_ivf": q_knn_ivf,
         "point_lookup": q_point_lookup,
         "llm_record_ingest": q_llm_record_ingest,
@@ -1040,7 +1043,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         "winnow_fingerprints": lambda: _ov.winnow_oracle(_ov.oracle_sf_dir()),
         "media_features": lambda: _ov.media_oracle(60),
         "image_resize": lambda: _ov.image_resize_oracle(60),
-        "audio_resample_plan": lambda: _ov.audio_resample_oracle(60),
+        "audio_resample": lambda: _ov.audio_resample_exec_oracle(60),
         "minhash_dedup_pairs": lambda: _ov.minhash_oracle(
             _ov.oracle_sf_dir(), threshold=0.2
         ),

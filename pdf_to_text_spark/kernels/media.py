@@ -180,7 +180,9 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
     of the PDF/TIFF LZW in kernels/pdf.py, hence a separate decoder).
     Output is clamped at `max_out` indices: trailing codes past the
     declared geometry are ignored rather than ballooning memory."""
-    if not 2 <= min_code_size <= 11:
+    # root codes are palette indices (bytes), so the spec bound is 2..8
+    # — 9+ would make clear > 256 and the root table non-byte-valued
+    if not 2 <= min_code_size <= 8:
         raise MediaDecodeError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -401,6 +403,34 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     else:
         raise MediaDecodeError(f"unsupported bit depth {bits}")
     return rate, nch, samples
+
+
+def resample_linear(
+    samples: list[int], nch: int, src_rate: int, dst_rate: int
+) -> list[int]:
+    """Fixed-point (16.16) linear-interpolation resample, per channel —
+    integer math end to end (same determinism rationale as
+    bilinear_resize; a float phase accumulator would drift between
+    platforms). Interleaved in, interleaved out; output length is
+    ceil(n_frames * dst/src) frames."""
+    if src_rate <= 0 or dst_rate <= 0 or nch <= 0 or len(samples) % nch:
+        raise ValueError("bad resample geometry")
+    if src_rate == dst_rate or not samples:
+        return list(samples)
+    n_frames = len(samples) // nch
+    out_frames = (n_frames * dst_rate + src_rate - 1) // src_rate
+    step = (src_rate << 16) // dst_rate
+    out: list[int] = []
+    for j in range(out_frames):
+        pos = j * step
+        i0 = min(pos >> 16, n_frames - 1)
+        i1 = min(i0 + 1, n_frames - 1)
+        frac = pos & 0xFFFF
+        for c in range(nch):
+            a = samples[i0 * nch + c]
+            b = samples[i1 * nch + c]
+            out.append(a + (((b - a) * frac) >> 16))
+    return out
 
 
 def encode_wav(rate: int, nch: int, samples: list[int]) -> bytes:

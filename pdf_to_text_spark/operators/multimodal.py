@@ -294,10 +294,93 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
     )
 
 
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_rate", T.IntegerType()),
+        T.StructField("dst_rate", T.IntegerType()),
+        T.StructField("out_samples", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_hash", T.StringType()),
+        T.StructField("resample_status", T.StringType()),
+    ]
+)
+
+
+def _resample_stub(payload: bytes, dst_rate: int) -> bytes:
+    """Deterministic fake resample output for formats without a stdlib
+    codec (MP3, AAC …) — same contract as _resize_stub."""
+    seed = hashlib.blake2b(
+        payload, digest_size=32, person=struct.pack("<i", dst_rate)
+    ).digest()
+    size = max(16, len(payload) // 4)
+    return (seed * (size // 32 + 1))[:size]
+
+
+def _resample_real(payload: bytes, dst_rate: int):
+    """Default resample (round 6): WAV-PCM → decode + fixed-point
+    linear resample + 16-bit WAV re-encode ((bytes, src_rate, 'ok'));
+    other formats → (stub bytes, None, 'stub'). Malformed WAV raises
+    (→ 'decode_failed')."""
+    from ..kernels import media as M
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, nch, samples = M.decode_wav(payload)
+        out = M.resample_linear(samples, nch, rate, dst_rate)
+        return M.encode_wav(dst_rate, nch, out), rate, "ok"
+    return _resample_stub(payload, dst_rate), None, "stub"
+
+
+def audio_resample(media: DataFrame, target_rate: int = 16000,
+                   resample=None) -> DataFrame:
+    """Audio resample stage (mandate verb: resample) — the EXECUTING
+    sibling of audio_resample_plan (r6): audio rows → resampled-payload
+    metadata via mapInPandas with byte-capped yields, real DSP for
+    WAV-PCM (kernels/media.py resample_linear, integer phase
+    accumulator so output is platform-deterministic).
+
+    Codec seam: `resample` is any callable ``(payload, dst_rate) ->
+    (bytes, src_rate | None, status)``; a raise becomes a
+    'decode_failed' row, null payloads a 'null_payload' row."""
+    resample = resample or _resample_real
+
+    def gen(batches):
+        def rows():
+            for b in batches:
+                for mid, payload in zip(b["media_id"], b["payload"]):
+                    if payload is None:
+                        yield (mid, None, target_rate, None, 0, None,
+                               "null_payload"), 0
+                        continue
+                    try:
+                        out, src_rate, status = resample(
+                            bytes(payload), target_rate
+                        )
+                    except Exception:
+                        yield (mid, None, target_rate, None, 0, None,
+                               "decode_failed"), 0
+                        continue
+                    n_samples = (
+                        (len(out) - 44) // 2 if status == "ok" else None
+                    )
+                    digest = hashlib.blake2b(out, digest_size=16).hexdigest()
+                    yield (mid, src_rate, target_rate, n_samples, len(out),
+                           digest, status), len(out)
+
+        yield from _byte_capped_frames(rows(), list(RESAMPLE_SCHEMA.fieldNames()))
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=RESAMPLE_SCHEMA)
+    )
+
+
 def audio_resample_plan(media: DataFrame, target_rate: int = 16000) -> DataFrame:
     """Audio resample plan (mandate verb: resample): pure-projection
-    stage computing the rate conversion each audio row needs — the
-    decode/resample itself would run beside _decode_stub. JVM-only."""
+    stage computing the rate conversion each audio row needs; the
+    EXECUTING sibling is audio_resample (r6, real DSP for WAV-PCM).
+    JVM-only."""
     rate = F.col("meta.sample_rate")
     return (
         media.where(F.col("kind") == "audio")

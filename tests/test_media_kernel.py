@@ -244,3 +244,36 @@ def test_gif_max_out_clamps_runaway_stream():
     out = _gif_lzw_decode(2, enc, 10)
     assert len(out) in (10, 11, 12)  # clamped at/just past max_out
     assert bytes(out[:10]) == data[:10]
+
+
+# ── linear resample (round 6) ────────────────────────────────────────────────
+
+
+def test_resample_linear_midpoints_and_length():
+    from pdf_to_text_spark.kernels.media import resample_linear
+
+    # 2× upsample interpolates exact midpoints; length = ceil(n*dst/src)
+    assert resample_linear([0, 100], 1, 8000, 16000) == [0, 50, 100, 100]
+    assert resample_linear([0, 10, 20, 30], 1, 16000, 8000) == [0, 20]
+    assert resample_linear([5, -5, 7], 1, 44100, 44100) == [5, -5, 7]
+    n = 99
+    out = resample_linear(list(range(n)), 1, 44100, 16000)
+    assert len(out) == (n * 16000 + 44099) // 44100
+
+
+def test_resample_linear_stereo_keeps_channels_independent():
+    from pdf_to_text_spark.kernels.media import resample_linear
+
+    st = [0, 1000, 100, 900, 200, 800]
+    out = resample_linear(st, 2, 8000, 16000)
+    assert out[0::2] == [0, 50, 100, 150, 200, 200]      # left ramp up
+    assert out[1::2] == [1000, 950, 900, 850, 800, 800]  # right ramp down
+
+
+def test_resample_linear_rejects_bad_geometry():
+    from pdf_to_text_spark.kernels.media import resample_linear
+
+    for args in (([1, 2, 3], 2, 8000, 16000),   # frames not divisible
+                 ([1], 1, 0, 16000), ([1], 1, 8000, 0), ([1], 0, 1, 1)):
+        with pytest.raises(ValueError):
+            resample_linear(*args)

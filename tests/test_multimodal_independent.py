@@ -34,6 +34,7 @@ import zlib
 import pytest
 
 from pdf_to_text_spark.operators.multimodal import (
+    audio_resample,
     audio_resample_plan,
     frame_sample_plan,
     image_resize,
@@ -344,6 +345,66 @@ def test_audio_resample_plan_matches_independent_recompute(spark):
         ).collect()
     }
     assert got2 == {(0, None, 16000, "no_rate")}
+
+
+def _indep_resample(samples: list[int], src: int, dst: int) -> list[int]:
+    """Mono fixed-point linear resample, re-stated from the 16.16 spec
+    with a different code shape (list comprehension over precomputed
+    phase positions instead of the kernel's accumulator loop)."""
+    if src == dst:
+        return list(samples)
+    n = len(samples)
+    out_n = (n * dst + src - 1) // src
+    step = (src << 16) // dst
+    def at(i):
+        return samples[min(i, n - 1)]
+    return [
+        at(p >> 16) + (((at((p >> 16) + 1) - at(p >> 16)) * (p & 0xFFFF)) >> 16)
+        for p in (j * step for j in range(out_n))
+    ]
+
+
+def _indep_wav(rate: int, samples: list[int]) -> bytes:
+    frames = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_resample_matches_independent_recompute(spark):
+    """The EXECUTING resample stage (r6): expected output bytes derive
+    from the sample FORMULA + an independently-coded resampler + WAV
+    writer — the engine must parse real WAVs, resample with the exact
+    integer phase math, and re-encode to match the hash."""
+    got = {tuple(r) for r in audio_resample(synth_media_df(spark, N)).collect()}
+    expect = set()
+    for i in range(N):
+        if _kind(i) != "audio":
+            continue
+        if i % 17 == 5:
+            expect.add((i, None, 16000, None, 0, None, "null_payload"))
+            continue
+        if i % 45 == 13:
+            p = _lattice(i)
+            seed = hashlib.blake2b(
+                p, digest_size=32, person=struct.pack("<i", 16000)
+            ).digest()
+            size = max(16, len(p) // 4)
+            body = (seed * (size // 32 + 1))[:size]
+            expect.add((
+                i, None, 16000, None, len(body),
+                hashlib.blake2b(body, digest_size=16).hexdigest(), "stub",
+            ))
+            continue
+        rate, samples = _audio_spec(i)
+        res = _indep_resample(samples, rate, 16000)
+        body = _indep_wav(16000, res)
+        expect.add((
+            i, rate, 16000, len(res), len(body),
+            hashlib.blake2b(body, digest_size=16).hexdigest(), "ok",
+        ))
+    assert got == expect
 
 
 def test_frame_sample_plan_matches_independent_recompute(spark):

@@ -246,6 +246,48 @@ def audio_resample_oracle(n: int = 60, target: int = 16000) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def audio_resample_exec_oracle(n: int = 60, target: int = 16000) -> str:
+    """The EXECUTING resample stage (r6): replay _resample_real over the
+    same synth rows — real fixed-point linear DSP for WAV-PCM; the
+    non-replay check is test_multimodal_independent's differently-coded
+    resampler recompute."""
+    from pdf_to_text_spark.operators.multimodal import (
+        _resample_real,
+        synth_media_rows,
+    )
+
+    rows = []
+    for media_id, kind, payload, _meta in synth_media_rows(n):
+        if kind != "audio":
+            continue
+        if payload is None:
+            rows.append((media_id, None, target, None, 0, None, "null_payload"))
+            continue
+        try:
+            out, src_rate, status = _resample_real(bytes(payload), target)
+        except Exception:
+            rows.append((media_id, None, target, None, 0, None, "decode_failed"))
+            continue
+        n_samples = (len(out) - 44) // 2 if status == "ok" else None
+        rows.append(
+            (media_id, src_rate, target, n_samples, len(out),
+             hashlib.blake2b(out, digest_size=16).hexdigest(), status)
+        )
+    return values_sql(
+        [
+            ("media_id", "BIGINT"),
+            ("src_rate", "INTEGER"),
+            ("dst_rate", "INTEGER"),
+            ("out_samples", "BIGINT"),
+            ("out_bytes", "BIGINT"),
+            ("out_hash", "VARCHAR"),
+            ("resample_status", "VARCHAR"),
+        ],
+        rows,
+    )
+
+
 # ── extraction_pdf_e2e ───────────────────────────────────────────────────────
 
 
