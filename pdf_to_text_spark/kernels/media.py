@@ -367,11 +367,13 @@ def bilinear_resize(
 # ── WAV decode ───────────────────────────────────────────────────────────────
 
 
-def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """WAV bytes → (sample_rate, n_channels, samples interleaved).
+def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
+    """WAV bytes → (sample_rate, n_channels, bits, samples interleaved).
 
     PCM 8-bit (rebased to signed) and 16-bit LE only; other codecs
-    raise MediaDecodeError."""
+    raise MediaDecodeError. The header rate field is u32, but a rate of
+    0 or beyond int32 is rejected (no real recorder produces one; it
+    would silently wrap the engine's int columns — r6 review #2)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaDecodeError("not a WAV")
     pos = 12
@@ -393,6 +395,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             frames = body
     if rate is None or not frames or not nch:
         raise MediaDecodeError("missing fmt/data")
+    if not 0 < rate <= 0x7FFFFFFF:
+        raise MediaDecodeError(f"implausible sample rate {rate}")
     if len(frames) > MAX_SAMPLES * (2 if bits == 16 else 1):
         raise MediaDecodeError("data chunk exceeds sample cap")
     if bits == 16:
@@ -402,6 +406,13 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         samples = [b - 128 for b in frames]
     else:
         raise MediaDecodeError(f"unsupported bit depth {bits}")
+    return rate, nch, bits, samples
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """WAV bytes → (sample_rate, n_channels, samples interleaved) —
+    see decode_wav_ex (this keeps the original 3-tuple surface)."""
+    rate, nch, _bits, samples = decode_wav_ex(data)
     return rate, nch, samples
 
 
@@ -419,6 +430,11 @@ def resample_linear(
         return list(samples)
     n_frames = len(samples) // nch
     out_frames = (n_frames * dst_rate + src_rate - 1) // src_rate
+    # the input cap alone doesn't bound the OUTPUT: a crafted 1 Hz
+    # header upsampled to 16 kHz multiplies frames 16000× (r6 review
+    # #1, confirmed experimentally) — same bomb policy as decode
+    if out_frames * nch > MAX_SAMPLES:
+        raise MediaDecodeError("resample output exceeds sample cap")
     step = (src_rate << 16) // dst_rate
     out: list[int] = []
     for j in range(out_frames):

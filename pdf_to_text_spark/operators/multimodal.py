@@ -208,11 +208,7 @@ def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
     (payload, tw, th) repeated to a plausible size (tw*th//8), so tests
     can assert exact values and the byte-capped Arrow plumbing carries
     realistic volumes."""
-    seed = hashlib.blake2b(
-        payload, digest_size=32, person=struct.pack("<ii", tw, th)
-    ).digest()
-    size = max(16, (tw * th) // 8)
-    return (seed * (size // 32 + 1))[:size]
+    return _stub_bytes(payload, struct.pack("<ii", tw, th), (tw * th) // 8)
 
 
 def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
@@ -307,28 +303,38 @@ RESAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _stub_bytes(payload: bytes, person: bytes, size: int) -> bytes:
+    """Shared deterministic fake-output generator behind the resize and
+    resample stubs (one pattern, one definition — r6 review #7)."""
+    seed = hashlib.blake2b(payload, digest_size=32, person=person).digest()
+    size = max(16, size)
+    return (seed * (size // 32 + 1))[:size]
+
+
 def _resample_stub(payload: bytes, dst_rate: int) -> bytes:
     """Deterministic fake resample output for formats without a stdlib
     codec (MP3, AAC …) — same contract as _resize_stub."""
-    seed = hashlib.blake2b(
-        payload, digest_size=32, person=struct.pack("<i", dst_rate)
-    ).digest()
-    size = max(16, len(payload) // 4)
-    return (seed * (size // 32 + 1))[:size]
+    return _stub_bytes(payload, struct.pack("<i", dst_rate), len(payload) // 4)
 
 
 def _resample_real(payload: bytes, dst_rate: int):
     """Default resample (round 6): WAV-PCM → decode + fixed-point
-    linear resample + 16-bit WAV re-encode ((bytes, src_rate, 'ok'));
-    other formats → (stub bytes, None, 'stub'). Malformed WAV raises
+    linear resample + 16-bit WAV re-encode, returning
+    ``(bytes, src_rate, n_out_samples, 'ok')`` — the sample count comes
+    from the codec, NOT from assuming any header framing of the output
+    blob (r6 review #5). 8-bit input is scaled to full 16-bit range
+    (<<8) before re-encoding (r6 review #3). Other formats →
+    ``(stub bytes, None, None, 'stub')``; malformed WAV raises
     (→ 'decode_failed')."""
     from ..kernels import media as M
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        rate, nch, samples = M.decode_wav(payload)
+        rate, nch, bits, samples = M.decode_wav_ex(payload)
+        if bits == 8:
+            samples = [s << 8 for s in samples]
         out = M.resample_linear(samples, nch, rate, dst_rate)
-        return M.encode_wav(dst_rate, nch, out), rate, "ok"
-    return _resample_stub(payload, dst_rate), None, "stub"
+        return M.encode_wav(dst_rate, nch, out), rate, len(out), "ok"
+    return _resample_stub(payload, dst_rate), None, None, "stub"
 
 
 def audio_resample(media: DataFrame, target_rate: int = 16000,
@@ -340,8 +346,9 @@ def audio_resample(media: DataFrame, target_rate: int = 16000,
     accumulator so output is platform-deterministic).
 
     Codec seam: `resample` is any callable ``(payload, dst_rate) ->
-    (bytes, src_rate | None, status)``; a raise becomes a
-    'decode_failed' row, null payloads a 'null_payload' row."""
+    (bytes, src_rate | None, n_out_samples | None, status)``; a raise
+    becomes a 'decode_failed' row, null payloads a 'null_payload'
+    row."""
     resample = resample or _resample_real
 
     def gen(batches):
@@ -353,16 +360,13 @@ def audio_resample(media: DataFrame, target_rate: int = 16000,
                                "null_payload"), 0
                         continue
                     try:
-                        out, src_rate, status = resample(
+                        out, src_rate, n_samples, status = resample(
                             bytes(payload), target_rate
                         )
                     except Exception:
                         yield (mid, None, target_rate, None, 0, None,
                                "decode_failed"), 0
                         continue
-                    n_samples = (
-                        (len(out) - 44) // 2 if status == "ok" else None
-                    )
                     digest = hashlib.blake2b(out, digest_size=16).hexdigest()
                     yield (mid, src_rate, target_rate, n_samples, len(out),
                            digest, status), len(out)

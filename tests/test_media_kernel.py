@@ -277,3 +277,34 @@ def test_resample_linear_rejects_bad_geometry():
                  ([1], 1, 0, 16000), ([1], 1, 8000, 0), ([1], 0, 1, 1)):
         with pytest.raises(ValueError):
             resample_linear(*args)
+
+
+def test_resample_output_bomb_capped():
+    """r6 review #1: a 1 Hz header upsampled to 16 kHz multiplies frames
+    16000x — the OUTPUT cap must refuse what the input cap can't see."""
+    from pdf_to_text_spark.kernels.media import resample_linear
+
+    with pytest.raises(MediaDecodeError):
+        resample_linear([0] * 1000, 1, 1, 16000)
+
+
+def test_wav_implausible_rate_rejected():
+    """r6 review #2: the u32 header rate must not wrap the engine's
+    int32 columns — beyond-int32 (and zero) rates are typed errors."""
+    for rate in (0, 3_000_000_000):
+        wav = make_wav(8000, 1, [1, 2, 3])
+        at = wav.find(b"fmt ") + 8 + 4
+        forged = wav[:at] + struct.pack("<I", rate) + wav[at + 4 :]
+        with pytest.raises(MediaDecodeError):
+            decode_wav(forged)
+
+
+def test_resample_real_scales_8bit_to_full_range():
+    """r6 review #3: 8-bit input re-encoded as 16-bit must be rescaled
+    (<<8), not emitted at 1/256 amplitude."""
+    from pdf_to_text_spark.operators.multimodal import _resample_real
+
+    wav8 = make_wav(16000, 1, [-128, 0, 127], bits=8)
+    out, src_rate, n, status = _resample_real(wav8, 16000)
+    assert (src_rate, status) == (16000, "ok")
+    assert decode_wav(out)[2] == [-32768, 0, 32512] and n == 3

@@ -87,7 +87,8 @@ def _gif_pixels(i: int) -> tuple[int, int, bytes]:
     and index FORMULAS (re-stated, not imported) — the engine must
     LZW-decode, de-interlace and palette-expand real GIFs to match."""
     w, h = 7 + i % 13, 5 + i % 9
-    npal = [4, 16, 8][i % 3]
+    npal = [4, 16, 8][(i // 12) % 3]  # variation keyed by i//12 (the
+    # corpus slice i%12==9 freezes every i-keyed modulus ≤ 12)
     pal = [(k * 11 + c * 59 + i * 37) % 256 for k in range(npal) for c in range(3)]
     out = bytearray()
     for y in range(h):

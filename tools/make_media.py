@@ -256,16 +256,21 @@ def media_image(i: int) -> tuple[bytes, int, int]:
 
 def media_gif(i: int) -> tuple[bytes, int, int]:
     """(gif_bytes, w, h) for synthetic GIF row i — palette size,
-    interlace, local-vs-global table and comment blocks all vary."""
+    interlace, local-vs-global table and comment blocks all vary.
+    Variation is keyed by i//12, NOT i: the corpus slice is i%12==9,
+    under which every i-keyed modulus ≤12 is CONSTANT (i%2==1, i%4==1,
+    i%3==0 — r6 review #4: the gate would only ever see one GIF
+    shape)."""
     w, h = 7 + i % 13, 5 + i % 9
-    npal = [4, 16, 8][i % 3]
+    j = i // 12
+    npal = [4, 16, 8][j % 3]
     pal = gif_palette_for(i, npal)
     idx = gif_indices_for(i, w, h, npal)
     return (
         make_gif(
             w, h, idx, pal,
-            interlace=i % 2 == 1, local_palette=i % 4 == 1,
-            comment=b"c%d" % i if i % 5 == 0 else None,
+            interlace=j % 2 == 1, local_palette=j % 4 < 2,
+            comment=b"c%d" % i if j % 5 == 0 else None,
         ),
         w, h,
     )

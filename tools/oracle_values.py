@@ -218,35 +218,6 @@ def image_resize_oracle(n: int = 60, tw: int = 224, th: int = 224) -> str:
 
 
 @functools.lru_cache(maxsize=1)
-def audio_resample_oracle(n: int = 60, target: int = 16000) -> str:
-    from pdf_to_text_spark.operators.multimodal import synth_media_rows
-
-    rows = []
-    for media_id, kind, _payload, meta in synth_media_rows(n):
-        if kind != "audio":
-            continue
-        src = meta[2]
-        if src is None or src <= 0:
-            mode = "no_rate"
-        elif src == target:
-            mode = "copy"
-        elif src > target:
-            mode = "downsample"
-        else:
-            mode = "upsample"
-        rows.append((media_id, src, target, mode))
-    return values_sql(
-        [
-            ("media_id", "BIGINT"),
-            ("src_rate", "INTEGER"),
-            ("dst_rate", "INTEGER"),
-            ("mode", "VARCHAR"),
-        ],
-        rows,
-    )
-
-
-@functools.lru_cache(maxsize=1)
 def audio_resample_exec_oracle(n: int = 60, target: int = 16000) -> str:
     """The EXECUTING resample stage (r6): replay _resample_real over the
     same synth rows — real fixed-point linear DSP for WAV-PCM; the
@@ -265,11 +236,12 @@ def audio_resample_exec_oracle(n: int = 60, target: int = 16000) -> str:
             rows.append((media_id, None, target, None, 0, None, "null_payload"))
             continue
         try:
-            out, src_rate, status = _resample_real(bytes(payload), target)
+            out, src_rate, n_samples, status = _resample_real(
+                bytes(payload), target
+            )
         except Exception:
             rows.append((media_id, None, target, None, 0, None, "decode_failed"))
             continue
-        n_samples = (len(out) - 44) // 2 if status == "ok" else None
         rows.append(
             (media_id, src_rate, target, n_samples, len(out),
              hashlib.blake2b(out, digest_size=16).hexdigest(), status)
