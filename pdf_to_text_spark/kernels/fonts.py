@@ -29,10 +29,14 @@ falls through to the previous behavior — every entry point returns
 
 Deliberate scope cuts (documented divergences, all fail-soft):
 
-* CFF and Type1 fonts using a PREDEFINED encoding (Standard/Expert/
-  StandardEncoding) return None: those are not the custom-encoded
-  subsetted class this fallback exists for, and the named-encoding
-  path already approximates them.
+* CFF fonts using the predefined EXPERT encoding (offset 1) or an
+  Expert/ExpertSubset predefined charset (1/2) return None: Expert
+  fonts are small-caps/oldstyle-figure specialist sets whose names
+  (oneoldstyle, Asmall, …) have no single-codepoint Unicode meaning.
+  The predefined STANDARD encoding (offset 0) DOES decode — CFF spec
+  Appendix B orders it as codes 32-126 → SIDs 1-95 and the 54 high
+  codes → SIDs 96-149, so the table derives from the standard strings
+  (same for Type1 ``/Encoding StandardEncoding def``).
 * Type1 /FontFile custom encodings DO decode (the encoding vector
   lives in the cleartext section before eexec — no decryption needed);
   only the eexec-encrypted charstring names are out of reach, which
@@ -145,6 +149,37 @@ CFF_STANDARD_STRINGS = (
     "Light Medium Regular Roman Semibold"
 ).split()
 assert len(CFF_STANDARD_STRINGS) == 391
+
+# Adobe Standard Encoding as {code: SID} (CFF spec Appendix B == PLRM
+# Appendix E.1): printable ASCII maps to SIDs 1-95 in order (note
+# 0x27 → quoteright, 0x60 → quoteleft), and the 54 populated high codes
+# map IN ORDER to SIDs 96-149 — the standard strings are sequenced by
+# Standard Encoding position, so the table is derivable, not hand-kept.
+_STD_ENC_HIGH_CODES = (
+    [*range(161, 176), *range(177, 181), *range(182, 190), 191,
+     *range(193, 201), 202, 203, *range(205, 209), 225, 227,
+     *range(232, 236), 241, 245, *range(248, 252)]
+)
+STANDARD_ENCODING_SIDS: dict[int, int] = {
+    **{32 + i: 1 + i for i in range(95)},
+    **dict(zip(_STD_ENC_HIGH_CODES, range(96, 150))),
+}
+assert len(STANDARD_ENCODING_SIDS) == 149
+assert CFF_STANDARD_STRINGS[STANDARD_ENCODING_SIDS[0x27]] == "quoteright"
+assert CFF_STANDARD_STRINGS[STANDARD_ENCODING_SIDS[251]] == "germandbls"
+
+
+def _standard_encoding_map(glyph_to_char, restrict_sids=None) -> dict[int, str]:
+    """Standard Encoding → {code: char}. `restrict_sids` (a set) limits
+    the map to glyphs actually present in a CFF charset."""
+    out: dict[int, str] = {}
+    for code, sid in STANDARD_ENCODING_SIDS.items():
+        if restrict_sids is not None and sid not in restrict_sids:
+            continue
+        ch = glyph_to_char(CFF_STANDARD_STRINGS[sid])
+        if ch and ch != "�":
+            out[code] = ch
+    return out
 
 
 # ── sfnt (TrueType / OpenType) ───────────────────────────────────────────────
@@ -547,14 +582,26 @@ def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
         return None
     n_glyphs = len(charstrings[0])
     enc_off = top.get(16, [0])[0]
-    if enc_off in (0, 1):
-        return None  # predefined Standard/Expert: out of scope (see above)
+    if enc_off == 1:
+        return None  # predefined Expert encoding: out of scope (see above)
     charset_off = top.get(15, [0])[0]
-    if charset_off in (0, 1, 2):
-        return None  # predefined charsets accompany predefined encodings
-    sids = _cff_charset(data, charset_off, n_glyphs)
+    if charset_off in (1, 2):
+        return None  # Expert/ExpertSubset predefined charsets: same cut
+    if charset_off == 0:
+        # predefined ISOAdobe charset: glyph i IS SID i (CFF spec §13)
+        sids = list(range(n_glyphs))
+    else:
+        sids = _cff_charset(data, charset_off, n_glyphs)
+    if not sids:
+        return None
+    if enc_off == 0:
+        # predefined Standard encoding, restricted to the glyphs this
+        # (possibly subsetted) charset actually carries — a code whose
+        # glyph is absent draws .notdef, so mapping it would fabricate
+        # text the page cannot show
+        return _standard_encoding_map(glyph_to_char, set(sids)) or None
     parsed = _cff_encoding(data, enc_off)
-    if not sids or parsed is None:
+    if parsed is None:
         return None
     enc, sups = parsed
 
@@ -594,9 +641,12 @@ def _type1_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
     """Type1 custom /Encoding from the CLEARTEXT portion of the font
     program (Adobe Type 1 Font Format spec §2.3): the encoding vector
     is written as ``dup <code> /<name> put`` lines BEFORE eexec, so no
-    decryption is needed. ``/Encoding StandardEncoding def`` returns
-    None (predefined — same scope rule as CFF's Standard/Expert).
-    PFB segment headers (0x80 0x01 len32) are stripped if present."""
+    decryption is needed. ``/Encoding StandardEncoding def`` decodes
+    through the shared Standard Encoding table (unrestricted — the
+    charstring names that would prove glyph presence are eexec-encrypted
+    and unreachable, and a conforming font referencing StandardEncoding
+    carries the glyphs its pages show). PFB segment headers
+    (0x80 0x01 len32) are stripped if present."""
     global _T1_DUP_RE
     import re
 
@@ -624,7 +674,7 @@ def _type1_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
         return None
     tail = head[enc_at:]
     if tail[: tail.find(b"def") + 3].find(b"StandardEncoding") >= 0:
-        return None
+        return _standard_encoding_map(glyph_to_char) or None
     out: dict[int, str] = {}
     for code_b, name_b in _T1_DUP_RE.findall(tail):
         code = int(code_b)

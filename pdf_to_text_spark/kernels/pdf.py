@@ -1787,6 +1787,11 @@ _GLYPH_MAP: dict[str, str] = {
     "zcaron": "ž", "Ydieresis": "Ÿ", "nbspace": " ",
     "softhyphen": "­", "minus": "−", "fraction": "⁄",
     "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+    # Adobe StandardEncoding names absent from WinAnsi (AGL: fi U+FB01,
+    # fl U+FB02, and the spacing accents U+02D8-U+02DD/U+02C7/U+02DB) —
+    # needed by the r6 CFF/Type1 predefined-StandardEncoding decode
+    "fi": "ﬁ", "fl": "ﬂ", "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "hungarumlaut": "˝", "ogonek": "˛", "caron": "ˇ",
     # a few Greek names (seen in formula-bearing Type1 fonts)
     "Alpha": "Α", "Beta": "Β", "Gamma": "Γ", "Delta": "Δ", "Omega": "Ω",
     "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ", "epsilon": "ε",

@@ -43,6 +43,13 @@ def test_embedded_font_extracts_real_text(kind):
     assert extract_pdf_text(embedded_font_pdf(kind)) == (EXPECT, 1)
 
 
+@pytest.mark.parametrize("kind", ["cff_std", "type1_std"])
+def test_predefined_standard_encoding_extracts_real_text(kind):
+    """r6: predefined StandardEncoding fonts decode through the spec
+    table — quoteright (0x27) and AE (0xE1) prove it is NOT latin-1."""
+    assert extract_pdf_text(embedded_font_pdf(kind)) == ("Hello’ ÆW", 1)
+
+
 def _pdf_with_font(font_obj: bytes, extra=()):
     prog = build_truetype_font_program(_EMBEDDED_NAMES, uni_map={0x0394: 6})
     descriptor = (
@@ -270,28 +277,61 @@ def test_cff_encoding_format1_ranges():
     assert m == {1: "H", 2: "e", 3: "l", 4: "o", 5: " ", 6: "Δ", 7: "W"}
 
 
-def test_cff_predefined_encoding_is_out_of_scope():
-    """Predefined Standard/Expert encodings return None (documented
-    scope cut — the named-encoding path approximates those fonts)."""
-    from pdf_to_text_spark.kernels import fonts as F
-
-    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
-    prog = bytearray(build_cff_font_program(names, standard_sids={"space": 1}))
-    # patch the Top DICT's Encoding operand (op 16, int32 operand) to 0
-    i = prog.find(b"\x10", prog.find(b"\x1d"))  # first op-16 byte after an int29
-    # safer: rebuild via the internal dict parse to find the operand
+def _patch_cff_encoding_op(prog: bytes, value: int) -> bytes:
+    """Rewrite the Top DICT's Encoding operand (op 16, int32 operand)."""
+    out = bytearray(prog)
     top_start = None
-    # locate by scanning for the 18-byte top dict: 3×(1d xxxxxxxx op)
-    for j in range(len(prog) - 18):
-        if (prog[j] == 0x1D and prog[j + 5] == 15
-                and prog[j + 6] == 0x1D and prog[j + 11] == 16
-                and prog[j + 12] == 0x1D and prog[j + 17] == 17):
+    # locate the 18-byte top dict: 3×(1d xxxxxxxx op) for ops 15/16/17
+    for j in range(len(out) - 18):
+        if (out[j] == 0x1D and out[j + 5] == 15
+                and out[j + 6] == 0x1D and out[j + 11] == 16
+                and out[j + 12] == 0x1D and out[j + 17] == 17):
             top_start = j
             break
     assert top_start is not None
-    prog[top_start + 7 : top_start + 11] = struct.pack(">i", 0)
-    assert F._cff_code_to_unicode(bytes(prog), _glyph_to_char) is None
-    assert embedded_font_code_to_unicode(bytes(prog), _glyph_to_char) is None
+    out[top_start + 7 : top_start + 11] = struct.pack(">i", value)
+    return bytes(out)
+
+
+def test_cff_predefined_standard_encoding_restricted_to_charset():
+    """Encoding op patched to 0 (predefined Standard, r6): the decode
+    uses the spec's Standard table RESTRICTED to glyphs the charset
+    carries — here only `space` has a standard SID, so exactly one code
+    maps; the custom-SID glyphs (H, e, …) are unreachable through the
+    predefined table and must not fabricate text."""
+    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+    prog = _patch_cff_encoding_op(
+        build_cff_font_program(names, standard_sids={"space": 1}), 0
+    )
+    assert embedded_font_code_to_unicode(prog, _glyph_to_char) == {0x20: " "}
+
+
+def test_cff_predefined_expert_encoding_is_out_of_scope():
+    """Expert (offset 1) stays the documented cut: small-caps/oldstyle
+    specialist names have no single-codepoint Unicode meaning."""
+    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
+    prog = _patch_cff_encoding_op(
+        build_cff_font_program(names, standard_sids={"space": 1}), 1
+    )
+    assert embedded_font_code_to_unicode(prog, _glyph_to_char) is None
+
+
+def test_cff_predefined_standard_full_subset():
+    """The builder's predefined-standard mode (no Encoding op in the Top
+    DICT) round-trips the r6 fixture glyph set, including a high code
+    (0xE1 → AE) and a position where Standard diverges from latin-1
+    (0x27 → quoteright, not apostrophe)."""
+    from tools.make_pdf import _STD_EMBEDDED_NAMES, _STD_EMBEDDED_SIDS
+
+    prog = build_cff_font_program(
+        _STD_EMBEDDED_NAMES, predefined_standard=True,
+        standard_sids=_STD_EMBEDDED_SIDS,
+    )
+    m = embedded_font_code_to_unicode(prog, _glyph_to_char)
+    assert m == {
+        ord("H"): "H", ord("e"): "e", ord("l"): "l", ord("o"): "o",
+        0x27: "’", 0x20: " ", 0xE1: "Æ", ord("W"): "W",
+    }
 
 
 # ── symbolic Standard-14 built-in encodings (round 6, Annex D.5/D.6) ─────────
@@ -350,12 +390,18 @@ def test_type1_cleartext_encoding_extracts(kind):
     assert extract_pdf_text(embedded_font_pdf(kind)) == (EXPECT, 1)
 
 
-def test_type1_standard_encoding_out_of_scope():
+def test_type1_standard_encoding_decodes_full_table():
+    """``/Encoding StandardEncoding def`` (r6): the full 149-entry
+    Standard table decodes (charstring names are eexec-encrypted, so no
+    charset restriction is possible for Type1)."""
     from tools.make_pdf import build_type1_font_program
 
-    names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
-    prog = build_type1_font_program(names, standard=True)
-    assert embedded_font_code_to_unicode(prog, _glyph_to_char) is None
+    prog = build_type1_font_program({}, standard=True)
+    m = embedded_font_code_to_unicode(prog, _glyph_to_char)
+    assert m is not None and len(m) == 149
+    assert m[0x27] == "’" and m[0x60] == "‘"     # NOT latin-1 '/`
+    assert m[ord("A")] == "A" and m[0xE1] == "Æ"
+    assert m[174] == "ﬁ" and m[207] == "ˇ"       # r6 AGL additions
     # malformed PFB headers fail soft
     assert embedded_font_code_to_unicode(b"\x80\x01\xff\xff\xff\xff", _glyph_to_char) is None
     assert embedded_font_code_to_unicode(b"%!PS no encoding here", _glyph_to_char) is None

@@ -25,6 +25,8 @@ from pdf_to_text_spark.kernels.fonts import embedded_font_code_to_unicode
 from pdf_to_text_spark.kernels.pdf import _glyph_to_char
 from tools.make_pdf import (
     _EMBEDDED_NAMES,
+    _STD_EMBEDDED_NAMES,
+    _STD_EMBEDDED_SIDS,
     build_cff_font_program,
     build_truetype_font_program,
     build_type1_font_program,
@@ -49,6 +51,13 @@ def _programs() -> dict[str, bytes]:
         "cff": build_cff_font_program(cff_names, standard_sids={"space": 1}),
         "type1": build_type1_font_program(cff_names),
         "type1_pfb": build_type1_font_program(cff_names, pfb=True),
+        # r6: predefined-StandardEncoding programs (CFF op-16-absent /
+        # Type1 "StandardEncoding def") join the mutation rotation
+        "cff_std": build_cff_font_program(
+            _STD_EMBEDDED_NAMES, predefined_standard=True,
+            standard_sids=_STD_EMBEDDED_SIDS,
+        ),
+        "type1_std": build_type1_font_program({}, standard=True),
     }
 
 

@@ -991,13 +991,21 @@ def _cff_index_bytes(items: list[bytes]) -> bytes:
 
 def build_cff_font_program(
     code_names: dict[int, str], *, standard_sids: dict[str, int] | None = None,
-    encoding_format: int = 0,
+    encoding_format: int = 0, predefined_standard: bool = False,
 ) -> bytes:
     """Bare CFF: custom Encoding (format 0 or 1), charset format 0,
     one endchar charstring per glyph. Names in `standard_sids` (e.g.
     {"space": 1}) use the standard-strings SID; the rest go through the
-    String INDEX (SID 391+)."""
+    String INDEX (SID 391+). `predefined_standard` OMITS the Encoding
+    op entirely (op 16 defaults to 0 = the predefined Standard
+    encoding, CFF spec §16) — every name must then carry a
+    `standard_sids` entry so the charset restriction matches what the
+    predefined table can address."""
     standard_sids = standard_sids or {}
+    if predefined_standard and any(
+        n not in standard_sids for n in code_names.values()
+    ):
+        raise ValueError("predefined_standard requires standard_sids for every name")
     codes = sorted(code_names)
     custom: list[str] = []
     sids = []
@@ -1012,8 +1020,11 @@ def build_cff_font_program(
     n_glyphs = len(codes) + 1
 
     def assemble(charset_off: int, enc_off: int, cs_off: int) -> bytes:
+        ops = [(charset_off, 15), (cs_off, 17)]
+        if not predefined_standard:
+            ops.insert(1, (enc_off, 16))
         top = b""
-        for val, op in ((charset_off, 15), (enc_off, 16), (cs_off, 17)):
+        for val, op in ops:
             top += b"\x1d" + struct.pack(">i", val) + bytes([op])
         parts = [
             bytes([1, 0, 4, 4]),                       # header
@@ -1024,7 +1035,9 @@ def build_cff_font_program(
         ]
         pre = b"".join(parts)
         charset = b"\x00" + struct.pack(f">{len(sids)}H", *sids)
-        if encoding_format == 0:
+        if predefined_standard:
+            enc = b""
+        elif encoding_format == 0:
             enc = b"\x00" + bytes([len(codes)]) + bytes(codes)
         else:  # format 1: one range per code run
             runs: list[tuple[int, int]] = []
@@ -1092,6 +1105,18 @@ _EMBEDDED_NAMES: dict[int, str | None] = {
     1: "H", 2: "e", 3: "l", 4: "o", 5: "space", 6: None, 7: "W",
 }
 
+# Standard-Encoding fixtures (r6): codes ARE encoding positions.
+# b"Hello' \xe1W" → "Hello’ ÆW" (0x27 = quoteright, 0xE1 = AE).
+_STD_EMBEDDED_CODES = b"Hello' \xe1W"
+_STD_EMBEDDED_SIDS: dict[str, int] = {  # spec Appendix B: ASCII c → c-31
+    "H": 41, "e": 70, "l": 77, "o": 80, "quoteright": 8, "space": 1,
+    "AE": 138, "W": 56,
+}
+_STD_EMBEDDED_NAMES: dict[int, str] = {
+    ord("H"): "H", ord("e"): "e", ord("l"): "l", ord("o"): "o",
+    0x27: "quoteright", 0x20: "space", 0xE1: "AE", ord("W"): "W",
+}
+
 
 def embedded_font_pdf(kind: str = "truetype") -> bytes:
     """One page showing custom codes through a font with NO /ToUnicode,
@@ -1131,9 +1156,29 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
         ff_key = b"/FontFile"
         ff_extra = b"/Length1 0 /Length2 0 /Length3 0 "
         subtype = b"/Type1"
+    elif kind == "cff_std":
+        # r6: predefined STANDARD encoding (Encoding op omitted → 0) over
+        # a subsetted charset; codes are Standard-Encoding positions, so
+        # 0x27 shows quoteright (’) and 0xE1 AE (Æ) — latin-1 reads both
+        # differently, which is the divergence under test. SIDs are
+        # hand-derived from the spec table (ASCII c → c-31; AE = 138),
+        # independent of the kernel's copy.
+        prog = build_cff_font_program(
+            _STD_EMBEDDED_NAMES, predefined_standard=True,
+            standard_sids=_STD_EMBEDDED_SIDS,
+        )
+        ff_key, ff_extra = b"/FontFile3", b"/Subtype /Type1C "
+        subtype = b"/Type1"
+    elif kind == "type1_std":
+        # r6: ``/Encoding StandardEncoding def`` in the cleartext header
+        prog = build_type1_font_program({}, standard=True)
+        ff_key = b"/FontFile"
+        ff_extra = b"/Length1 0 /Length2 0 /Length3 0 "
+        subtype = b"/Type1"
     else:
         raise ValueError(f"unknown kind {kind!r}")
-    content = b"BT /F1 12 Tf 72 720 Td (" + _EMBEDDED_CODES + b") Tj ET"
+    codes = _STD_EMBEDDED_CODES if kind in ("cff_std", "type1_std") else _EMBEDDED_CODES
+    content = b"BT /F1 12 Tf 72 720 Td (" + codes + b") Tj ET"
     font_obj = (
         b"<< /Type /Font /Subtype " + subtype + b" /BaseFont /SUBSET+Custom "
         b"/FirstChar 1 /LastChar 7 /FontDescriptor 6 0 R >>"
@@ -1366,6 +1411,10 @@ FIXTURES = {
     "embedded_type1": lambda: embedded_font_pdf("type1"),
     "embedded_type1_pfb": lambda: embedded_font_pdf("type1_pfb"),
     "embedded_truetype_f12": lambda: embedded_font_pdf("truetype_f12"),
+    # r6: predefined StandardEncoding decodes too (CFF Encoding op 0 /
+    # Type1 "StandardEncoding def"); only Expert remains a documented cut
+    "embedded_cff_std": lambda: embedded_font_pdf("cff_std"),
+    "embedded_type1_std": lambda: embedded_font_pdf("type1_std"),
     # r6: /Type3 glyph-proc fonts decode through the ordinary
     # /Differences path (extraction never renders the procs)
     "type3_font": type3_pdf,
