@@ -1960,6 +1960,21 @@ def _base_encoding_overrides_build(name: str) -> dict[int, str] | None:
         return _symbol_encoding_build()
     if name == "ZapfDingbats":
         return _zapf_dingbats_build()
+    if name == "StandardEncoding":
+        # Not a legal Table-114 value, but old TeX-era writers emit it
+        # and pdfjs accepts it (its getEncoding serves the Annex D
+        # StandardEncoding column). Overrides vs latin-1 derive from
+        # the same spec table the r6 embedded-CFF path uses; codes
+        # Standard leaves undefined keep latin-1 passthrough, same
+        # lenient convention as WinAnsi's five undefined codes.
+        from .fonts import CFF_STANDARD_STRINGS, STANDARD_ENCODING_SIDS
+
+        out = {}
+        for code, sid in STANDARD_ENCODING_SIDS.items():
+            ch = _glyph_to_char(CFF_STANDARD_STRINGS[sid])
+            if ch and ch != "�" and ch != chr(code):
+                out[code] = ch
+        return out
     return None
 
 

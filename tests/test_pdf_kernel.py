@@ -1081,6 +1081,22 @@ def test_macroman_encoding_decodes_when_named():
     assert text == "café • – « ¤[ ]\xf0"
 
 
+def test_standard_encoding_decodes_when_named():
+    """r6: named /StandardEncoding (not a legal Table-114 value, but
+    old TeX-era writers emit it; pdfjs accepts) decodes the Annex D
+    Standard column — 0x27 quoteright, 0x60 quoteleft, 0xA4 fraction,
+    0xE1 AE; undefined codes keep latin-1 passthrough (0xD7 here)."""
+    for font in (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+        b"/Encoding /StandardEncoding >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+        b"/Encoding << /Type /Encoding /BaseEncoding /StandardEncoding >> >>",
+    ):
+        s = b"BT /F1 12 Tf 72 720 Td (Hi' \x60 \xa4\xe1W [\xd7]) Tj ET"
+        text, _ = extract_pdf_text(build_pdf([s], font_obj=font))
+        assert text == "Hi’ ‘ ⁄ÆW [\xd7]"
+
+
 def test_unnamed_encoding_keeps_pinned_latin1():
     """The golden contract: NO /Encoding entry → latin-1 passthrough,
     byte-for-byte as before round 4."""

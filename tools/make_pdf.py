@@ -1389,6 +1389,16 @@ FIXTURES = {
             b"/Encoding /MacRomanEncoding >>"
         ),
     ),
+    # r6: named /StandardEncoding — not a legal Table-114 value but old
+    # TeX-era writers emit it (pdfjs accepts); 0x27→’ 0xA4→⁄ 0xE1→Æ
+    # prove the Annex D Standard column decoded, not latin-1
+    "standard_encoding_named": lambda: build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (Hello' \xa4\xe1W \xaa\xba\xb4) Tj ET"],
+        font_obj=(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+            b"/Encoding /StandardEncoding >>"
+        ),
+    ),
     # round 6: symbolic Standard-14 built-in encodings (Annex D.5/D.6)
     # selected by BaseFont name — Greek/math via /Symbol ("αβγ ∀x∈A:
     # x≤Ω ∑ ∫"), dingbats via /ZapfDingbats (checks/stars/arrows)
