@@ -988,7 +988,16 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
                    THEN regexp_extract(response, '```json([\s\S]+?)```', 1)
                    ELSE response END) AS cand FROM resp),
             parsed AS (SELECT url, chunk_id,
-              CASE WHEN json_valid(cand) THEN json_transform(cand,
+              -- r6 review: the array-shape guards mirror the Spark side
+              -- exactly — a bare JSON object is NOT a one-record array
+              -- (cand LIKE '[%'), and an array with non-object elements
+              -- rejects like Spark's from_json does (element-type check;
+              -- empty array stays valid via the coalesce)
+              CASE WHEN json_valid(cand) AND cand LIKE '[%'
+                     AND coalesce(list_bool_and(list_transform(
+                           try_cast(cand AS JSON[]),
+                           x -> json_type(x) = 'OBJECT')), TRUE)
+                   THEN json_transform(cand,
                 '[{"SucursalName":"VARCHAR","EAN":"VARCHAR",
                    "CantidadVendida":"VARCHAR","Importe":"VARCHAR"}]') END AS recs
               FROM ext),

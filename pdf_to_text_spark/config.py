@@ -90,6 +90,14 @@ def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow hands applyInPandasWithState NAIVE session-tz wall-clock
+        # timestamps; on a DST-observing machine wall-clock is
+        # non-monotonic across fall-back, so the stateful dedup's
+        # newer-than compare (streaming/stateful.py) could drop a strictly
+        # newer crawl. Pin the session to UTC — instants stay monotonic
+        # everywhere and parquet/DuckDB comparisons are machine-independent
+        # (r6 review)
+        .config("spark.sql.session.timeZone", "UTC")
         # megabyte-scale binary rows: keep Arrow batches small (SURVEY.md §4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))

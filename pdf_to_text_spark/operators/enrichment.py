@@ -26,6 +26,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..config import CHUNK_BLOCK_DELIM
 from ..kernels.blocks import extract_json_fenced, parse_records
 
 # reference prompt, reproduced so an HTTP deployment is request-identical
@@ -77,7 +78,11 @@ class RegexEnricher:
         out = []
         for chunk in chunk_texts:
             recs = []
-            for block in chunk.split("\n\n"):
+            # split on the SAME delimiter the chunker joined blocks with
+            # (a literal "\n\n" here silently desynced from the config
+            # constant); a NULL chunk_text must become a status row, not
+            # an AttributeError that kills the Spark task (r6 review)
+            for block in (chunk or "").split(CHUNK_BLOCK_DELIM):
                 recs.extend(parse_records(block))
             out.append((recs, "ok"))
         return out
@@ -95,7 +100,7 @@ class HTTPEnricher:
         self.transport = transport
 
     def extract(self, chunk_texts: list[str]) -> list[tuple[list[dict], str]]:
-        requests = [build_request(c) for c in chunk_texts]
+        requests = [build_request(c or "") for c in chunk_texts]
         responses = self.transport(requests)
         if len(responses) < len(requests):
             # a transport short-read must not SILENTLY drop trailing

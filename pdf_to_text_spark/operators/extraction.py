@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..config import N_BUCKETS
 from ..functions.udfs import EXTRACT_SCHEMA, content_type_col, extract_batches
 from ..plans.layout import salted_repartition, with_bucket
 
@@ -105,6 +106,7 @@ def run_extraction(
     dedup: bool = True,
     dedup_strategy: str = "auto",
     shuffle_payloads: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """pages → extracted (url, warc_ts, lang, content_type, extracted_text,
     n_pages, n_chars, parse_status, parse_failed, bucket, partition_id).
@@ -140,9 +142,16 @@ def run_extraction(
     salted repartition before the kernel) for inputs that arrive so
     skewed that scan splits can't balance them (e.g. one giant file of
     mega-PDFs with tiny row groups).
+
+    `n_buckets` overrides the bucket-column modulus (default
+    config.N_BUCKETS) — callers that partition work by a custom bucket
+    count (run_resumable_extraction) must pass it here too, or the
+    output/metrics `bucket` column would silently disagree with their
+    wave filtering (r6 review).
     """
     if dedup_strategy not in ("auto", "prefilter", "window"):
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
+    nb = N_BUCKETS if n_buckets is None else n_buckets
     df = pages.select(*PAGES_COLS)
 
     post_window = False
@@ -174,7 +183,7 @@ def run_extraction(
             post_window = True
 
     if shuffle_payloads:
-        df = with_bucket(df)
+        df = with_bucket(df, n_buckets=nb)
         df = salted_repartition(df, num_partitions or 64).select(*PAGES_COLS)
     extracted = df.mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
     extracted = extracted.withColumn("partition_id", F.spark_partition_id())
@@ -187,7 +196,7 @@ def run_extraction(
         )
     # bucket is recomputed (cheap, deterministic) rather than shipped
     # through the Python worker.
-    return with_bucket(extracted)
+    return with_bucket(extracted, n_buckets=nb)
 
 
 def metrics_rollup(extracted: DataFrame) -> DataFrame:

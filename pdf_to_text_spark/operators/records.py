@@ -191,7 +191,16 @@ def records_from_llm_responses(responses: DataFrame) -> DataFrame:
     Python."""
     fenced = F.regexp_extract(F.col("response"), r"```json([\s\S]+?)```", 1)
     candidate = F.trim(F.when(fenced != "", fenced).otherwise(F.col("response")))
-    parsed = F.from_json(candidate, RECORD_STRUCT)
+    # from_json(array<struct>) silently accepts a BARE JSON OBJECT as a
+    # one-record array — but the contract (and HTTPEnricher's validation,
+    # enrichment.py: "response is not a list of records") requires an
+    # actual array, so a non-'['-leading candidate is parse_ok=0 like any
+    # other malformed response. Arrays with non-object elements already
+    # come back NULL from from_json (probed: '["a","b"]' and mixed both
+    # reject), so this guard is the only divergence to close (r6 review).
+    parsed = F.when(
+        candidate.startswith("["), F.from_json(candidate, RECORD_STRUCT)
+    )
     base = responses.select(
         "url",
         "chunk_id",

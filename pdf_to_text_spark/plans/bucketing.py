@@ -10,7 +10,29 @@ verifier that the join plan really has no Exchange.
 
 from __future__ import annotations
 
+import re
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory the catalog no longer knows about.
+
+    The default in-memory catalog forgets tables at session exit but their
+    warehouse directories survive; a later overwrite-write then fails with
+    LOCATION_ALREADY_EXISTS because saveAsTable takes the CREATE path (no
+    catalog entry ⇒ nothing to overwrite). Only fires when the table is
+    absent from the catalog AND the location is a local path — exactly the
+    orphan case; a catalog-known table goes through overwrite normally."""
+    if spark.catalog.tableExists(table):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return  # remote warehouse: leave cleanup to the real catalog
+    loc = (wh.path or wh.netloc) + "/" + table.split(".")[-1].lower()
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -22,6 +44,8 @@ def write_bucketed(
 ) -> None:
     """Persist bucketed+sorted by `key` (hash-bucket pruning + co-located
     joins). Uses the session catalog/warehouse (spark.sql.warehouse.dir)."""
+    if mode == "overwrite":
+        _drop_orphaned_location(df.sparkSession, table)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, key)
@@ -44,10 +68,18 @@ def plan_has_exchange(df: DataFrame) -> bool:
     BroadcastExchange is not a shuffle — in a default-config session a
     small bucketed side legitimately broadcasts, and the co-location
     claim ("no data movement keyed on the join key") still holds; a bare
-    'Exchange' substring match would flag it (r3 review)."""
+    'Exchange' substring match would flag it (r3 review). A
+    ReusedExchange node inherits the classification of the operator it
+    reuses: a reused broadcast (same small side consumed twice, e.g. a
+    self-join) is still not a shuffle (r6 review)."""
     jvm = df.sparkSession._jvm
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    return any(
-        "Exchange" in line and "BroadcastExchange" not in line
-        for line in plan.splitlines()
-    )
+    broadcast_ids = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+    for line in plan.splitlines():
+        if "Exchange" not in line or "BroadcastExchange" in line:
+            continue
+        reused = re.search(r"ReusedExchange.*Reuses operator id: (\d+)", line)
+        if reused and reused.group(1) in broadcast_ids:
+            continue
+        return True
+    return False

@@ -65,21 +65,37 @@ class ManifestTable:
 
         The id is stamped into the metrics rows HERE — a caller-side
         derivation could drift from this one (and would re-parse every
-        prior manifest per wave)."""
-        sid = len(list(self.manifest_dir.glob("snapshot-*.json")))
-        payload = {
-            "snapshot_id": sid,
-            "buckets": sorted(buckets),
-            "files": sorted(files),
-            "metrics": [dict(m, snapshot_id=sid) for m in metrics],
-        }
+        prior manifest per wave).
+
+        Concurrent-writer safety: the id comes from a glob count, so two
+        jobs resuming the same table can race to the same id — and a
+        plain rename(2) would silently REPLACE the loser's committed
+        manifest, orphaning its data files. The final manifest is
+        therefore created with O_EXCL (link-into-place semantics): the
+        loser gets FileExistsError, re-derives the next id, and retries —
+        first-committer-wins, like Iceberg's optimistic commit protocol
+        (r6 review)."""
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self.manifest_dir / f"snapshot-{sid:06d}.json")
-        return sid
+        while True:
+            sid = len(list(self.manifest_dir.glob("snapshot-*.json")))
+            payload = {
+                "snapshot_id": sid,
+                "buckets": sorted(buckets),
+                "files": sorted(files),
+                "metrics": [dict(m, snapshot_id=sid) for m in metrics],
+            }
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                # hard-link then unlink: atomic create-if-absent of the
+                # final name with the fully-fsynced content
+                os.link(tmp, self.manifest_dir / f"snapshot-{sid:06d}.json")
+            except FileExistsError:
+                continue  # another writer took this id — recount, retry
+            os.unlink(tmp)
+            return sid
 
     # ── reads (snapshot-isolated) ───────────────────────────────────────
 
@@ -157,6 +173,11 @@ def run_resumable_extraction(
             shuffle_payloads=shuffle_payloads,
             dedup=dedup,  # r5 review: the CLI's --no-dedup reaches here now
             dedup_strategy=dedup_strategy,
+            # r6 review: without this the output/metrics bucket column is
+            # recomputed mod N_BUCKETS and disagrees with the wave filter
+            # above whenever n_buckets is custom — lineage rows would not
+            # correspond to snapshot['buckets']
+            n_buckets=n_buckets,
         )
         files = _write_wave(extracted, mt.data_dir)
         metrics = [

@@ -60,6 +60,11 @@ def _dedup_fn(
     # lang is the tiebreak for EXACT-ts duplicates (r5 review): a
     # ts-only sort is stable on arrival order, so which lang survived
     # an exact-ts tie differed run to run
+    # NOTE: .value on the naive Timestamps Arrow hands this fn is only a
+    # monotonic instant because build_spark pins spark.sql.session.timeZone
+    # to UTC — under a DST-observing session tz, wall-clock .value goes
+    # BACKWARD across fall-back and a strictly newer crawl would be
+    # dropped by the max_ts compare below (r6 review)
     items.sort(key=lambda t: (t[0].value, t[1] or ""))
     for ts, lang in items:
         ts_us = int(ts.value // 1000)  # pandas Timestamp → µs epoch

@@ -71,6 +71,46 @@ def test_rerun_is_noop(spark, pages, tmp_path):
     assert len(ManifestTable(table).snapshots()) == n_snaps  # nothing to do
 
 
+def test_custom_n_buckets_metrics_lineage(spark, pages, tmp_path):
+    """With a custom n_buckets the output/metrics bucket column must use
+    the SAME modulus as the wave filter — it used to be recomputed mod
+    N_BUCKETS, so lineage rows didn't correspond to snapshot['buckets']
+    (r6 review)."""
+    table = str(tmp_path / "extracted64")
+    mt = run_resumable_extraction(
+        spark, pages, table, n_buckets=64, buckets_per_commit=32
+    )
+    for s in mt.snapshots():
+        wave = set(s["buckets"])
+        metric_buckets = {m["bucket"] for m in s["metrics"]}
+        assert metric_buckets <= wave, (
+            f"metrics buckets {sorted(metric_buckets - wave)} outside the "
+            f"committed wave"
+        )
+    # and the data rows themselves carry mod-64 buckets consistent with
+    # their committing snapshot
+    out = mt.read(spark)
+    assert out.agg(F.max("bucket")).collect()[0][0] > 31  # 64-way spread
+
+
+def test_commit_race_does_not_clobber(tmp_path):
+    """Two writers deriving the same snapshot id: first-committer-wins,
+    the loser retries with the next id — a plain rename(2) silently
+    REPLACED the first commit (r6 review)."""
+    mt = ManifestTable(str(tmp_path / "t"))
+    sid0 = mt.commit([0], ["f0"], [])
+    # simulate the race: a second writer computed the same id and already
+    # linked its manifest into place; our commit must not overwrite it
+    race = ManifestTable(str(tmp_path / "t"))
+    sid1 = race.commit([1], ["f1"], [])
+    assert (sid0, sid1) == (0, 1)
+    snaps = mt.snapshots()
+    assert [s["buckets"] for s in snaps] == [[0], [1]]
+    assert sorted(mt.committed_files()) == ["f0", "f1"]
+    # no tmp litter left behind
+    assert not list(mt.manifest_dir.glob(".tmp-*"))
+
+
 def test_num_partitions_without_payload_shuffle_is_loud(spark, tmp_path):
     """num_partitions is consumed only by the shuffle_payloads layout —
     passing it alone used to be silently dead (r3 review)."""

@@ -89,3 +89,30 @@ def test_non_list_json_and_short_transport_degrade_not_crash(spark, chunks):
     rows = enrich_chunks(chunks.coalesce(1), HTTPEnricher(bad_transport)).collect()
     assert len(rows) == 3  # one status row per chunk, none vanished
     assert all(r["enrich_status"] == "enrich_failed" for r in rows)
+
+
+def test_null_chunk_text_becomes_status_row(spark):
+    """A NULL chunk_text must degrade to a per-row status, not an
+    AttributeError (None.split) that kills the Spark task (r6 review)."""
+    from pdf_to_text_spark.operators.enrichment import enrich_chunks
+
+    df = spark.createDataFrame(
+        [("u1", 0, None), ("u1", 1, "no records here")],
+        "url string, chunk_id int, chunk_text string",
+    )
+    rows = enrich_chunks(df).collect()
+    assert len(rows) == 2
+    assert all(r["enrich_status"] == "ok" and r["record_pos"] is None for r in rows)
+
+
+def test_regex_enricher_uses_config_delimiter(spark):
+    """RegexEnricher must split on config.CHUNK_BLOCK_DELIM — the same
+    constant the chunker joins blocks with — not a hardcoded literal
+    (r6 review)."""
+    import inspect
+
+    from pdf_to_text_spark.operators import enrichment
+
+    src = inspect.getsource(enrichment.RegexEnricher)
+    assert ".split(CHUNK_BLOCK_DELIM)" in src
+    assert '.split("\\n\\n")' not in src

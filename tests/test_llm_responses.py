@@ -26,3 +26,20 @@ def test_fenced_and_fallback_and_invalid(spark):
     empty = by_key[("u2", 1, None)]
     assert empty["parse_ok"] == 1
     assert len(out) == 4
+
+
+def test_non_array_shapes_reject(spark):
+    """A bare JSON object is NOT a one-record array (r6 review):
+    from_json(array<struct>) would silently wrap it, diverging from
+    HTTPEnricher's list-of-records validation and the DuckDB oracle.
+    Arrays of non-objects reject too."""
+    rows = [
+        ("u1", 0, '{"SucursalName":"X","EAN":"1","CantidadVendida":"2","Importe":"3"}'),
+        ("u1", 1, '```json {"SucursalName":"X"} ```'),
+        ("u1", 2, '["a","b"]'),
+        ("u1", 3, '[{"SucursalName":"ok"}, "mixed"]'),
+    ]
+    df = spark.createDataFrame(rows, "url string, chunk_id int, response string")
+    out = records_from_llm_responses(df).collect()
+    assert len(out) == 4
+    assert all(r["parse_ok"] == 0 and r["record_pos"] is None for r in out)
