@@ -203,11 +203,19 @@ def records_to_csv(records: list[dict]) -> str:
     for r in records:
         cantidad = _js_parse_int(r.get("CantidadVendida"))
         importe = _js_parse_float(r.get("Importe"))
+        # a present-but-null field renders "" — same as a missing key and
+        # as the JVM path's coalesce (records.py csv_line_col); r.get's
+        # default only covers ABSENT keys, so an explicit null used to
+        # print the Python repr 'None' (r6 review). Deliberate deviation
+        # from the reference's template literal, which prints the JS
+        # artifacts 'null'/'undefined' (src/main.ts:48-49).
+        sucursal = r.get("SucursalName")
+        ean = r.get("EAN")
         rows.append(
             ",".join(
                 [
-                    f'"{r.get("SucursalName", "")}"',
-                    f'"{r.get("EAN", "")}"',
+                    f'"{"" if sucursal is None else sucursal}"',
+                    f'"{"" if ean is None else ean}"',
                     str(cantidad),
                     _to_fixed_2(importe),
                 ]

@@ -40,6 +40,16 @@ __all__ = ["HTMLParseFailed", "extract_html_text", "Block"]
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 
 
+def _normalize(raw: str) -> str:
+    """The block whitespace rule (§4 of the pinned spec), shared by text
+    and link-char accounting so the two can never disagree."""
+    text = _WS_RE.sub(" ", raw).strip()
+    if "\n" in text:
+        # collapse internal newline runs left by nested flushes
+        text = re.sub(r"\s*\n\s*", " ", text)
+    return text
+
+
 class HTMLParseFailed(Exception):
     """Structural failure while parsing HTML bytes."""
 
@@ -63,7 +73,7 @@ class _BlockCollector(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._buf: list[str] = []
-        self._link_chars = 0
+        self._link_buf: list[str] = []
         self._drop_depth = 0
         self._a_depth = 0
 
@@ -83,16 +93,17 @@ class _BlockCollector(HTMLParser):
         # jusText convention this kernel implements.)
         self._a_depth = 0
         if not self._buf:  # consecutive block tags: nothing buffered
-            self._link_chars = 0
+            self._link_buf.clear()
             return
-        raw = "".join(self._buf)
-        text = _WS_RE.sub(" ", raw).strip()
-        if "\n" in text:
-            # collapse internal newline runs left by nested flushes
-            text = re.sub(r"\s*\n\s*", " ", text)
-        link = self._link_chars
+        text = _normalize("".join(self._buf))
+        # link chars are normalized the same way as the block text —
+        # per-chunk strip() undercounted anchors whose text arrives in
+        # several handle_data calls ('<a>read <b>more</b></a>' → 8 of 9
+        # chars), biasing link_ratio low and letting linky boilerplate
+        # past the threshold (r6 review)
+        link = len(_normalize("".join(self._link_buf)))
         self._buf.clear()
-        self._link_chars = 0
+        self._link_buf.clear()
         if text:
             self.blocks.append(Block(text, min(link, len(text))))
 
@@ -108,6 +119,8 @@ class _BlockCollector(HTMLParser):
             self._flush()
         elif tag == "br":
             self._buf.append(" ")
+            if self._a_depth:  # keep link text aligned with block text
+                self._link_buf.append(" ")
         elif tag == "a":
             # HTML5 parsing: a new <a> implicitly CLOSES any open one
             # (nested anchors are invalid). html.parser gives no such
@@ -122,6 +135,8 @@ class _BlockCollector(HTMLParser):
             return
         if tag == "br":
             self._buf.append(" ")
+            if self._a_depth:
+                self._link_buf.append(" ")
         elif tag in HTML_BLOCK_TAGS:
             self._flush()
 
@@ -142,7 +157,7 @@ class _BlockCollector(HTMLParser):
             return
         self._buf.append(data)
         if self._a_depth:
-            self._link_chars += len(_WS_RE.sub(" ", data).strip())
+            self._link_buf.append(data)
 
     def close(self) -> None:
         super().close()

@@ -159,7 +159,6 @@ def ivf_train(embeddings: DataFrame, dim: int, n_cells: int = 16,
     bit-identical run to run (double sums pick up partition-order last-bit
     noise, which flips cell assignments and breaks the VALUES oracle that
     replays this exact recursion — tools/oracle_values.py)."""
-    import numpy as np
 
     from .text_analysis import md5_bucket
 
@@ -259,7 +258,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     ivf_train so the serve path never retrains (train once, query many —
     the 100 TB split); otherwise trains here, on the `sample_pct`
     deterministic sample when given."""
-    import numpy as np
 
     if index is None:
         index = ivf_train(embeddings, dim, n_cells, sample_pct=sample_pct)

@@ -21,6 +21,87 @@ def with_bucket(df: DataFrame, url_col: str = "url", n_buckets: int = N_BUCKETS)
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)))
 
 
+# ── driver-side mirror of the JVM bucket expression ──────────────────────────
+# XXH64 (Collet's public spec, same algorithm Spark's xxhash64 expression
+# implements) over the UTF-8 bytes with Spark's fixed seed 42. Needed so
+# pure-Python code (the synthetic-corpus generator, tests) can PREDICT a
+# row's bucket without a SparkSession — e.g. crafting mega-doc urls that
+# really concentrate into two buckets (r6 review: the previous urls only
+# claimed to). Parity with F.xxhash64 is pinned by a test.
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _XP2) & _M64
+    return (_rotl64(acc, 31) * _XP1) & _M64
+
+
+def _xxh_merge(acc: int, val: int) -> int:
+    acc ^= _xxh_round(0, val)
+    return ((acc * _XP1) + _XP4) & _M64
+
+
+def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
+    """XXH64(data, seed) as a SIGNED 64-bit int — bit-identical to Spark's
+    `xxhash64` expression on a single string/binary column."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xxh_merge(h, v)
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h ^= _xxh_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = ((_rotl64(h, 27) * _XP1) + _XP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = ((_rotl64(h, 23) * _XP2) + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of(url: str, n_buckets: int = N_BUCKETS) -> int:
+    """pmod(xxhash64(url), n_buckets) without a SparkSession."""
+    return xxhash64_py(url) % n_buckets
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int,

@@ -8,9 +8,12 @@ function of i), so any scale regenerates identically and two runs agree
 byte-for-byte. The generator itself runs DISTRIBUTED — `spark.range(n)`
 partitions the id space and a mapInPandas builds payload bytes on
 executors, so even the 100k-row bench table never materializes on the
-driver. Skew knob: 1% of PDF rows are 50-page "mega" docs whose urls are
-crafted to land in 2 url-hash buckets (FIXTURES.md §1), which the salted
-repartition in plans/layout.py must flatten.
+driver. Skew knob: 1% of PDF rows are 100-page "mega" docs whose urls are
+crafted — via the driver-side xxhash64 mirror (plans/layout.py
+bucket_of) — to REALLY land in 2 url-hash buckets (FIXTURES.md §1),
+which the salted repartition in plans/layout.py must flatten. (Before r6
+this concentration was only claimed: distinct urls under a shared path
+prefix still hash uniformly, so the skew knob didn't exist.)
 """
 
 from __future__ import annotations
@@ -24,13 +27,16 @@ SEED = 42
 # Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
 # cache directories embed it, so a stale cache can't silently serve the
 # previous round's corpus (r4 review; replaces the manual delete step).
-PAGES_GEN = 9
+PAGES_GEN = 10  # r6: mega urls now really concentrate into MEGA_BUCKETS
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle
 _LANG_CYCLE = (["en"] * 20 + ["es"] * 8 + ["de"] * 7 + ["fr"] * 8 + ["zh"] * 7)
 
 MEGA_EVERY = 100      # 1% mega PDFs
+# the two url-hash buckets (mod config.N_BUCKETS=32) all mega docs land
+# in — the documented hash-skew knob the salted repartition must flatten
+MEGA_BUCKETS = (5, 21)
 NULL_EVERY = 200      # 0.5% null html
 DUP_EVERY = 50        # 2% duplicated urls (differing warc_ts)
 PASSTHROUGH_EVERY = 40  # 2.5% rows arrive with pre-extracted `text`
@@ -46,9 +52,21 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
     lang = _LANG_CYCLE[i % len(_LANG_CYCLE)]
     source = f"src{i % 20}"
     ext = "pdf" if is_pdf else "html"
-    # mega docs share a tiny url keyspace prefix so they hash-skew together
+    # mega docs are steered into 2 url-hash buckets so they hash-skew
+    # together: a shared PREFIX does not constrain pmod(xxhash64(url), N)
+    # at all (r6 review), so the url carries a searched suffix that pins
+    # its bucket — pure function of i, ~N_BUCKETS probes of the
+    # driver-side hash mirror per mega row
     if is_mega:
-        url = f"https://example.org/mega/{(i // MEGA_EVERY) % 2}/{i:08d}.pdf"
+        from pdf_to_text_spark.plans.layout import bucket_of
+
+        g = (i // MEGA_EVERY) % 2
+        for k in range(10_000):
+            url = f"https://example.org/mega/{g}/{i:08d}-{k}.pdf"
+            if bucket_of(url) == MEGA_BUCKETS[g]:
+                break
+        else:  # pragma: no cover — P(miss) = (31/32)^10000
+            raise AssertionError(f"no bucket-{MEGA_BUCKETS[g]} url for id {i}")
     else:
         url = f"https://example.org/{source}/{i:08d}.{ext}"
     ts = EPOCH + dt.timedelta(seconds=37 * i)
@@ -122,9 +140,9 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
             # with real text; i=102 puts one inside the 120-row driver
             # gate. (The i%90==33 TRUNCATED slice below keeps pinning
             # parse_failed — recovery rebuilds tables, not bytes.)
-            from tools.make_pdf import damaged_pdf, simple_pdf as _sp
+            from tools.make_pdf import damaged_pdf
 
-            base = _sp([[_sentence(i * 677 + j, 8) for j in range(10)]])
+            base = simple_pdf([[_sentence(i * 677 + j, 8) for j in range(10)]])
             mode = ["bad_startxref", "zeroed_offsets", "shifted_offsets"][
                 (i // 270) % 3
             ]
@@ -213,7 +231,11 @@ def pages_df(spark, n_rows: int, num_partitions: int | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].tolist()
-            # yield in byte-capped slices to keep Arrow batches bounded
+            # yield in fixed 64-row slices; the byte bound is indirect —
+            # ids arrive consecutive from spark.range, so at most one
+            # ~1 MB mega row (every MEGA_EVERY-th id) lands per slice.
+            # A denser mega cadence or non-consecutive id source would
+            # need true byte accounting like udfs.extract_batches
             step = 64
             for s in range(0, len(ids), step):
                 yield build_pages_pdf(ids[s : s + step])

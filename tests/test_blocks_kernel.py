@@ -221,3 +221,15 @@ def test_pretty_json_matches_js_stringify():
     out = records_to_pretty_json(recs)
     assert out == json.dumps(recs, indent=2, ensure_ascii=False, separators=(",", ": "))
     assert out.startswith("[\n  {\n    ")
+
+
+def test_csv_null_field_renders_empty_not_none():
+    """r6 review: a present-but-null field must render "" like the JVM
+    path's coalesce (records.py csv_line_col), not the Python repr
+    'None' (r.get's default only covers ABSENT keys)."""
+    from pdf_to_text_spark.kernels.blocks import records_to_csv
+
+    csv = records_to_csv(
+        [{"SucursalName": None, "EAN": "E1", "CantidadVendida": "1", "Importe": "2"}]
+    )
+    assert csv.splitlines()[1] == '"","E1",1,2.00'

@@ -85,3 +85,20 @@ def test_unclosed_anchors_do_not_poison_later_blocks():
     out = extract_html_text(html.encode())
     assert "actual article body" in out
     assert "Home" not in out  # the nav block stays boilerplate
+
+
+def test_inline_tags_inside_anchor_count_fully():
+    """r6 review: per-chunk strip() undercounted anchors whose text is
+    split by inline tags — '<a>read <b>more</b></a>' counted 8 of 9
+    chars, so an all-link block scored ratio < 1.0."""
+    blocks = segment_blocks("<li><a>read <b>more</b></a></li>")
+    assert len(blocks) == 1
+    assert blocks[0].text == "read more"
+    assert blocks[0].link_chars == len("read more")
+    assert blocks[0].link_ratio == 1.0
+
+    # <br> inside an anchor separates words in the block text AND in the
+    # link count
+    blocks = segment_blocks("<p><a>read<br>more</a></p>")
+    assert blocks[0].text == "read more"
+    assert blocks[0].link_ratio == 1.0
