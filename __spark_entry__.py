@@ -79,7 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         text_analysis,
     )
-    from pdf_to_text_spark.sources.pages import pages_df
 
     def q_extract_html_roundtrip(spark, sf):
         return extraction.html_roundtrip_extract(_docs(spark, sf))
@@ -601,8 +600,13 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             FROM idx
         """,
         "corpus_rollup": """
+            -- avg_chars floor-scaled from the exact-int sum, mirroring
+            -- the Spark side op-for-op (round(avg,2) is the banned
+            -- cross-engine round-half flake class — r6 review)
             SELECT lang, source, count(*) AS docs, sum(n_chars)::bigint AS chars,
-                   round(avg(n_chars), 2) AS avg_chars, min(doc_id) AS min_doc_id
+                   floor((sum(n_chars)::bigint::double / count(*)::double) * 100)
+                     / 100 AS avg_chars,
+                   min(doc_id) AS min_doc_id
             FROM documents GROUP BY lang, source
         """,
         "doc_embedding_join": """
@@ -726,12 +730,21 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_props_rollup": """
+            -- json_valid + try_cast mirror the Spark side's from_json
+            -- contract ('malformed rows yield null, never a job kill',
+            -- relational.py): a bare ->> ::int CAST throws on the first
+            -- malformed props row while Spark returns rows (r6 review)
+            WITH p AS (
+              SELECT event_type,
+                     CASE WHEN json_valid(props)
+                          THEN try_cast(props->>'k' AS int) END AS k
+              FROM events)
             SELECT event_type, count(*) AS n_events,
-                   sum((props->>'k')::int)::bigint AS sum_k,
-                   min((props->>'k')::int) AS min_k,
-                   max((props->>'k')::int) AS max_k,
-                   count(DISTINCT (props->>'k')::int) AS distinct_k
-            FROM events GROUP BY event_type
+                   sum(k)::bigint AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   count(DISTINCT k) AS distinct_k
+            FROM p GROUP BY event_type
         """,
         "high_value_order_lines": """
             SELECT l_returnflag, count(*) AS n_lines,
@@ -944,12 +957,23 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             WHERE round(c / (sa.n + sb.n - c), 4) >= 0.02
         """,
         "embedding_near_pairs_exact": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(
-                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(
-                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+            -- non-finite cosine (zero-norm / corrupt vector) pins to 0.0
+            -- exactly like the Spark side (dedup.cosine_sim_col): DuckDB
+            -- sorts NaN ABOVE every double, so an unguarded NaN would
+            -- pass the >= threshold and emit rows Spark never produces
+            -- (r6 review). Residual accepted risk: list_cosine_similarity
+            -- normalizes in a different IEEE op order than the left fold,
+            -- so a value landing EXACTLY on a round(...,4) boundary could
+            -- flip — deterministic corpus, observed green since r3.
+            WITH s AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS raw
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   round(CASE WHEN isfinite(raw) THEN raw ELSE 0.0 END, 4) AS cosine
+            FROM s
+            WHERE round(CASE WHEN isfinite(raw) THEN raw ELSE 0.0 END, 4) >= 0.3
         """,
         "label_centroids": """
             WITH x AS (
@@ -967,9 +991,14 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
               SELECT vec_id AS query_id, embedding AS qv FROM embeddings
               ORDER BY vec_id LIMIT 8),
             scored AS (
+              -- non-finite pinned to 0.0 like the Spark side (see
+              -- embedding_near_pairs_exact rationale — r6 review)
               SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(
-                       q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+                     round(CASE WHEN isfinite(list_cosine_similarity(
+                         q.qv::DOUBLE[], e.embedding::DOUBLE[]))
+                       THEN list_cosine_similarity(
+                         q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                       ELSE 0.0 END, 4) AS cosine
               FROM q CROSS JOIN embeddings e)
             SELECT query_id, rank::int AS rank, vec_id, cosine FROM (
               SELECT *, row_number() OVER (

@@ -258,13 +258,19 @@ def dedup_corpus(
 
     Every stage is a keyed shuffle (fingerprint, band bucket) — the pair
     space never approaches corpus²."""
-    fp = documents.select("doc_id", fingerprint_col().alias("fingerprint"))
+    # fp fans out into BOTH sides of the tagged join (probe side and the
+    # reps groupBy) — without its own persist the full-text normalization
+    # regex + md5 scan runs twice when tagged materializes, an entire
+    # extra text scan at 100 TB (r6 review; the comment below used to
+    # claim tagged's persist alone made it run once)
+    fp = documents.select(
+        "doc_id", fingerprint_col().alias("fingerprint")
+    ).persist()
     reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_doc_id"))
     # persist the TINY (doc_id, fingerprint, rep_doc_id) projection at its
-    # plan fan-out (survivor filter + final keep-list): the full-text
-    # normalization regex + md5 then runs once per doc, and the final
-    # select never re-scans text (r3 review; same persist-at-fan-out rule
-    # as the signature/shingle relations)
+    # own plan fan-out too (survivor filter + final keep-list), so the
+    # final select never re-scans text (r3 review; same persist-at-fan-out
+    # rule as the signature/shingle relations)
     tagged = fp.join(reps, "fingerprint").persist()
     survivors = documents.select("doc_id", "text").join(
         tagged.where(F.col("doc_id") == F.col("rep_doc_id")).select("doc_id"),

@@ -121,13 +121,26 @@ def word_chunk_reassembly(documents: DataFrame, chunk_size: int = 10) -> DataFra
 
 
 def corpus_rollup(documents: DataFrame) -> DataFrame:
-    """Metrics-rollup shape over documents (lang × source grouping sets)."""
+    """Metrics-rollup shape over documents (lang × source grouping sets).
+
+    avg_chars is floor-scaled (exact-int sum ÷ count, floored at 2dp)
+    rather than round(avg, 2): cross-engine round-half on a double is
+    the flake class CLAUDE.md bans — Spark's F.round HALF_UPs the
+    shortest decimal repr while DuckDB rounds the binary value, so a
+    .xx5-boundary mean hashes differently (r6 review; same idiom as
+    corpus_stats)."""
     return (
         documents.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_chars").alias("chars"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            (
+                F.floor(
+                    (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"))
+                    * 100
+                )
+                / 100
+            ).alias("avg_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
     )

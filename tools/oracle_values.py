@@ -76,7 +76,12 @@ def fold_cosine(a: list[float], b: list[float]) -> float:
     denom = math.sqrt(na) * math.sqrt(nb)
     # zero-norm guard mirrors the operator (cosine vs a zero vector is
     # DEFINED as 0.0 there; a bare divide would ZeroDivisionError here)
-    return dot / denom if denom != 0 else 0.0
+    est = dot / denom if denom != 0 else 0.0
+    # NaN/Inf pinning mirrors the operator too (cosine_sim_col, r5 fix):
+    # without it one non-finite embedding component makes spark_round
+    # quantize Decimal('nan') → InvalidOperation, crashing the oracle
+    # build for a query whose Spark side correctly emits 0.0 (r6 review)
+    return est if math.isfinite(est) else 0.0
 
 
 def _lit(v) -> str:
