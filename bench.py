@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import re
 import sys
 import time
 
@@ -113,7 +114,11 @@ def main() -> int:
     # run-to-run variance on identical jobs (BENCH/BASELINE.md controls);
     # the least-interfered rep is the honest estimate of engine capability
     reps = int(os.environ.get("PTS_BENCH_REPS", "2"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # anchored regex, not a bare rsplit('sf'): a path like /home/sfuser/x
+    # contains 'sf' but no scale factor and used to crash before any
+    # query ran (r6 review)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
 
     repo = pathlib.Path(__file__).resolve().parent
     sys.path.insert(0, str(repo))
@@ -131,12 +136,11 @@ def main() -> int:
     # deterministic bench pages table, built once and reused across runs;
     # 4×cores files — single-row-group files are the task granularity
     # (see bench/scaling.py ensure_pages)
-    from bench.scaling import prune_stale_benchdata
-    from pdf_to_text_spark.sources.pages import PAGES_GEN
+    from bench.scaling import pages_cache_path, prune_stale_benchdata
 
     prune_stale_benchdata()
     n_parts = max(64, 4 * cpus)
-    pages_path = repo / ".benchdata" / f"pages_{n_pages}_p{n_parts}_g{PAGES_GEN}"
+    pages_path = pages_cache_path(n_pages, n_parts)
     if not (pages_path / "_SUCCESS").exists():
         write_pages(spark, n_pages, str(pages_path), num_partitions=n_parts)
 
@@ -151,7 +155,10 @@ def main() -> int:
     docs_1k = docs.where(docs.doc_id < 1000)
 
     def q_extract_pages():
-        return run_extraction(pages, num_partitions=4 * cpus)
+        # default layout: kernel over scan splits, no payload shuffle
+        # (num_partitions only applies with shuffle_payloads=True and is
+        # a loud error otherwise — r6 review)
+        return run_extraction(pages)
 
     headline = {
         "extract_pages": q_extract_pages,
@@ -246,7 +253,13 @@ def main() -> int:
     spark.stop()
     reps16 = int(os.environ.get("PTS_BENCH_16C_REPS", str(max(1, reps))))
     if reps16 > 0:
-        extras.update(_extraction_16c_anchor(str(pages_path), reps=reps16))
+        try:
+            extras.update(_extraction_16c_anchor(str(pages_path), reps=reps16))
+        except Exception as e:  # noqa: BLE001
+            # the anchor runs AFTER the whole timed suite; a transient
+            # cold-JVM failure (host contention, timeout) must not
+            # discard ~10 minutes of completed results (r6 review)
+            extras["anchor_error"] = f"{type(e).__name__}: {e}"[:300]
 
     out = {
         "metric": "headline_suite_seconds",

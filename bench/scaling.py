@@ -76,6 +76,28 @@ def prune_stale_benchdata() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def pages_cache_path(n_pages: int, parts: int) -> pathlib.Path:
+    """The ONE place the .benchdata cache-dir name is built — bench.py
+    and ensure_pages both call this, and run_window parses ids back out
+    of it; a format fork would silently duplicate multi-GB corpus builds
+    (r6 review). _g{N}: content-versioned by the corpus generator."""
+    from pdf_to_text_spark.sources.pages import PAGES_GEN
+
+    return REPO / ".benchdata" / f"pages_{n_pages}_p{parts}_g{PAGES_GEN}"
+
+
+def corpus_rows(n_ids: int) -> int:
+    """Actual pages-table row count for an n_ids build: build_pages_pdf
+    appends a dup row for every id with i % DUP_EVERY == 21, so the
+    table holds more rows than ids (96000 ids → 97920 rows). Window
+    records always log THIS number — seeding 'docs' from the filename id
+    count made skipped windows log 96000 while run windows logged 97920
+    for the identical corpus (r6 review)."""
+    from pdf_to_text_spark.sources.pages import DUP_EVERY
+
+    return n_ids + len(range(21, n_ids, DUP_EVERY))
+
+
 def ensure_pages(n_pages: int, parts: int = 128) -> str:
     # 128 files, not 32: these ~3 MB zstd files are single-row-group, so
     # one file == one scan task — at 32 files a 16-core run is 2 task
@@ -90,7 +112,7 @@ def ensure_pages(n_pages: int, parts: int = 128) -> str:
     # _g{N}: content-version the cache so a corpus-generator change can't
     # silently serve last round's table (r4 review)
     prune_stale_benchdata()
-    path = REPO / ".benchdata" / f"pages_{n_pages}_p{parts}_g{PAGES_GEN}"
+    path = pages_cache_path(n_pages, parts)
     if not (path / "_SUCCESS").exists():
         code = (
             f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
@@ -292,7 +314,7 @@ def run_window(low: int, high: int, reps: int, pages_path: str,
     )
     wclass = "ok" if control["efficiency"] >= DEGRADED_CONTROL_EFF else "degraded"
     summary: dict = {
-        "docs": int(pages_path.rsplit("pages_", 1)[-1].split("_")[0]),
+        "docs": corpus_rows(int(pages_path.rsplit("pages_", 1)[-1].split("_")[0])),
         "machine_ceiling_efficiency": round(control["efficiency"], 3),
         "class": wclass,
         "reps": reps,
@@ -331,7 +353,10 @@ def run_window(low: int, high: int, reps: int, pages_path: str,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=48000)
+    # 96000 is the documented evidence protocol (CLAUDE.md: 48k
+    # under-amortizes fixed latencies — AW-53/54 were exactly such
+    # wasted windows at the old 48000 default; r6 review)
+    ap.add_argument("--pages", type=int, default=96000)
     ap.add_argument("--reps", type=int, default=3)
     # defaults = the N→4N pair below this VM's ~16-core saturation point
     # (the regime that faithfully emulates cluster scale-out; see

@@ -137,6 +137,15 @@ def run_extraction(
         prefilter; else window. The decision is logged in the plan shape
         (tests/test_plan_quality.py pins that no Exchange carries
         payload or extracted-text columns on the prefilter path).
+        SCALE CAVEAT (r6 review): the stats job's "tiny-column scan"
+        relies on column pruning reaching the source. Over parquet that
+        is free; over a source that computes rows (warc_to_page_rows'
+        binaryFile + record walk, pages_df's generator) pruning cannot
+        pass the mapInPandas and the eager job EXECUTES THE FULL SOURCE
+        PLAN once before extraction runs it again. For WARC-scale
+        ingest, either land records to parquet first (the recommended
+        crawl pattern — sources/warc.py docstring) or pass
+        dedup_strategy="window", which folds dedup into the single pass.
 
     `shuffle_payloads=True` restores the pre-shuffle layout (bucket +
     salted repartition before the kernel) for inputs that arrive so
@@ -151,6 +160,16 @@ def run_extraction(
     """
     if dedup_strategy not in ("auto", "prefilter", "window"):
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
+    if num_partitions is not None and not shuffle_payloads:
+        # same guard run_resumable_extraction has had since r3: the value
+        # is consumed only by the shuffle_payloads layout, and a silently
+        # dead tuning knob misleads benchmarks and callers (r6 review —
+        # bench.py itself was passing it to no effect)
+        raise ValueError(
+            "run_extraction: num_partitions only applies with "
+            "shuffle_payloads=True — the default layout maps the kernel "
+            "over scan splits and the value would be silently ignored"
+        )
     nb = N_BUCKETS if n_buckets is None else n_buckets
     df = pages.select(*PAGES_COLS)
 

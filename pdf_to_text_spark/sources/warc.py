@@ -36,6 +36,14 @@ Scale notes (the part that matters at 10^12 docs):
 - **No per-row Python:** one Python invocation per *file*, vectorized
   pandas construction per slice — same Arrow-batch discipline as the
   extraction kernels.
+- **Land to parquet before auto dedup.** run_extraction's default
+  "auto" dedup runs an eager (url, warc_ts) stats job first; over this
+  source column pruning cannot pass the mapInPandas, so that job would
+  walk every archive once and extraction would walk it AGAIN (r6
+  review). At crawl scale: warc_pages → write parquet → run_extraction
+  over the parquet (the ingest/extract split every real crawl pipeline
+  makes anyway), or run_extraction(warc_pages(...),
+  dedup_strategy="window") for a single pass.
 
 Reference parity note: the reference (pierotech/pdf-to-text,
 src/main.ts:136-149) receives one uploaded file per request; WARC is the
@@ -226,7 +234,11 @@ def _inflate_capped(payload: bytes, wbits: int) -> bytes | None:
                 break
     except zlib.error:
         return None
-    return bytes(out) if out else None
+    # an EMPTY decompressed body is a valid success (gzip'd empty 200s
+    # exist on real crawls) — 'if out' conflated it with failure and the
+    # caller kept the raw compressed blob as the page payload, turning a
+    # correct empty extraction into parse_failed garbage (r6 review)
+    return bytes(out)
 
 
 def _decode_http_payload(payload: bytes, http: dict[str, str]) -> bytes:

@@ -123,3 +123,13 @@ def test_num_partitions_without_payload_shuffle_is_loud(spark, tmp_path):
         run_resumable_extraction(
             spark, pages_df(spark, 10), str(tmp_path / "t"), num_partitions=4
         )
+
+
+def test_run_extraction_num_partitions_alone_is_loud(spark):
+    """Same guard as run_resumable_extraction, now at the shared layer
+    (r6 review: bench.py was passing a silently dead num_partitions)."""
+    from pdf_to_text_spark.operators.extraction import run_extraction
+    from pdf_to_text_spark.sources.pages import pages_df
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_extraction(pages_df(spark, 10), num_partitions=4)

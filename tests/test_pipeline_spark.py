@@ -46,7 +46,7 @@ def pages(spark):
 
 @pytest.fixture(scope="module")
 def extracted(pages):
-    return run_extraction(pages, num_partitions=8).cache()
+    return run_extraction(pages).cache()
 
 
 def test_pages_shape(pages):

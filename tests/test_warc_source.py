@@ -281,3 +281,21 @@ def test_dechunk_rejects_malformed_size_tokens():
         assert _dechunk(bad) is None
     # well-formed framing still decodes (uppercase hex is legal)
     assert _dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+
+
+def test_gzipped_empty_body_decodes_to_empty_not_raw():
+    """r6 review: a valid gzip of b'' is a SUCCESSFUL decode — the old
+    'if out' falsiness check returned None and the caller kept the
+    20-byte compressed blob as the page payload (parse_failed garbage
+    instead of a correct empty extraction)."""
+    import gzip as _gzip
+
+    from pdf_to_text_spark.sources.warc import warc_to_page_rows
+
+    rec = _manual_response_record(
+        "https://x/empty.html",
+        b"Content-Type: text/html\r\nContent-Encoding: gzip",
+        _gzip.compress(b""),
+    )
+    rows = warc_to_page_rows(rec)
+    assert len(rows) == 1 and rows[0][2] == b""
