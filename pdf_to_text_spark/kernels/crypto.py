@@ -658,7 +658,11 @@ def make_perms_r6(p: int, encrypt_metadata: bool, file_key: bytes) -> bytes:
     block). Bytes 12-15 are 'random' per spec — fixed here for
     byte-stable fixtures (readers must ignore them)."""
     blk = (
-        struct.pack("<i", p)
+        # /P arrives signed (-3904) or unsigned (4294963392) depending on
+        # the producing toolchain — mask to the 32-bit pattern like
+        # file_key does; a bare '<i' pack raises struct.error on the
+        # unsigned form (r6 review)
+        struct.pack("<I", p & 0xFFFFFFFF)
         + b"\xff\xff\xff\xff"
         + (b"T" if encrypt_metadata else b"F")
         + b"adb"

@@ -34,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         pages = spark.read.parquet(args.input)
         if args.resume:
+            from .pipeline import artifacts_from_extracted
             from .plans.checkpoint import run_resumable_extraction
 
             mt = run_resumable_extraction(
@@ -41,10 +42,26 @@ def main(argv: list[str] | None = None) -> int:
                 dedup=not args.no_dedup,  # r5 review: was silently ignored
                 dedup_strategy=args.dedup_strategy,
             )
-            mt.metrics(spark).write.mode("overwrite").parquet(f"{args.output}/metrics")
-            n = mt.read(spark).count()
+            # SAME five-artifact contract as the non-resume branch (r6
+            # review: --resume used to stop at extracted+metrics, so a
+            # crash-then-resume run silently never produced records/
+            # csv_docs/json_docs). metrics/ keeps one schema across both
+            # modes (metrics_rollup); the snapshot-stamped lineage rows
+            # go to metrics_lineage/ — resume's extra artifact, additive.
+            out = artifacts_from_extracted(mt.read(spark))
+            for name in ("records", "csv_docs", "json_docs", "metrics"):
+                out[name].write.mode("overwrite").parquet(f"{args.output}/{name}")
+            mt.metrics(spark).write.mode("overwrite").parquet(
+                f"{args.output}/metrics_lineage"
+            )
+            # doc count from the manifests already parsed in-process — a
+            # .count() here re-scanned every committed file for one log
+            # line (r6 review)
+            n = sum(m["docs"] for s in mt.snapshots() for m in s["metrics"])
             print(f"extracted (resumable): {n} docs, "
-                  f"{len(mt.snapshots())} snapshots", file=sys.stderr)
+                  f"{len(mt.snapshots())} snapshots; wrote extracted/"
+                  "records/csv_docs/json_docs/metrics/metrics_lineage "
+                  f"under {args.output}", file=sys.stderr)
         else:
             # write extracted/ FIRST and re-read it: every downstream
             # artifact shares the extraction lineage, and five lazy

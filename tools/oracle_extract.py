@@ -36,9 +36,21 @@ def main(argv: list[str]) -> int:
     args = [a for a in argv if not a.startswith("--")]
     golden = pathlib.Path(args[0] if args else "tests/golden")
     rc = 0
-    for src in sorted(golden.iterdir()):
-        if src.suffix not in (".pdf", ".html"):
-            continue
+    fixtures = [
+        s for s in sorted(golden.iterdir()) if s.suffix in (".pdf", ".html")
+    ]
+    # x.pdf and x.html would both map to x.txt and one golden would
+    # silently overwrite the other — a stem collision is a loud error in
+    # a tool whose contract is frozen goldens (r6 review)
+    stems: dict[str, pathlib.Path] = {}
+    for s in fixtures:
+        if s.stem in stems:
+            raise SystemExit(
+                f"golden stem collision: {stems[s.stem].name} and {s.name} "
+                f"both produce {s.stem}.txt — rename one fixture"
+            )
+        stems[s.stem] = s
+    for src in fixtures:
         ctype = "application/pdf" if src.suffix == ".pdf" else "text/html"
         text, n_pages, failed = extract_any(src.read_bytes(), ctype)
         out = src.with_suffix(".txt")
