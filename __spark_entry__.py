@@ -824,7 +824,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             WITH s AS (
               SELECT doc_id,
                      len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS words,
-                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS bpe_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS bpe_tokens,
                      len(text) AS chars,
                      len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
                      len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
@@ -895,14 +895,14 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents
-            WHERE (('0x' || substring(md5(doc_id::varchar), 1, 4))::int) % 100
+            WHERE (('0x' || substring(md5(coalesce(doc_id::varchar, '')), 1, 4))::int) % 100
                   < CASE WHEN lang = 'en' THEN 20
                          WHEN lang IN ('es','de','fr','zh') THEN 60
                          ELSE 0 END
         """,
         "deterministic_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents
-            WHERE (('0x' || substring(md5(doc_id::varchar), 1, 4))::int) % 100 < 10
+            WHERE (('0x' || substring(md5(coalesce(doc_id::varchar, '')), 1, 4))::int) % 100 < 10
         """,
         "fingerprints": """
             SELECT doc_id,

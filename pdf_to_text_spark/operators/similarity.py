@@ -32,6 +32,47 @@ N_PLANES = 8
 N_TABLES = 4
 
 
+def _clean_matrix(cells, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(keep_mask, (n_keep × dim) float64 matrix) for a batch of Arrow
+    array cells, dropping NULL and wrong-length vectors per ROW.
+
+    The naive `np.asarray([np.asarray(v) for v in cells])` turns ONE
+    corrupt row into an inhomogeneous-shape ValueError that kills the
+    whole job after task retries (r6 review) — corrupt embeddings are
+    already in this module's threat model (cosine_sim_col hardening),
+    so the LSH/IVF kernels must degrade per-row too. NaN/Inf components
+    are kept: downstream comparisons treat them deterministically."""
+    keep = np.zeros(len(cells), dtype=bool)
+    rows = []
+    for i, v in enumerate(cells):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape != (dim,):
+            continue
+        keep[i] = True
+        rows.append(a)
+    if not rows:
+        return keep, np.empty((0, dim), dtype=np.float64)
+    return keep, np.stack(rows)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail for the three top-k surfaces: rank by
+    cosine desc with vec_id asc tie-break (total-order deterministic,
+    oracle-comparable). One definition so brute-force/IVF/LSH cannot
+    silently diverge on rounding or tie-break (r6 review — the same
+    one-sided-edit hazard sketches._moment_exprs closed in r5)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -47,14 +88,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     scored = joined.select(
         "query_id", "vec_id", F.round(sim, 4).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
@@ -117,11 +151,13 @@ def lsh_signatures(
 
     def gen(batches):
         for b in batches:
-            n = len(b)
-            if n == 0:
+            if len(b) == 0:
                 continue
-            M = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            ids = np.repeat(np.asarray(b[id_col]), n_tables)
+            keep, M = _clean_matrix(b[vec_col], dim)
+            n = int(keep.sum())
+            if n == 0:
+                continue  # NULL/ragged rows get no signature, not a crash
+            ids = np.repeat(np.asarray(b[id_col])[keep], n_tables)
             tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
             # (T, n, planes) → bucket per (vec, table)
             bits = np.einsum("nd,tpd->ntp", M, all_planes) > 0
@@ -269,13 +305,16 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     n_probe = min(n_probe, len(C))
 
     def probes(batches):
+        dim_c = C.shape[1]
         for b in batches:
             if not len(b):
                 continue
-            M = np.asarray([np.asarray(v, dtype=np.float64) for v in b["qv"]])
+            keep, M = _clean_matrix(b["qv"], dim_c)
+            if not keep.any():
+                continue  # bad query rows probe nothing, not a crash
             sims = M @ C.T
             top = np.argsort(-sims, axis=1)[:, :n_probe]
-            qids = np.repeat(np.asarray(b["query_id"]), n_probe)
+            qids = np.repeat(np.asarray(b["query_id"])[keep], n_probe)
             cells = top.reshape(-1).astype("int32")
             yield pd.DataFrame({"query_id": qids, "cell": cells})
 
@@ -293,14 +332,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
     sim = cosine_sim_col("qv", "v")
     scored = cand.select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -372,11 +404,4 @@ def lsh_topk(
     )
     sim = cosine_sim_col("qv", "v")
     scored = cand.select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rank_topk(scored, k)

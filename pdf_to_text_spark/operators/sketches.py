@@ -30,9 +30,16 @@ def _moment_exprs():
     and ANSI mode turns that into a hard job failure (r3 review).
     Moments from exact sums, not Welford: double accumulation is
     partition-order dependent in the last bit."""
+    # cast the OPERAND to decimal before squaring: `n_chars * n_chars`
+    # in the input integer type overflows first (an INT n_chars column —
+    # the natural F.length() derivation — overflows at 46341 chars, a
+    # 46 KB doc) and ANSI mode turns that into a job failure before the
+    # protective decimal cast ever runs (r6 review). decimal(19,0)² →
+    # decimal(38,0) exactly.
+    _nc = F.col("n_chars").cast("decimal(19,0)")
     aggs = [
         F.sum(F.col("n_chars").cast("long")).alias("_s1"),
-        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("_s2"),
+        F.sum((_nc * _nc).cast("decimal(38,0)")).alias("_s2"),
     ]
     mean = F.col("_s1").cast("double") / F.col("docs").cast("double")
     var = F.col("_s2").cast("double") / F.col("docs").cast("double") - mean * mean

@@ -25,8 +25,13 @@ QUALITY_STOPWORDS = [
 ]
 
 # BPE-ish token regex (letters run | digit run | single symbol) — same
-# class structure in Spark (Java regex) and DuckDB (RE2).
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+# class structure in Spark (Java regex) and DuckDB (RE2). The excluded
+# whitespace set is the module's pinned class (_WS_RE below, incl. \f):
+# form feed is a page separator in extracted PDF text, and counting it
+# as a symbol token inflated bpe_tokens by the page count while the
+# word split treated it as whitespace (r6 review; oracle updated in
+# lockstep — a pinned-value contract change).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 # Stopword profiles for language ID (pinned; ties broken in dict order).
 # The pinned whitespace class for every word-split / punct regex in this
@@ -284,11 +289,16 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 def md5_bucket(key: str, buckets: int = 100):
     """First 4 md5 hex digits of str(key) mod `buckets` — THE shared
     content-addressed bucket (one definition for deterministic_sample,
-    stratified_sample, and the SQL oracle mirrors)."""
+    stratified_sample, and the SQL oracle mirrors).
+
+    NULL keys hash as '' rather than propagating NULL: md5(NULL) is NULL
+    and `WHERE NULL < pct` silently dropped the row from EVERY sample —
+    even pct=100 — breaking the reproducible-subset contract (r6
+    review). A NULL-keyed row now lands in a deterministic bucket like
+    any other."""
+    key_s = F.coalesce(F.col(key).cast("string"), F.lit(""))
     return (
-        F.conv(
-            F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 4), 16, 10
-        ).cast("int")
+        F.conv(F.substring(F.md5(key_s.cast("binary")), 1, 4), 16, 10).cast("int")
         % buckets
     )
 

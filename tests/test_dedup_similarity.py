@@ -469,3 +469,37 @@ def test_nan_component_vector_never_passes_threshold(spark):
     got = {r["rank"]: r["vec_id"] for r in
            brute_force_topk(emb, q, k=4).collect()}
     assert got[1] in (1, 2) and got[2] in (1, 2)  # corrupt vectors rank last
+
+
+def test_corrupt_embedding_rows_degrade_per_row_not_job(spark):
+    """r6 review: one NULL (or wrong-length) vector in a mapInPandas
+    batch made the stacked np.asarray raise an inhomogeneous-shape
+    ValueError — task retries exhaust and the WHOLE LSH/IVF job dies.
+    Corrupt embeddings are in this module's threat model (cosine paths
+    were hardened in r3/r5); the kernels must degrade per row too."""
+    rows = [
+        (0, [float(i) for i in range(16)], 0),
+        (1, [float(i) + 0.1 for i in range(16)], 0),
+        (2, None, 0),             # NULL vector
+        (3, [1.0, 2.0], 0),       # ragged (len 2, dim 16)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    sig = similarity.lsh_signatures(emb, dim=16)
+    ids = {r["vec_id"] for r in sig.collect()}
+    assert ids == {0, 1}          # bad rows get no signature, not a crash
+    # IVF probe path: bad QUERY rows are skipped, good ones still answer
+    q = spark.createDataFrame(
+        [(0, [float(i) for i in range(16)]), (1, None), (2, [1.0, 2.0])],
+        "query_id long, qv array<double>",
+    )
+    good = emb.where("vec_id < 2")
+    out = similarity.ivf_topk(good, q, dim=16, k=2, n_cells=2)
+    assert {r["query_id"] for r in out.collect()} == {0}
+    # LSH topk end-to-end with the corrupt rows still IN the corpus
+    lsh = similarity.lsh_topk(emb, q, dim=16, k=2)
+    got = {r["query_id"] for r in lsh.collect()}
+    assert got <= {0} and all(
+        r["vec_id"] in (0, 1) for r in lsh.collect()
+    )

@@ -35,3 +35,17 @@ def test_prune_stale_benchdata_removes_old_generations(tmp_path, monkeypatch):
     sc.prune_stale_benchdata()
     assert not old.exists() and not older.exists()
     assert cur.exists() and (bd / "not_pages.txt").exists()
+
+
+def test_moment_square_survives_int_n_chars(spark):
+    """r6 review: `n_chars * n_chars` squared in the INPUT integer type
+    before the protective decimal cast, so an INT n_chars column (the
+    natural F.length() derivation) overflowed at 46341 chars and ANSI
+    mode killed the job. The operand is now decimal before squaring."""
+    docs = spark.createDataFrame(
+        [(0, "en", "s", 50_000), (1, "en", "s", 46_342)],
+        "doc_id long, lang string, source string, n_chars int",
+    )
+    row = corpus_sketches(docs).collect()[0]
+    assert row["docs"] == 2
+    assert row["avg_chars"] == 48171.0

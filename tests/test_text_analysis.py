@@ -305,3 +305,37 @@ def test_media_codec_injection_seam(spark):
     # r6: the default path now declares non-PNG/WAV payloads as 'stub'
     # (the 0xff-leading splice is not a recognized container)
     assert (stub[stub["media_id"] == 999]["decode_status"] == "stub").all()
+
+
+def test_null_key_rows_stay_sampleable(spark):
+    """r6 review: md5(NULL key) propagated NULL and `NULL < pct` dropped
+    the row from EVERY sample — pct=100 included — breaking the
+    reproducible-subset contract. NULL keys now hash as ''."""
+    df = spark.createDataFrame(
+        [("a", "en"), (None, "en")], "doc_id string, lang string"
+    )
+    assert text_analysis.deterministic_sample(df, key="doc_id", pct=100).count() == 2
+    kept = text_analysis.stratified_sample(df, "lang", {"en": 100}, key="doc_id")
+    assert kept.count() == 2
+    # monotone nesting still holds for the NULL-key row: it lands in ONE
+    # deterministic bucket (md5('')[:4] = 'd41d' = 54301 → 1 mod 100)
+    assert text_analysis.deterministic_sample(
+        df.where("doc_id IS NULL"), key="doc_id", pct=1
+    ).count() == 0
+    assert text_analysis.deterministic_sample(
+        df.where("doc_id IS NULL"), key="doc_id", pct=2
+    ).count() == 1
+
+
+def test_bpe_tokens_use_the_pinned_whitespace_class(spark):
+    """r6 review: the BPE symbol class omitted \\f from the excluded
+    whitespace set, so each form feed (the PDF page separator!) counted
+    as one symbol token while the word split treated it as whitespace.
+    \\x0b stays a symbol — it is OUTSIDE the pinned RE2∩Java class."""
+    df = spark.createDataFrame(
+        [(0, "a\fb"), (1, "a\x0bb")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["bpe_tokens"] for r in
+           text_analysis.token_counts(df).collect()}
+    assert out[0] == 2   # a, b — \f is whitespace, not a symbol
+    assert out[1] == 3   # a, \x0b, b
