@@ -16,31 +16,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_SHIPPED: set[int] = set()
-
-
 def _ensure_shipped(spark: SparkSession) -> None:
     """Make the engine importable on this session's Python workers.
 
     The driver builds its own SparkSession; ship engine.zip to it once
     (same mechanism as spark-submit --py-files). Safe to call repeatedly.
-    Keyed on applicationId (an id() key can collide when a stopped
-    context's address is recycled) and marked shipped only on SUCCESS —
-    caching a swallowed failure would skip every retry and leave workers
-    with ModuleNotFoundError (r3 review)."""
+    Delegates to config.ensure_shipped — ONE applicationId-keyed
+    registry shared with build_spark (r6 review: two independent
+    registries shipped two independently zipped copies of engine.zip to
+    the same app, re-risking the 'file exists and does not match
+    contents' executor-fetch failure the guard exists to prevent).
+    Failures are swallowed here (retried on the next call; local
+    sys.path may suffice), and the shared registry marks shipped only
+    on SUCCESS (r3 review)."""
     try:
-        key = spark.sparkContext.applicationId
-    except Exception:
-        key = id(spark.sparkContext)
-    if key in _SHIPPED:
-        return
-    try:
-        from pdf_to_text_spark.config import package_zip
+        from pdf_to_text_spark.config import ensure_shipped
 
-        spark.sparkContext.addPyFile(package_zip())
-        _SHIPPED.add(key)
+        ensure_shipped(spark)
     except Exception:
-        pass  # retried on the next call; local sys.path may suffice
+        pass
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,13 +110,22 @@ def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    # Ship the engine to executor Python workers (spark-submit --py-files
-    # equivalent) so jobs work no matter where the driver script lives.
-    # Ship ONCE per SparkContext (r5 review): getOrCreate can return an
-    # existing session, and re-adding a freshly-zipped engine.zip with
-    # different bytes under the same name makes executors fail the fetch
-    # ('file exists and does not match contents') — same guard as
-    # __spark_entry__._ensure_shipped.
+    ensure_shipped(spark)
+    return spark
+
+
+def ensure_shipped(spark) -> None:
+    """Ship engine.zip to this session's executor Python workers
+    (spark-submit --py-files equivalent), ONCE per SparkContext — THE
+    single ship registry. getOrCreate can return an existing session,
+    and re-adding a freshly-zipped engine.zip with different bytes under
+    the same name makes executors fail the fetch ('file exists and does
+    not match contents') (r5 review). r6 review: build_spark and
+    __spark_entry__._ensure_shipped each kept their OWN registry keyed
+    on the same applicationId, so one app shipped two independently
+    zipped copies — the exact double-add hazard the guard exists to
+    prevent; the entry shim now delegates here. Marked shipped only on
+    SUCCESS so a failed addPyFile is retried on the next call."""
     try:
         key = spark.sparkContext.applicationId
     except Exception:
@@ -124,4 +133,3 @@ def build_spark(app_name: str = "pdf_to_text_spark", master: str | None = None,
     if key not in _SHIPPED_APPS:
         spark.sparkContext.addPyFile(package_zip())
         _SHIPPED_APPS.add(key)
-    return spark

@@ -132,6 +132,25 @@ def _byte_capped_frames(
         yield pd.DataFrame(buf, columns=cols)
 
 
+def _buffered_weight(row: tuple) -> int:
+    """Approximate in-buffer byte size of an OUTPUT row — the cap must
+    weigh what is buffered, not the transient input payload: the
+    feature/resize rows are ~200 B of hash+metadata, and weighting them
+    by megabyte-scale inputs flushed after ~32 rows (~6 KB real),
+    producing thousands of needless tiny Arrow batches on the hot
+    mapInPandas path (r6 review). Payload-carrying members still count
+    at full length via the bytes branch."""
+    w = 16
+    for v in row:
+        if isinstance(v, (bytes, str)):
+            w += len(v) + 8
+        elif isinstance(v, (list, tuple)):
+            w += 8 * len(v) + 16
+        else:
+            w += 8
+    return w
+
+
 def media_features(media: DataFrame, decode=None,
                    batch_bytes: int | None = None) -> DataFrame:
     """media table → per-item feature rows (mapInPandas, byte-capped).
@@ -154,7 +173,8 @@ def media_features(media: DataFrame, decode=None,
             for b in batches:
                 for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
                     if payload is None:
-                        yield (mid, kind, 0, None, None, "null_payload"), 0
+                        row = (mid, kind, 0, None, None, "null_payload")
+                        yield row, _buffered_weight(row)
                         continue
                     p = bytes(payload)
                     try:
@@ -174,10 +194,12 @@ def media_features(media: DataFrame, decode=None,
                             raw_feat, status = res, "ok"
                         feat = [float(x) for x in raw_feat]
                     except Exception:
-                        yield (mid, kind, len(p), None, None, "decode_failed"), len(p)
+                        row = (mid, kind, len(p), None, None, "decode_failed")
+                        yield row, _buffered_weight(row)
                         continue
                     digest = hashlib.blake2b(p, digest_size=16).hexdigest()
-                    yield (mid, kind, len(p), digest, feat, status), len(p)
+                    row = (mid, kind, len(p), digest, feat, status)
+                    yield row, _buffered_weight(row)
 
         yield from _byte_capped_frames(
             rows(), list(FEATURE_SCHEMA.fieldNames()), batch_bytes
@@ -231,7 +253,7 @@ def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
 
 
 def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
-                 resize=None) -> DataFrame:
+                 resize=None, batch_bytes: int | None = None) -> DataFrame:
     """Image resize stage (mandate verb: resize): image rows → resized
     payload metadata, mapInPandas with byte-capped yields. Aspect-aware:
     the target box is fit preserving the source ratio (min scale), the
@@ -252,10 +274,12 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
                     b["media_id"], b["payload"], b["width"], b["height"]
                 ):
                     if payload is None:
-                        yield (mid, None, None, 0, None, "null_payload"), 0
+                        row = (mid, None, None, 0, None, "null_payload")
+                        yield row, _buffered_weight(row)
                         continue
                     if pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
-                        yield (mid, None, None, 0, None, "no_dims"), 0
+                        row = (mid, None, None, 0, None, "no_dims")
+                        yield row, _buffered_weight(row)
                         continue
                     w, h = int(w), int(h)
                     scale = min(target_w / w, target_h / h)
@@ -273,12 +297,16 @@ def image_resize(media: DataFrame, target_w: int = 224, target_h: int = 224,
                         else:
                             out, status = bytes(res), "ok"
                     except Exception:
-                        yield (mid, None, None, 0, None, "decode_failed"), 0
+                        row = (mid, None, None, 0, None, "decode_failed")
+                        yield row, _buffered_weight(row)
                         continue
                     digest = hashlib.blake2b(out, digest_size=16).hexdigest()
-                    yield (mid, ow, oh, len(out), digest, status), len(out)
+                    row = (mid, ow, oh, len(out), digest, status)
+                    yield row, _buffered_weight(row)
 
-        yield from _byte_capped_frames(rows(), list(RESIZE_SCHEMA.fieldNames()))
+        yield from _byte_capped_frames(
+            rows(), list(RESIZE_SCHEMA.fieldNames()), batch_bytes
+        )
 
     return (
         media.where(F.col("kind") == "image")
@@ -338,7 +366,7 @@ def _resample_real(payload: bytes, dst_rate: int):
 
 
 def audio_resample(media: DataFrame, target_rate: int = 16000,
-                   resample=None) -> DataFrame:
+                   resample=None, batch_bytes: int | None = None) -> DataFrame:
     """Audio resample stage (mandate verb: resample) — the EXECUTING
     sibling of audio_resample_plan (r6): audio rows → resampled-payload
     metadata via mapInPandas with byte-capped yields, real DSP for
@@ -356,22 +384,35 @@ def audio_resample(media: DataFrame, target_rate: int = 16000,
             for b in batches:
                 for mid, payload in zip(b["media_id"], b["payload"]):
                     if payload is None:
-                        yield (mid, None, target_rate, None, 0, None,
-                               "null_payload"), 0
+                        row = (mid, None, target_rate, None, 0, None,
+                               "null_payload")
+                        yield row, _buffered_weight(row)
                         continue
                     try:
                         out, src_rate, n_samples, status = resample(
                             bytes(payload), target_rate
                         )
+                        # coerce INSIDE the try: a custom codec returning
+                        # a non-bytes payload (or non-int counts) must
+                        # cost its row, not the task — image_resize's
+                        # bytes(res[0]) does this; audio skipped it
+                        # (r6 review)
+                        out = bytes(out)
+                        src_rate = None if src_rate is None else int(src_rate)
+                        n_samples = None if n_samples is None else int(n_samples)
                     except Exception:
-                        yield (mid, None, target_rate, None, 0, None,
-                               "decode_failed"), 0
+                        row = (mid, None, target_rate, None, 0, None,
+                               "decode_failed")
+                        yield row, _buffered_weight(row)
                         continue
                     digest = hashlib.blake2b(out, digest_size=16).hexdigest()
-                    yield (mid, src_rate, target_rate, n_samples, len(out),
-                           digest, status), len(out)
+                    row = (mid, src_rate, target_rate, n_samples, len(out),
+                           digest, status)
+                    yield row, _buffered_weight(row)
 
-        yield from _byte_capped_frames(rows(), list(RESAMPLE_SCHEMA.fieldNames()))
+        yield from _byte_capped_frames(
+            rows(), list(RESAMPLE_SCHEMA.fieldNames()), batch_bytes
+        )
 
     return (
         media.where(F.col("kind") == "audio")

@@ -34,8 +34,16 @@ LANGS = ["en", "es", "de", "fr", "zh"]
 _LANG_CYCLE = (["en"] * 20 + ["es"] * 8 + ["de"] * 7 + ["fr"] * 8 + ["zh"] * 7)
 
 MEGA_EVERY = 100      # 1% mega PDFs
-# the two url-hash buckets (mod config.N_BUCKETS=32) all mega docs land
-# in — the documented hash-skew knob the salted repartition must flatten
+# the two url-hash buckets ALL mega docs land in — the documented
+# hash-skew knob the salted repartition must flatten. Residues are of a
+# PINNED modulus (below), NOT the env-configurable config.N_BUCKETS:
+# corpus bytes must be a pure function of PAGES_GEN (the .benchdata
+# cache key), and with PTS_N_BUCKETS=16 the 10k-probe search for a
+# bucket-21 url could never hit (generation crashed; r6 review). Under
+# a non-default runtime N_BUCKETS the mega rows still concentrate:
+# hash≡5/21 (mod 32) maps to ≤2 residues per group for any power-of-two
+# bucket count.
+MEGA_BUCKET_MOD = 32  # pinned == the DEFAULT N_BUCKETS; never env-driven
 MEGA_BUCKETS = (5, 21)
 NULL_EVERY = 200      # 0.5% null html
 DUP_EVERY = 50        # 2% duplicated urls (differing warc_ts)
@@ -63,7 +71,7 @@ def _row_payload(i: int) -> tuple[str, dt.datetime, bytes | None, str | None, st
         g = (i // MEGA_EVERY) % 2
         for k in range(10_000):
             url = f"https://example.org/mega/{g}/{i:08d}-{k}.pdf"
-            if bucket_of(url) == MEGA_BUCKETS[g]:
+            if bucket_of(url, MEGA_BUCKET_MOD) == MEGA_BUCKETS[g]:
                 break
         else:  # pragma: no cover — P(miss) = (31/32)^10000
             raise AssertionError(f"no bucket-{MEGA_BUCKETS[g]} url for id {i}")

@@ -9,7 +9,12 @@ salt spreads them across many shuffle partitions."""
 from pyspark.sql import functions as F
 
 from pdf_to_text_spark.plans.layout import bucket_of, xxhash64_py
-from pdf_to_text_spark.sources.pages import MEGA_BUCKETS, MEGA_EVERY, _row_payload
+from pdf_to_text_spark.sources.pages import (
+    MEGA_BUCKET_MOD,
+    MEGA_BUCKETS,
+    MEGA_EVERY,
+    _row_payload,
+)
 
 
 def _mega_ids(n_rows=3000):
@@ -24,7 +29,11 @@ def _mega_urls():
         g = (i // MEGA_EVERY) % 2
         for k in range(10_000):
             u = f"https://example.org/mega/{g}/{i:08d}-{k}.pdf"
-            if bucket_of(u) == MEGA_BUCKETS[g]:
+            # the PINNED modulus, not the env-configurable N_BUCKETS:
+            # corpus bytes are a pure function of PAGES_GEN (r6 review —
+            # PTS_N_BUCKETS=16 used to crash generation, 64 silently
+            # changed the corpus under an unchanged cache stamp)
+            if bucket_of(u, MEGA_BUCKET_MOD) == MEGA_BUCKETS[g]:
                 urls.append((i, u))
                 break
     return urls
@@ -49,12 +58,12 @@ def test_xxhash64_mirror_matches_jvm(spark):
 def test_mega_urls_concentrate_into_two_buckets():
     urls = _mega_urls()
     assert len(urls) >= 10
-    buckets = {bucket_of(u) for _, u in urls}
+    buckets = {bucket_of(u, MEGA_BUCKET_MOD) for _, u in urls}
     assert buckets == set(MEGA_BUCKETS)
     # and the generator's actual output rows agree (payload build included)
     i = _mega_ids()[0]
     url, *_ = _row_payload(i)
-    assert bucket_of(url) == MEGA_BUCKETS[(i // MEGA_EVERY) % 2]
+    assert bucket_of(url, MEGA_BUCKET_MOD) == MEGA_BUCKETS[(i // MEGA_EVERY) % 2]
 
 
 def test_salt_spreads_mega_buckets(spark):

@@ -472,3 +472,34 @@ def test_resize_aspect_fit_math(spark, w, h, tw, th, ow, oh):
     )
     row = image_resize(df, tw, th).collect()[0]
     assert (row.out_width, row.out_height, row.resize_status) == (ow, oh, "stub")
+
+
+def test_resize_and_resample_thread_tiny_byte_cap(spark):
+    """r6 review: image_resize and audio_resample hard-passed the default
+    cap, so the only documented override mechanism (threading — a
+    driver-side monkeypatch never reaches executors) did not exist for
+    two of the three stages. Same contract as media_features: a
+    below-one-row cap must neither drop nor duplicate rows."""
+    media = synth_media_df(spark, N)
+    base_rz = [tuple(r) for r in image_resize(media).collect()]
+    tiny_rz = [tuple(r) for r in image_resize(media, batch_bytes=1).collect()]
+    assert sorted(base_rz) == sorted(tiny_rz) and len(tiny_rz) > 0
+    base_rs = [tuple(r) for r in audio_resample(media).collect()]
+    tiny_rs = [tuple(r) for r in audio_resample(media, batch_bytes=1).collect()]
+    assert sorted(base_rs) == sorted(tiny_rs) and len(tiny_rs) > 0
+
+
+def test_audio_codec_returning_non_bytes_degrades_per_row(spark):
+    """r6 review: a custom resample callable returning a non-bytes
+    payload crashed the TASK at the blake2b call outside the try —
+    the seam contract says it must cost a decode_failed row."""
+    def bad_codec(payload, dst_rate):
+        return None, 44100, 10, "ok"   # non-bytes payload
+
+    media = synth_media_df(spark, N).where("kind = 'audio'")
+    rows = audio_resample(media, resample=bad_codec).collect()
+    assert len(rows) > 0
+    # the synth corpus includes null-payload audio rows, which keep
+    # their own status; every row that REACHED the codec must degrade
+    statuses = {r.resample_status for r in rows}
+    assert statuses == {"decode_failed", "null_payload"}
