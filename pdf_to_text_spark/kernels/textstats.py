@@ -104,9 +104,18 @@ def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
     """LSH banding: hash each band of the signature → bucket keys.
 
     n_perm=64, n_bands=16 → rows-per-band r=4; detection threshold
-    s ≈ (1/b)^(1/r) ≈ 0.5 Jaccard.
+    s ≈ (1/b)^(1/r) ≈ 0.5 Jaccard. n_perm must divide evenly into the
+    bands — a remainder would silently drop the trailing permutations
+    from every bucket key, degrading recall below the threshold math
+    above with no signal (r6 review).
     """
     n_perm = len(sig)
+    if n_perm % n_bands:
+        raise ValueError(
+            f"minhash_bands: n_perm={n_perm} is not a multiple of "
+            f"n_bands={n_bands}; {n_perm % n_bands} trailing permutations "
+            f"would never influence any bucket"
+        )
     r = n_perm // n_bands
     out = []
     for bi in range(n_bands):

@@ -35,6 +35,15 @@ from ..operators.extraction import metrics_rollup, run_extraction
 from .layout import with_bucket
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed one of this wave's buckets first.
+
+    Raised instead of committing a duplicate: the wave's data files stay
+    orphaned (invisible to snapshot-isolated readers), preserving the
+    module's "never duplicates a url" invariant. The caller should
+    re-derive its todo list from committed_buckets() and re-run."""
+
+
 class ManifestTable:
     """Parquet data files + JSON snapshot manifests (Iceberg-style)."""
 
@@ -60,42 +69,74 @@ class ManifestTable:
     def committed_files(self) -> list[str]:
         return [f for s in self.snapshots() for f in s["files"]]
 
-    def commit(self, buckets: list[int], files: list[str], metrics: list[dict]) -> int:
+    def commit(
+        self,
+        buckets: list[int],
+        files: list[str],
+        metrics: list[dict],
+        n_buckets: int | None = None,
+    ) -> int:
         """Atomically append snapshot N+1. Returns the snapshot id.
 
         The id is stamped into the metrics rows HERE — a caller-side
         derivation could drift from this one (and would re-parse every
-        prior manifest per wave).
+        prior manifest per wave). `n_buckets` (the modulus the bucket ids
+        are relative to) is stamped into the manifest so a resume with a
+        different modulus is a loud error, not silent row loss (r6
+        review).
 
-        Concurrent-writer safety: the id comes from a glob count, so two
-        jobs resuming the same table can race to the same id — and a
-        plain rename(2) would silently REPLACE the loser's committed
-        manifest, orphaning its data files. The final manifest is
-        therefore created with O_EXCL (link-into-place semantics): the
-        loser gets FileExistsError, re-derives the next id, and retries —
-        first-committer-wins, like Iceberg's optimistic commit protocol
-        (r6 review)."""
+        Concurrent-writer safety: the id is max(existing)+1 (count-based
+        ids hang forever once retention deletes a mid-sequence snapshot —
+        r6 review), so two jobs resuming the same table can race to the
+        same id — and a plain rename(2) would silently REPLACE the
+        loser's committed manifest, orphaning its data files. The final
+        manifest is therefore created with O_EXCL (link-into-place
+        semantics): the loser gets FileExistsError, re-derives the next
+        id, and retries — first-committer-wins, like Iceberg's
+        optimistic commit protocol. Each attempt (including the first)
+        RE-VALIDATES that none of this wave's buckets were committed by
+        the other writer meanwhile — a retry that blindly re-linked
+        would commit the same buckets twice and duplicate every row in
+        them (r6 review). Any interleaved commit lands on this
+        attempt's target id (both writers saw the same max), so a
+        successful link proves the validation read was current."""
         tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
-        while True:
-            sid = len(list(self.manifest_dir.glob("snapshot-*.json")))
-            payload = {
-                "snapshot_id": sid,
-                "buckets": sorted(buckets),
-                "files": sorted(files),
-                "metrics": [dict(m, snapshot_id=sid) for m in metrics],
-            }
-            with open(tmp, "w") as f:
-                json.dump(payload, f)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                # hard-link then unlink: atomic create-if-absent of the
-                # final name with the fully-fsynced content
-                os.link(tmp, self.manifest_dir / f"snapshot-{sid:06d}.json")
-            except FileExistsError:
-                continue  # another writer took this id — recount, retry
-            os.unlink(tmp)
-            return sid
+        try:
+            while True:
+                existing = sorted(self.manifest_dir.glob("snapshot-*.json"))
+                done = self.committed_buckets()
+                clash = done & set(buckets)
+                if clash:
+                    raise ConcurrentCommitError(
+                        f"buckets {sorted(clash)} were committed by another "
+                        f"writer; this wave's files stay orphaned (invisible)"
+                    )
+                sid = (
+                    max(int(p.stem.split("-")[1]) for p in existing) + 1
+                    if existing
+                    else 0
+                )
+                payload = {
+                    "snapshot_id": sid,
+                    "buckets": sorted(buckets),
+                    "files": sorted(files),
+                    "metrics": [dict(m, snapshot_id=sid) for m in metrics],
+                }
+                if n_buckets is not None:
+                    payload["n_buckets"] = n_buckets
+                with open(tmp, "w") as f:
+                    json.dump(payload, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    # hard-link then unlink: atomic create-if-absent of the
+                    # final name with the fully-fsynced content
+                    os.link(tmp, self.manifest_dir / f"snapshot-{sid:06d}.json")
+                except FileExistsError:
+                    continue  # another writer took this id — revalidate, retry
+                return sid
+        finally:
+            tmp.unlink(missing_ok=True)
 
     # ── reads (snapshot-isolated) ───────────────────────────────────────
 
@@ -153,6 +194,19 @@ def run_resumable_extraction(
             "splits and the value would be silently ignored"
         )
     mt = ManifestTable(table_path)
+    # A resume with a different modulus reinterprets old bucket ids under
+    # the new one — rows silently dropped AND duplicated (r6 review). The
+    # manifests carry the modulus they were committed under; mismatches
+    # are a loud error, not a "complete" run that lost data.
+    for s in mt.snapshots():
+        committed_n = s.get("n_buckets")
+        if committed_n is not None and committed_n != n_buckets:
+            raise ValueError(
+                f"resume with n_buckets={n_buckets} but {table_path} was "
+                f"committed with n_buckets={committed_n} (snapshot "
+                f"{s['snapshot_id']}); bucket ids are not comparable "
+                f"across moduli"
+            )
     done = mt.committed_buckets()
     todo = [b for b in range(n_buckets) if b not in done]
     # n_buckets MUST reach with_bucket: a custom value against the
@@ -184,7 +238,7 @@ def run_resumable_extraction(
             r.asDict()
             for r in metrics_rollup(spark.read.parquet(*files)).collect()
         ] if files else []
-        mt.commit(wave, files, metrics)
+        mt.commit(wave, files, metrics, n_buckets=n_buckets)
         commits += 1
         if fail_after_commits is not None and commits >= fail_after_commits:
             raise RuntimeError(f"injected failure after {commits} commits")

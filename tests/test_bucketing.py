@@ -73,13 +73,22 @@ def test_write_bucketed_recovers_orphaned_location(bucketed_spark):
 
 def test_reused_broadcast_is_not_a_shuffle(bucketed_spark):
     """ReusedExchange of a BroadcastExchange must not trip the no-shuffle
-    verifier (r6 review): same broadcast consumed twice in one plan."""
+    verifier (r6 review): same broadcast consumed twice in one plan.
+
+    AQE is forced OFF so the planner materializes the ReusedExchange
+    pre-execution — under AQE it never appears in the formatted plan and
+    the exemption path is dormant (second r6 review: the first fix
+    matched 'Reuses operator id' on the TREE line, which is a bare
+    'ReusedExchange (N)'; the annotation only exists in the details
+    section, so the exemption never fired)."""
     from pdf_to_text_spark.plans.bucketing import plan_has_exchange, write_bucketed
 
     spark = bucketed_spark
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     write_bucketed(docs, "docs_b", "doc_id", n_buckets=8)
     big = spark.table("docs_b")
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try:
         small = spark.range(0, 50).withColumnRenamed("id", "doc_id")
@@ -89,9 +98,63 @@ def test_reused_broadcast_is_not_a_shuffle(bucketed_spark):
         plan = spark._jvm.PythonSQLUtils.explainString(
             twice._jdf.queryExecution(), "formatted"
         )
-        if "ReusedExchange" in plan:
-            assert not plan_has_exchange(twice)
-        else:  # planner didn't reuse — still must classify broadcasts clean
-            assert not plan_has_exchange(twice)
+        assert "ReusedExchange" in plan, "exemption path not exercised"
+        assert not plan_has_exchange(twice)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+
+
+def test_reused_shuffle_is_still_a_shuffle(bucketed_spark):
+    """The ReusedExchange exemption must be broadcast-ONLY: reuse of a
+    shuffle Exchange is still data movement keyed on the join key."""
+    from pdf_to_text_spark.plans.bucketing import plan_has_exchange
+
+    spark = bucketed_spark  # broadcast already disabled by the fixture
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        a = spark.range(0, 1000).withColumnRenamed("id", "k")
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = a.join(b, "k")
+        twice = joined.unionAll(joined)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            twice._jdf.queryExecution(), "formatted"
+        )
+        assert plan_has_exchange(twice)
+        if "ReusedExchange" not in plan:  # planner chose not to reuse: the
+            return  # positive half above still holds
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+
+
+def test_orphan_drop_qualified_name_spares_default_table(bucketed_spark):
+    """_drop_orphaned_location('db.tbl') must target <wh>/db.db/tbl — the
+    bare-name mapping rmtree'd a LIVE default-db table named 'tbl' and
+    left the real orphan behind (r6 review)."""
+    import pathlib
+    from urllib.parse import urlparse
+
+    from pdf_to_text_spark.plans.bucketing import _drop_orphaned_location
+
+    spark = bucketed_spark
+    wh = pathlib.Path(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse"
+    )
+    live = wh / "docs_b"
+    live.mkdir(parents=True, exist_ok=True)
+    (live / "part-live.parquet").write_bytes(b"live")
+    orphan = wh / "analytics.db" / "docs_b"
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "part-stale.parquet").write_bytes(b"stale")
+    try:
+        _drop_orphaned_location(spark, "analytics.docs_b")
+        assert (live / "part-live.parquet").exists(), "live default-db data deleted"
+        assert not orphan.exists(), "real qualified orphan left behind"
+    finally:
+        import shutil
+
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(wh / "analytics.db", ignore_errors=True)

@@ -111,6 +111,45 @@ def test_commit_race_does_not_clobber(tmp_path):
     assert not list(mt.manifest_dir.glob(".tmp-*"))
 
 
+def test_commit_conflict_on_same_bucket_is_loud(tmp_path):
+    """A retry (or a second resumer) whose wave overlaps an interleaved
+    commit must ABORT, not append a duplicate snapshot — blindly
+    re-linking committed the same buckets twice and committed_files()
+    returned two copies of every row in them (r6 review)."""
+    from pdf_to_text_spark.plans.checkpoint import ConcurrentCommitError
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    mt.commit([0, 1], ["f0"], [])
+    other = ManifestTable(str(tmp_path / "t"))  # second resumer, stale todo
+    with pytest.raises(ConcurrentCommitError, match=r"\[1\]"):
+        other.commit([1, 2], ["f1"], [])
+    # nothing appended; files from the refused wave stay invisible
+    assert len(mt.snapshots()) == 1
+    assert mt.committed_files() == ["f0"]
+
+
+def test_commit_survives_snapshot_id_gap(tmp_path):
+    """Retention/manual cleanup removed a mid-sequence snapshot: a
+    count-derived id collides with the surviving max forever (infinite
+    link-retry loop, r6 review); ids must be max(existing)+1."""
+    mt = ManifestTable(str(tmp_path / "t"))
+    assert mt.commit([0], ["f0"], []) == 0
+    assert mt.commit([1], ["f1"], []) == 1
+    assert mt.commit([2], ["f2"], []) == 2
+    (mt.manifest_dir / "snapshot-000001.json").unlink()  # retention gap
+    assert mt.commit([3], ["f3"], []) == 3  # count==2 would collide with id 2
+    assert {s["snapshot_id"] for s in mt.snapshots()} == {0, 2, 3}
+
+
+def test_resume_with_different_n_buckets_is_loud(spark, pages, tmp_path):
+    """Bucket ids are relative to their modulus: resuming mod-32 against
+    mod-64 manifests silently drops and duplicates rows (r6 review)."""
+    table = str(tmp_path / "t64")
+    run_resumable_extraction(spark, pages, table, n_buckets=64, buckets_per_commit=64)
+    with pytest.raises(ValueError, match="n_buckets=64"):
+        run_resumable_extraction(spark, pages, table, n_buckets=32)
+
+
 def test_num_partitions_without_payload_shuffle_is_loud(spark, tmp_path):
     """num_partitions is consumed only by the shuffle_payloads layout —
     passing it alone used to be silently dead (r3 review)."""

@@ -503,3 +503,20 @@ def test_corrupt_embedding_rows_degrade_per_row_not_job(spark):
     assert got <= {0} and all(
         r["vec_id"] in (0, 1) for r in lsh.collect()
     )
+
+
+def test_minhash_bands_uneven_split_is_loud():
+    """n_perm % n_bands != 0 silently dropped the trailing permutations
+    from every bucket key — recall degraded below the (1/b)^(1/r)
+    threshold math with no signal (r6 review)."""
+    import numpy as np
+
+    from pdf_to_text_spark.kernels.textstats import minhash_bands, minhash_signature
+
+    sig60 = minhash_signature("the quick brown fox jumps over the lazy dog", n_perm=60)
+    with pytest.raises(ValueError, match="not a multiple"):
+        minhash_bands(sig60, n_bands=16)
+    # the pinned operator configuration stays valid
+    sig64 = minhash_signature("the quick brown fox jumps over the lazy dog", n_perm=64)
+    assert len(minhash_bands(sig64, n_bands=16)) == 16
+    assert isinstance(sig64, np.ndarray)

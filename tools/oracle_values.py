@@ -699,8 +699,6 @@ def _assign_one(v: tuple[float, ...], centroids) -> int:
 def _md5_bucket(key, buckets: int = 100) -> int:
     """Replicates text_analysis.md5_bucket: first 4 md5 hex digits of
     str(key), mod buckets; NULL keys hash as '' (r6 review)."""
-    import hashlib
-
     s = "" if key is None else str(key)
     return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % buckets
 
