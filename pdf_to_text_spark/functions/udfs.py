@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import ARROW_MAX_BATCH_BYTES
-from ..kernels.blocks import parse_records, segment_blocks
+from ..kernels.blocks import parse_records, records_to_pretty_json, segment_blocks
 from ..kernels.html import HTMLParseFailed, extract_html_text
 from ..kernels.pdf import (
     PDFEncryptedError,
@@ -173,12 +173,15 @@ def parse_records_udf(blocks: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def pretty_json_udf(records_json: pd.Series) -> pd.Series:
     """Compact JSON array string → JSON.stringify(…, null, 2) format
-    (src/main.ts:242). Runs per url, not per record."""
+    (src/main.ts:242). Runs per url, not per record. Delegates to the
+    kernel's records_to_pretty_json so the pinned byte format lives in
+    ONE place — a second copy of the indent/separator constants could be
+    'fixed' alone and silently diverge (r6 review)."""
     import json
 
     def pretty(s):
         if s is None:
             return "[]"
-        return json.dumps(json.loads(s), indent=2, ensure_ascii=False, separators=(",", ": "))
+        return records_to_pretty_json(json.loads(s))
 
     return records_json.map(pretty)

@@ -74,7 +74,8 @@ MAC_GLYPH_ORDER = (
     "dieresis notequal AE Oslash infinity plusminus lessequal greaterequal "
     "yen mu partialdiff summation product pi integral ordfeminine "
     "ordmasculine Omega ae oslash questiondown exclamdown logicalnot radical "
-    "florin approxequal Delta guillemotleft guillemotright ellipsis space "
+    "florin approxequal Delta guillemotleft guillemotright ellipsis "
+    "nonbreakingspace "
     "Agrave Atilde Otilde OE oe endash emdash quotedblleft quotedblright "
     "quoteleft quoteright divide lozenge ydieresis Ydieresis fraction "
     "currency guilsinglleft guilsinglright fi fl daggerdbl periodcentered "
@@ -574,6 +575,14 @@ def _cff_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
         return None
     str_index, _ = strings
     top = _cff_dict(top_dicts[0][0])
+    if 1230 in top:
+        # CID-keyed CFF (Top DICT carries ROS, op 12 30): its charset
+        # maps gid→CID, not gid→SID — reading CIDs as SIDs through the
+        # Standard-Encoding path fabricates ASCII for codes whose CID
+        # happens to collide with a Standard SID (r6 review). A simple
+        # font dict pointing at a CID program is mislabeled; fail soft
+        # to the latin-1 pin like any other undecodable program.
+        return None
     cs_off = top.get(17)
     if not cs_off:
         return None

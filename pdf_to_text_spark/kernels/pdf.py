@@ -1785,6 +1785,9 @@ _GLYPH_MAP: dict[str, str] = {
     "bullet": "•", "endash": "–", "emdash": "—", "tilde": "˜",
     "trademark": "™", "scaron": "š", "guilsinglright": "›", "oe": "œ",
     "zcaron": "ž", "Ydieresis": "Ÿ", "nbspace": " ",
+    # Apple's name for U+00A0 in the standard Macintosh glyph order
+    # (post-table index 172), distinct from AGL's "nbspace"
+    "nonbreakingspace": " ",
     "softhyphen": "­", "minus": "−", "fraction": "⁄",
     "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
     # Adobe StandardEncoding names absent from WinAnsi (AGL: fi U+FB01,

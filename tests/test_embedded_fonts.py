@@ -472,3 +472,56 @@ def test_seam_accepts_tuple_of_floats(spark):
     ok = [r for r in rows if r.decode_status == "ok"]
     assert len(ok) >= 10  # every non-null row
     assert all(len(r.feature) == 16 for r in ok)
+
+
+def test_post_v1_nonbreakingspace_at_index_172():
+    """Standard Mac glyph index 172 is 'nonbreakingspace' (U+00A0), not a
+    second 'space' — the table used to carry the duplicate and nbsp
+    glyphs silently decoded as U+0020 (r6 review)."""
+    assert MAC_GLYPH_ORDER.count("space") == 1
+    cmap_sub = struct.pack(">HHHHH", 6, 12, 0, 0xA0, 1) + struct.pack(">H", 172)
+    cmap = struct.pack(">HHHHI", 0, 1, 1, 0, 12) + cmap_sub
+    post = struct.pack(">I", 0x00010000) + b"\x00" * 28
+    m = embedded_font_code_to_unicode(
+        _manual_sfnt({b"cmap": cmap, b"post": post}), _glyph_to_char
+    )
+    assert m == {0xA0: "\xa0"}
+
+
+def test_cid_keyed_cff_fails_soft_to_latin1():
+    """A CID-keyed CFF (Top DICT carries ROS, op 12 30) maps gid→CID in
+    its charset, not gid→SID; an identity-ordered subset flowing through
+    the predefined-Standard path reads CIDs as SIDs and fabricates ASCII
+    (r6 review). The parser must return None — latin-1 pin, no invention."""
+    from tools.make_pdf import _cff_index_bytes
+
+    n_glyphs = 8
+    charstrings = _cff_index_bytes([b"\x0e"] * n_glyphs)
+    # charset format 0: gid i → CID i (identity-ordered subset: every CID
+    # collides with a low Standard-Encoding SID)
+    charset = bytes([0]) + b"".join(
+        struct.pack(">H", i) for i in range(1, n_glyphs)
+    )
+
+    def top_dict(charset_off: int, cs_off: int) -> bytes:
+        d = b""
+        for v in (391, 392, 0):  # ROS operands: registry, ordering, supplement
+            d += b"\x1d" + struct.pack(">i", v)
+        d += bytes([12, 30])
+        d += b"\x1d" + struct.pack(">i", charset_off) + bytes([15])
+        d += b"\x1d" + struct.pack(">i", cs_off) + bytes([17])
+        return d  # NO Encoding op: enc_off defaults 0 (predefined Standard)
+
+    header = bytes([1, 0, 4, 4])
+    name_idx = _cff_index_bytes([b"CID+Font"])
+    str_idx = _cff_index_bytes([b"Adobe", b"Identity"])
+    fixed = (
+        len(header) + len(name_idx)
+        + len(_cff_index_bytes([top_dict(0, 0)])) + len(str_idx)
+    )
+    prog = (
+        header + name_idx
+        + _cff_index_bytes([top_dict(fixed, fixed + len(charset))])
+        + str_idx + charset + charstrings
+    )
+    assert embedded_font_code_to_unicode(prog, _glyph_to_char) is None
