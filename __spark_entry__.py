@@ -85,7 +85,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_shipped(spark)
         from pdf_to_text_spark.sources.warc import synthetic_warc_pages
 
-        ex = extraction.run_extraction(synthetic_warc_pages(spark, 120))
+        # dedup_strategy="window": over the mapInPandas WARC source the
+        # auto prefilter's eager stats job cannot prune columns past the
+        # walker, so it executes the full gunzip+record walk a second
+        # time per run (extraction.py's own r6 SCALE CAVEAT); the window
+        # strategy gives identical keep-newest semantics in one pass and
+        # the corpus's dup urls have distinct whole-second timestamps
+        # (r6 review)
+        ex = extraction.run_extraction(
+            synthetic_warc_pages(spark, 120), dedup_strategy="window"
+        )
         return ex.select("url", "content_type", "n_pages", "n_chars", "parse_status")
 
     def q_pricing_summary(spark, sf):
@@ -134,7 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_shipped(spark)
         from pdf_to_text_spark.sources.warc import synthetic_warc_pages
 
-        ex = extraction.run_extraction(synthetic_warc_pages(spark, 120))
+        # window strategy for the same single-pass reason as
+        # q_extraction_pdf_e2e above
+        ex = extraction.run_extraction(
+            synthetic_warc_pages(spark, 120), dedup_strategy="window"
+        )
         return ex.groupBy("parse_status").agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.col("n_pages").cast("long")).alias("pages"),
@@ -551,6 +564,17 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         f"w -> list_contains({prof}, w))) AS {lang}_hits"
         for lang, prof in _LANG_PROFILES_SQL.items()
     )
+    # one copy of the argmax-with-und tiebreak: the NULL-text 'und' guard
+    # was an r5 bug fix — two inline copies could be "fixed" alone and
+    # silently diverge between the language_id and text_profile oracles
+    # (r6 review)
+    _PRED_LANG_CASE = """CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0
+                          OR greatest(en_hits, es_hits, de_hits, fr_hits) IS NULL
+                        THEN 'und'
+                        WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+                        WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+                        WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+                        ELSE 'fr' END AS pred_lang"""
     out = {
         "extract_html_roundtrip": (
             "SELECT doc_id, text AS extracted_text FROM documents"
@@ -653,7 +677,9 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
                      round(quantile_cont(n_chars, 0.99), 4) AS p99,
                      min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                      sum(n_chars::bigint) AS s1,
-                     sum((n_chars * n_chars)::bigint) AS s2
+                     -- cast BEFORE the multiply: INT32*INT32 overflows at
+                     -- n_chars >= 46341 and aborts the oracle (r6 review)
+                     sum(n_chars::bigint * n_chars) AS s2
               FROM documents GROUP BY lang)
             SELECT lang, docs, p50_approx, p90_approx, p99_approx,
                    p50, p90, p99, min_chars, max_chars,
@@ -802,16 +828,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
             SELECT doc_id, en_hits::int AS en_hits, es_hits::int AS es_hits,
                    de_hits::int AS de_hits, fr_hits::int AS fr_hits,
-                   -- NULL-text rows: every *_hits is NULL, all WHENs are
-                   -- NULL, and a bare ELSE would mislabel the row 'fr'
-                   -- while Spark's when-chain falls to 'und' (r5 review)
-                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0
-                          OR greatest(en_hits, es_hits, de_hits, fr_hits) IS NULL
-                        THEN 'und'
-                        WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
-                        WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
-                        WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
-                        ELSE 'fr' END AS pred_lang
+                   {_PRED_LANG_CASE}
             FROM h
         """,
         "text_profile": rf"""
@@ -840,16 +857,7 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
                    floor((0.4 * least(words / 50.0, 1.0)
                        + 0.3 * (alpha_chars / greatest(1, alpha_chars + digit_chars + punct_chars))
                        + 0.3 * least(5.0 * stop_hits / greatest(words, 1), 1.0)) * 10000) / 10000 AS quality,
-                   -- NULL-text rows: every *_hits is NULL, all WHENs are
-                   -- NULL, and a bare ELSE would mislabel the row 'fr'
-                   -- while Spark's when-chain falls to 'und' (r5 review)
-                   CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0
-                          OR greatest(en_hits, es_hits, de_hits, fr_hits) IS NULL
-                        THEN 'und'
-                        WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
-                        WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
-                        WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
-                        ELSE 'fr' END AS pred_lang
+                   {_PRED_LANG_CASE}
             FROM s
         """,
         "redact_pii": f"""

@@ -323,6 +323,11 @@ def warc_pages(spark, path: str):
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
+        # real crawl layouts nest segments (crawl-data/CC-MAIN-*/
+        # segments/*/warc/*.warc.gz); without recursion a directory root
+        # lists only top-level files and silently yields ZERO rows (r6
+        # review)
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("content")
     )
@@ -456,6 +461,21 @@ def build_warc_bytes(
     for url, ts, payload in rows:
         if payload is None:
             continue
+        # WARC-Date is second-granularity UTC ('...Z'); downstream code
+        # broadcast-joins metadata back on exact (url, warc_ts), so a ts
+        # that does not round-trip is silent row loss, not a formatting
+        # nit. Reject sub-second precision rather than truncating (two
+        # crawls differing only sub-second would collapse to an exact-ts
+        # collision), and CONVERT aware non-UTC to UTC — strftime+'Z'
+        # alone stamps local fields with a UTC marker (r6 review).
+        if ts.microsecond:
+            raise ValueError(
+                f"build_warc_bytes: {url!r} ts has sub-second precision "
+                f"({ts.isoformat()}) — WARC-Date is whole-second and the "
+                f"(url, warc_ts) round-trip would silently miss"
+            )
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(dt.timezone.utc)
         ctype = (
             "application/pdf" if payload[:5] == b"%PDF-" else "text/html"
         )

@@ -299,3 +299,28 @@ def test_gzipped_empty_body_decodes_to_empty_not_raw():
     )
     rows = warc_to_page_rows(rec)
     assert len(rows) == 1 and rows[0][2] == b""
+
+
+def test_writer_rejects_subsecond_and_converts_non_utc():
+    """WARC-Date is whole-second UTC: sub-second ts must be a loud error
+    (truncation collapses distinct crawls into exact-ts collisions on the
+    (url, warc_ts) rejoin), and an aware non-UTC ts must be CONVERTED —
+    strftime+'Z' alone stamped local fields with a UTC marker (r6
+    review)."""
+    import datetime as dt
+
+    payload = b"<html><body>x</body></html>"
+    with pytest.raises(ValueError, match="sub-second"):
+        build_warc_bytes(
+            [("https://a.example/x", dt.datetime(2024, 1, 1, microsecond=1,
+                                                 tzinfo=dt.timezone.utc), payload)]
+        )
+    plus2 = dt.timezone(dt.timedelta(hours=2))
+    data = build_warc_bytes(
+        [("https://a.example/x",
+          dt.datetime(2024, 1, 1, 14, 30, 0, tzinfo=plus2), payload)],
+        gzip_per_record=False,
+    )
+    assert b"WARC-Date: 2024-01-01T12:30:00Z" in data
+    (got,) = warc_to_page_rows(data)
+    assert got[1] == dt.datetime(2024, 1, 1, 12, 30, 0, tzinfo=dt.timezone.utc)

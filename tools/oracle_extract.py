@@ -32,6 +32,15 @@ def extract_any(data: bytes, content_type: str) -> tuple[str, int, int]:
 
 
 def main(argv: list[str]) -> int:
+    # an unrecognized flag must NOT fall through to write mode — a typo'd
+    # `--chek` would silently regenerate every golden and bake current
+    # kernel drift into the contract (r6 review)
+    unknown = [a for a in argv if a.startswith("--") and a != "--check"]
+    if unknown:
+        raise SystemExit(
+            f"unknown flag(s) {unknown}; usage: "
+            "python -m tools.oracle_extract [--check] [golden_dir]"
+        )
     check = "--check" in argv
     args = [a for a in argv if not a.startswith("--")]
     golden = pathlib.Path(args[0] if args else "tests/golden")
@@ -64,6 +73,15 @@ def main(argv: list[str]) -> int:
         else:
             out.write_bytes(payload)
             print(f"wrote {out.name} (pages={n_pages} chars={len(text)} failed={failed})")
+    if check:
+        # a golden whose fixture was deleted/renamed is stale contract
+        # text that glob-consuming tests still read — the drift gate must
+        # flag it, not just per-fixture mismatches (r6 review)
+        expected = {s.stem + ".txt" for s in fixtures}
+        for txt in sorted(golden.glob("*.txt")):
+            if txt.name not in expected:
+                print(f"ORPHAN {txt.name} (no .pdf/.html fixture)")
+                rc = 1
     return rc
 
 
