@@ -682,9 +682,15 @@ def _type1_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
     if enc_at < 0:
         return None
     tail = head[enc_at:]
-    if tail[: tail.find(b"def") + 3].find(b"StandardEncoding") >= 0:
-        return _standard_encoding_map(glyph_to_char) or None
+    # the copy-then-override writer pattern ('/Encoding StandardEncoding
+    # 256 array copy def' followed by 'dup N /name put' lines, common in
+    # TeX/dvips output) starts from Standard AND patches slots — an
+    # early return on the StandardEncoding token skipped the dup scan,
+    # so every overridden code decoded as the Standard character instead
+    # of the glyph actually shown (second r6 review)
     out: dict[int, str] = {}
+    if tail[: tail.find(b"def") + 3].find(b"StandardEncoding") >= 0:
+        out.update(_standard_encoding_map(glyph_to_char))
     for code_b, name_b in _T1_DUP_RE.findall(tail):
         code = int(code_b)
         if not 0 <= code <= 255:
@@ -692,6 +698,10 @@ def _type1_code_to_unicode(data: bytes, glyph_to_char) -> dict[int, str] | None:
         ch = glyph_to_char(name_b.decode("latin-1"))
         if ch and ch != "�":
             out[code] = ch
+        else:
+            # overridden to a glyph the AGL can't resolve: keeping the
+            # Standard character for the slot would fabricate text
+            out.pop(code, None)
     return out or None
 
 

@@ -1404,16 +1404,29 @@ class PDFDocument:
                 # over (round 5, _LEGACY_CMAP_CODECS); anything else
                 # marks the font so a show op raises the countable
                 # unsupported_cmap status.
-                if not wide and isinstance(enc, _Name) and str(enc) not in (
-                    "Identity-H", "Identity-V",
+                enc_name = str(enc) if isinstance(enc, _Name) else None
+                codec = (
+                    _legacy_cmap_codec(enc_name)
+                    if enc_name not in (None, "Identity-H", "Identity-V")
+                    else None
+                )
+                if codec is not None:
+                    # legacy-coded codespaces (GBK/Shift-JIS/Big5/EUC)
+                    # are VARIABLE-width: _WideMap's fixed 2-byte
+                    # pairing mis-splits 1-byte ASCII codes even when a
+                    # /ToUnicode exists, so the codec path wins
+                    # regardless (second r6 review — 'Hi 你' extracted
+                    # as two U+FFFDs through a perfectly good
+                    # ToUnicode). A conforming writer's ToUnicode
+                    # describes the same text the codec decodes.
+                    dec = _LegacyCodecMap(codec)
+                elif not wide and enc_name not in (
+                    None, "Identity-H", "Identity-V",
                 ):
-                    codec = _legacy_cmap_codec(str(enc))
-                    if _UNI_UNICODE_CMAP_RE.match(str(enc)):
+                    if _UNI_UNICODE_CMAP_RE.match(enc_name):
                         dec = _Utf16BEMap()
-                    elif codec is not None:
-                        dec = _LegacyCodecMap(codec)
                     else:
-                        dec = _UnsupportedCMap(str(enc))
+                        dec = _UnsupportedCMap(enc_name)
                 else:
                     dec = _WideMap(wide)
             else:
@@ -1478,8 +1491,17 @@ class PDFDocument:
 
     def _has_font_file(self, f: dict) -> bool:
         """Key-presence probe (no stream decode, no parse) — gates the
-        lazy program path and the Symbol-name table (r6 review #5/#6)."""
-        fd = self.resolve(f.get("FontDescriptor"))
+        lazy program path and the Symbol-name table (r6 review #5/#6).
+        The probe is OPTIONAL metadata: a dangling /FontDescriptor ref
+        must degrade to 'no program' (latin-1 fallback), not fail a
+        document that extracted fine pre-round-6 (second r6 review).
+        PDFEncryptedError still propagates — never masked."""
+        try:
+            fd = self.resolve(f.get("FontDescriptor"))
+        except PDFEncryptedError:
+            raise
+        except PDFParseError:
+            return False
         return isinstance(fd, dict) and any(
             k in fd for k in ("FontFile2", "FontFile3", "FontFile")
         )
@@ -1492,17 +1514,24 @@ class PDFDocument:
         result is cached by the caller via _font_dec_cache."""
         from .fonts import embedded_font_code_to_unicode
 
-        fd = self.resolve(f.get("FontDescriptor"))
-        if not isinstance(fd, dict):
-            return None
-        for key in ("FontFile2", "FontFile3", "FontFile"):
-            ff = self.resolve(fd.get(key))
-            if isinstance(ff, _Stream):
-                try:
+        # every resolve here chases OPTIONAL refs a broken writer may
+        # leave dangling (or pointing at a lying xref offset): fail soft
+        # to None — the pre-round-6 latin-1 behavior — rather than
+        # failing the document for a fallback probe (second r6 review);
+        # PDFEncryptedError is never masked
+        try:
+            fd = self.resolve(f.get("FontDescriptor"))
+            if not isinstance(fd, dict):
+                return None
+            for key in ("FontFile2", "FontFile3", "FontFile"):
+                ff = self.resolve(fd.get(key))
+                if isinstance(ff, _Stream):
                     data = self._decode_stream(ff)
-                except PDFParseError:
-                    return None
-                return embedded_font_code_to_unicode(data, _glyph_to_char)
+                    return embedded_font_code_to_unicode(data, _glyph_to_char)
+        except PDFEncryptedError:
+            raise
+        except PDFParseError:
+            return None
         return None
 
     # ── form XObjects (§8.10): text drawn via the `Do` operator ─────────
@@ -1970,14 +1999,16 @@ def _base_encoding_overrides_build(name: str) -> dict[int, str] | None:
         # the same spec table the r6 embedded-CFF path uses; codes
         # Standard leaves undefined keep latin-1 passthrough, same
         # lenient convention as WinAnsi's five undefined codes.
-        from .fonts import CFF_STANDARD_STRINGS, STANDARD_ENCODING_SIDS
+        from .fonts import _standard_encoding_map
 
-        out = {}
-        for code, sid in STANDARD_ENCODING_SIDS.items():
-            ch = _glyph_to_char(CFF_STANDARD_STRINGS[sid])
-            if ch and ch != "�" and ch != chr(code):
-                out[code] = ch
-        return out
+        # one SID-walk implementation (kernels/fonts.py) serves both the
+        # embedded-CFF path and this named-encoding branch; only the
+        # not-identical-to-latin-1 entries are overrides (r6 review)
+        return {
+            c: ch
+            for c, ch in _standard_encoding_map(_glyph_to_char).items()
+            if ch != chr(c)
+        }
     return None
 
 
@@ -2021,6 +2052,12 @@ def _symbol_encoding_build() -> dict[int, str]:
         0xE0: "◊", 0xE1: "⟨", 0xE2: "®", 0xE3: "©", 0xE4: "™", 0xE5: "∑",
         0xF1: "⟩", 0xF2: "∫", 0xF3: "⌠", 0xF5: "⌡",
     }
+    # extender pieces map to EMPTY, like 0x60 radicalex above — leaving
+    # them out of the dict meant latin-1 passthrough, fabricating
+    # 'æ'/'÷'… for decorative bracket artwork the page never shows as
+    # text (second r6 review)
+    for c in (*range(0xE6, 0xEF), 0xF4, *range(0xF6, 0xFF)):
+        rest[c] = ""
     out = dict(greek_upper)
     out.update(greek_lower)
     out.update(rest)
@@ -2036,12 +2073,23 @@ def _zapf_dingbats_build() -> dict[int, str]:
     dingbats): the Unicode Dingbats block mirrors the font order, so
     the table is three sequential runs plus pinned irregulars."""
     out = {0x20: " "}
-    # 0x21-0x7E → U+2701.. sequential, with the three classic breaks
+    # 0x21-0x7E → U+2701.. sequential — EXCEPT the nine codes whose
+    # glyphs Unicode unified outside the Dingbats block, leaving holes
+    # at their sequential positions (U+2705/270A/270B/2728/274C/274E/
+    # 2753-2755 were empty until emoji reused them): mapping those
+    # sequentially emitted ✨/❌/❓ for a page showing ★/●/❓-less
+    # shapes (second r6 review — only the first three were pinned)
     for c in range(0x21, 0x7F):
         out[c] = chr(0x2701 + (c - 0x21))
     out[0x25] = "☎"   # a4  → U+260E
     out[0x2A] = "☛"   # a11 → U+261B
     out[0x2B] = "☞"   # a12 → U+261E
+    out[0x48] = "★"   # a9  → U+2605 BLACK STAR
+    out[0x6C] = "●"   # a71 → U+25CF BLACK CIRCLE
+    out[0x6E] = "■"   # a73 → U+25A0 BLACK SQUARE
+    out[0x73] = "▲"   # a78 → U+25B2 BLACK UP-POINTING TRIANGLE
+    out[0x74] = "▼"   # a79 → U+25BC BLACK DOWN-POINTING TRIANGLE
+    out[0x75] = "◆"   # a81 → U+25C6 BLACK DIAMOND
     # 0xA1-0xA7 → U+2761-2767; suits; circled digits (three series)
     for c in range(0xA1, 0xA8):
         out[c] = chr(0x2761 + (c - 0xA1))
@@ -2320,7 +2368,10 @@ def _extract_page_text(
                 for i in range(0, len(b) - 1, 2)
             )
         t = _LATIN1_TABLE
-        return "".join(m.get(x) or t[x] for x in b)
+        # `is None` check, not truthiness: Symbol maps its decorative
+        # extender/radicalex codes to EMPTY, and `m.get(x) or t[x]`
+        # silently resurrected latin-1 for them (second r6 review)
+        return "".join(c if (c := m.get(x)) is not None else t[x] for x in b)
 
     def flush() -> None:
         if cur:

@@ -525,3 +525,78 @@ def test_cid_keyed_cff_fails_soft_to_latin1():
         + str_idx + charset + charstrings
     )
     assert embedded_font_code_to_unicode(prog, _glyph_to_char) is None
+
+
+def test_zapf_dingbats_unification_exceptions():
+    """The six Dingbats-block holes beyond the classic three: Unicode
+    unified ★●■▲▼◆ outside U+2700-27BF, so sequential mapping emitted
+    the emoji that later reused the holes (r6 review)."""
+    text, _ = extract_pdf_text(
+        _symbolic_pdf(b"ZapfDingbats", b"\x48\x6c\x6e\x73\x74\x75")
+    )
+    assert text == "★●■▲▼◆"
+
+
+def test_symbol_extender_codes_are_dropped_not_latin1():
+    """Bracket/integral extender pieces carry no text content: they must
+    decode to EMPTY, not latin-1 'æ'/'÷' fabrications (r6 review) — on
+    BOTH decode paths (C-level translate and the per-char dict used
+    when /Differences is present, whose `or`-fallback silently
+    resurrected latin-1 for empty strings)."""
+    text, _ = extract_pdf_text(_symbolic_pdf(b"Symbol", b"a\xe6\xf4\xfeb"))
+    assert text == "αβ"
+    text2, _ = extract_pdf_text(
+        _symbolic_pdf(
+            b"Symbol", b"\x41\xe6\xf7",
+            b"/Encoding << /Differences [65 /Delta] >> ",
+        )
+    )
+    assert text2 == "Δ"
+
+
+def test_type1_standard_copy_then_override():
+    """'/Encoding StandardEncoding 256 array copy def' + 'dup N /name
+    put' (TeX/dvips writer pattern): the dup overrides must patch the
+    Standard base — the early return used to skip them, so code 65
+    extracted 'A' instead of the shown 'α' (r6 review). A dup to an
+    unresolvable glyph name clears the slot rather than keeping the
+    Standard character."""
+    data = (
+        b"%!PS-AdobeFont-1.0: Custom\n"
+        b"/Encoding StandardEncoding 256 array copy def\n"
+        b"dup 65 /alpha put\n"
+        b"dup 66 /noSuchGlyphXYZ put\n"
+        b"readonly def\n"
+        b"eexec\n\x00\x00\x00\x00"
+    )
+    m = embedded_font_code_to_unicode(data, _glyph_to_char)
+    assert m[65] == "α"
+    assert 66 not in m
+    assert m[0x63] == "c"  # untouched Standard slots survive
+
+
+def test_dangling_font_refs_fail_soft_to_latin1():
+    """Optional probe refs a broken writer left dangling must degrade to
+    the latin-1 fallback, not fail documents that extracted fine before
+    the round-6 font-program path (r6 review)."""
+    show = b"BT /F1 12 Tf 72 720 Td (Hi) Tj ET"
+    pdf1 = build_pdf(
+        [show],
+        font_obj=(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /S+C "
+            b"/FontDescriptor 99 0 R >>"
+        ),
+    )
+    assert extract_pdf_text(pdf1) == ("Hi", 1)
+    pdf2 = build_pdf(
+        [show],
+        font_obj=(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /S+C "
+            b"/FontDescriptor 6 0 R >>"
+        ),
+        extra_objects=(
+            b"<< /Type /FontDescriptor /FontName /S+C /Flags 4 "
+            b"/FontFile2 99 0 R >>",
+        ),
+    )
+    assert extract_pdf_text(pdf2) == ("Hi", 1)

@@ -1161,3 +1161,26 @@ def test_type3_font_decodes_via_differences():
     from tools.make_pdf import type3_pdf
 
     assert extract_pdf_text(type3_pdf()) == ("Type 3", 1)
+
+
+def test_legacy_cmap_with_tounicode_still_uses_codec():
+    """'Predefined legacy CMap + /ToUnicode' (the common CJK writer
+    shape): the codespace is VARIABLE-width, so the fixed 2-byte wide
+    map mis-paired 1-byte ASCII codes (<48 69> read as code 0x4869) and
+    a perfectly good document extracted U+FFFDs. The codec path must
+    win even when a ToUnicode is present (r6 review)."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    text, n = extract_pdf_text(
+        predefined_cmap_pdf(
+            encoding="GBK-EUC-H", show_hex=b"486920C4E3", tounicode=True
+        )
+    )
+    assert (text, n) == ("Hi 你", 1)
+    # and the Unicode-coded fixed-width family keeps honoring ToUnicode
+    text2, _ = extract_pdf_text(
+        predefined_cmap_pdf(
+            encoding="UniGB-UCS2-H", show_hex=b"00480069", tounicode=True
+        )
+    )
+    assert text2 == "Hi"

@@ -656,7 +656,7 @@ def build_encrypted_pdf(
 
 def predefined_cmap_pdf(
     *, used: bool = True, encoding: str = "UniGB-UCS2-H",
-    show_hex: bytes = b"4F60597D",
+    show_hex: bytes = b"4F60597D", tounicode: bool = False,
 ) -> bytes:
     """Type0 font with a PREDEFINED CID CMap and no /ToUnicode.
 
@@ -668,10 +668,15 @@ def predefined_cmap_pdf(
     that encoding. Encodings outside both families (e.g. Hojo-EUC-H)
     hit the kernel's distinct unsupported_cmap status when `used`;
     without `used` the font is merely embedded and the document still
-    extracts."""
+    extracts. `tounicode` adds a partial /ToUnicode (bfchar entries for
+    'H', 'i' and GBK <C4E3> 你) — the common writer shape 'predefined
+    legacy CMap + ToUnicode' that used to get mis-paired through the
+    fixed 2-byte wide map (r6 review)."""
+    tu_ref = b"/ToUnicode 6 0 R " if tounicode else b""
     font = (
         b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
-        b"/Encoding /" + encoding.encode() + b" /DescendantFonts "
+        b"/Encoding /" + encoding.encode() + b" " + tu_ref
+        + b"/DescendantFonts "
         b"[<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
         b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
         b"/Supplement 2 >> >>] >>"
@@ -680,7 +685,19 @@ def predefined_cmap_pdf(
         stream = b"BT /F1 12 Tf 72 720 Td <" + show_hex + b"> Tj ET"
     else:
         stream = b"BT /F1 12 Tf 72 720 Td ET"
-    return build_pdf([stream], font_obj=font)
+    extra = ()
+    if tounicode:
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"5 beginbfchar\n<48> <0048>\n<69> <0069>\n"
+            b"<0048> <0048>\n<0069> <0069>\n<C4E3> <4F60>\nendbfchar\n"
+            b"endcmap\nend"
+        )
+        extra = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        )
+    return build_pdf([stream], font_obj=font, extra_objects=extra)
 
 
 def encrypted_pdf() -> bytes:
@@ -1153,8 +1170,7 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
     elif kind in ("type1", "type1_pfb"):
         names = {c: (n if n else "uni0394") for c, n in _EMBEDDED_NAMES.items()}
         prog = build_type1_font_program(names, pfb=kind == "type1_pfb")
-        ff_key = b"/FontFile"
-        ff_extra = b"/Length1 0 /Length2 0 /Length3 0 "
+        ff_key, ff_extra = b"/FontFile", b""
         subtype = b"/Type1"
     elif kind == "cff_std":
         # r6: predefined STANDARD encoding (Encoding op omitted → 0) over
@@ -1172,25 +1188,45 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
     elif kind == "type1_std":
         # r6: ``/Encoding StandardEncoding def`` in the cleartext header
         prog = build_type1_font_program({}, standard=True)
-        ff_key = b"/FontFile"
-        ff_extra = b"/Length1 0 /Length2 0 /Length3 0 "
+        ff_key, ff_extra = b"/FontFile", b""
         subtype = b"/Type1"
     else:
         raise ValueError(f"unknown kind {kind!r}")
-    codes = _STD_EMBEDDED_CODES if kind in ("cff_std", "type1_std") else _EMBEDDED_CODES
+    std = kind in ("cff_std", "type1_std")
+    codes = _STD_EMBEDDED_CODES if std else _EMBEDDED_CODES
+    code_keys = _STD_EMBEDDED_NAMES if std else _EMBEDDED_NAMES
     content = b"BT /F1 12 Tf 72 720 Td (" + codes + b") Tj ET"
+    # FirstChar/LastChar must span the codes the page actually shows —
+    # the std kinds use Standard-Encoding positions 0x20-0xE1, not 1-7
+    # (r6 review: a /Widths-reading consumer would mis-handle them)
     font_obj = (
         b"<< /Type /Font /Subtype " + subtype + b" /BaseFont /SUBSET+Custom "
-        b"/FirstChar 1 /LastChar 7 /FontDescriptor 6 0 R >>"
+        b"/FirstChar %d /LastChar %d /FontDescriptor 6 0 R >>"
+        % (min(code_keys), max(code_keys))
     )
     descriptor = (
         b"<< /Type /FontDescriptor /FontName /SUBSET+Custom /Flags 4 "
         + ff_key + b" 7 0 R >>"
     )
-    fontfile = (
-        b"<< " + ff_extra + b"/Length %d /Length1 %d >>\nstream\n"
-        % (len(prog), len(prog)) + prog + b"\nendstream"
-    )
+    if ff_key == b"/FontFile":
+        # Type1 Table-127 metadata for real: Length1 = cleartext portion
+        # (through the eexec line terminator), Length2 = the rest,
+        # Length3 = 0 (no 512-zero trailer). The old shape emitted
+        # '/Length1 0 ... /Length1 N' — a duplicate key hidden only by
+        # last-wins parsing (r6 review).
+        cut = prog.find(b"eexec")
+        l1 = cut + 5 if cut >= 0 else len(prog)
+        while l1 < len(prog) and prog[l1 : l1 + 1] in (b"\r", b"\n"):
+            l1 += 1
+        fontfile = (
+            b"<< /Length %d /Length1 %d /Length2 %d /Length3 0 >>\nstream\n"
+            % (len(prog), l1, len(prog) - l1) + prog + b"\nendstream"
+        )
+    else:
+        fontfile = (
+            b"<< " + ff_extra + b"/Length %d /Length1 %d >>\nstream\n"
+            % (len(prog), len(prog)) + prog + b"\nendstream"
+        )
     return build_pdf(
         [content], font_obj=font_obj, extra_objects=(descriptor, fontfile)
     )
@@ -1204,7 +1240,11 @@ def type3_pdf() -> bytes:
     decode path, exactly like any simple font (the reference gets this
     from pdfjs's shared simple-font evaluator, main.ts:149)."""
     glyph = b"<< /Length 14 >>\nstream\n0 0 0 0 0 0 d1\nendstream"
-    charprocs = b"<< /T /7 0 R /y /7 0 R /p /7 0 R /e /7 0 R /space /7 0 R /three /7 0 R >>"
+    # values are indirect refs ('7 0 R'), NOT names — '/T /7 0 R' made
+    # the value the name /7 plus a stray '0 R', so the dict could not
+    # be parsed and the fixture never actually pinned "kernel ignores a
+    # well-formed CharProcs" (r6 review)
+    charprocs = b"<< /T 7 0 R /y 7 0 R /p 7 0 R /e 7 0 R /space 7 0 R /three 7 0 R >>"
     font_obj = (
         b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
         b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs 6 0 R "
