@@ -308,3 +308,20 @@ def test_resample_real_scales_8bit_to_full_range():
     out, src_rate, n, status = _resample_real(wav8, 16000)
     assert (src_rate, status) == (16000, "ok")
     assert decode_wav(out)[2] == [-32768, 0, 32512] and n == 3
+
+
+def test_make_wav_8bit_out_of_range_is_loud():
+    """The 8-bit path must fail like 16-bit struct.pack does — silent
+    &0xFF wrapping pinned garbage fixture data (r6 review)."""
+    with pytest.raises(ValueError, match="out of range"):
+        make_wav(8000, 1, [0, 4000], bits=8)
+
+
+def test_corrupt_png_requires_idat():
+    """No IDAT → find() returned -1 and the helper flipped signature
+    byte 7, silently producing the 'stub' class it promises never to
+    emit (r6 review)."""
+    from tools.make_media import corrupt_png
+
+    with pytest.raises(ValueError, match="IDAT"):
+        corrupt_png(b"GIF89a not a png")

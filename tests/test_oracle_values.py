@@ -114,3 +114,24 @@ def test_asof_oracle_matches_spark_on_null_edges(spark):
     expect = {100: 7.0, 101: -1.0, 102: -1.0, 103: -1.0}
     assert got_spark == expect
     assert got_oracle == expect
+
+
+def test_frame_hash_separator_ambiguity():
+    """Cells carrying newlines (reassembled docs) or the cell separator
+    itself must not let two DIFFERENT result sets hash equal — the bare
+    join scheme masked a divergence that shifted a newline across a row
+    boundary (r6 review)."""
+    import pandas as pd
+
+    from tools.check_oracle import frame_hash
+
+    assert frame_hash(pd.DataFrame({"t": ["a\nb", "c"]})) != frame_hash(
+        pd.DataFrame({"t": ["a", "b\nc"]})
+    )
+    assert frame_hash(
+        pd.DataFrame({"t": ["x\x1fy"], "u": ["z"]})
+    ) != frame_hash(pd.DataFrame({"t": ["x"], "u": ["y\x1fz"]}))
+    # identical frames still agree regardless of row order
+    assert frame_hash(pd.DataFrame({"t": ["p", "q"]})) == frame_hash(
+        pd.DataFrame({"t": ["q", "p"]})
+    )

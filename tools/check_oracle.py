@@ -48,13 +48,19 @@ def _canon(v) -> str:
 
 
 def frame_hash(pdf) -> str:
-    """Order-insensitive hash: columns sorted by name, canon rows sorted."""
+    """Order-insensitive hash: columns sorted by name, canon rows sorted.
+
+    Cell values are length-prefixed before joining: text columns carry
+    real newlines (reassembled docs, extracted_text) and could carry the
+    cell separator itself, so bare join/\\n-concat made two DIFFERENT
+    result sets hash identically when a newline shifted across a row
+    boundary — an OK verdict on a real divergence (r6 review)."""
     cols = sorted(pdf.columns)
     # driver parity: the external canonicalizer sorts with pandas, which
     # raises TypeError on list cells — surface the same failure here
     pdf.sort_values(by=cols, kind="mergesort")
     lines = sorted(
-        "\x1f".join(_canon(v) for v in row)
+        "".join(f"{len(c)}:{c}" for c in (_canon(v) for v in row))
         for row in pdf[cols].itertuples(index=False, name=None)
     )
     h = hashlib.sha256()
@@ -79,19 +85,19 @@ def main(argv: list[str]) -> int:
     # against — point them at the same sf dir we're running
     os.environ["PTS_ORACLE_SF_DIR"] = sf_dir
 
-    spark = build_spark("check-oracle", master="local[8]", shuffle_partitions=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-
     qs = entrymod.queries()
     unknown = only - qs.keys()
     if unknown:
         # a typo'd name silently filtering every query out would print
-        # 'ALL OK' having checked NOTHING (r3 review) — fail loud
+        # 'ALL OK' having checked NOTHING (r3 review) — fail loud, and
+        # BEFORE the ~15s JVM launch the error makes pointless (r6 review)
         print(f"ERROR: unknown queries: {sorted(unknown)}")
-        spark.stop()
         return 2
+
+    spark = build_spark("check-oracle", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     # _only skips building the expensive VALUES oracles we won't compare.
     # A single broken oracle BUILD must surface as that query's FAIL, not
     # crash the whole gate before any per-query report (r3 review) —
@@ -122,7 +128,7 @@ def main(argv: list[str]) -> int:
             continue
         if name not in oracles:
             try:
-                hs = frame_hash(spdf)
+                frame_hash(spdf)  # crash-probe only; nothing to compare
             # ndarray cells raise ValueError ('truth value is ambiguous'),
             # list cells TypeError — both are driver-canonicalizer crashes
             except (TypeError, ValueError) as e:

@@ -120,7 +120,13 @@ def make_wav(rate: int, nch: int, samples: list[int], *, bits: int = 16) -> byte
     if bits == 16:
         frames = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:
-        frames = bytes((s + 128) & 0xFF for s in samples)
+        # fail loudly like the 16-bit struct.pack path: silent &0xFF
+        # wrapping would pin garbage expected data in a fixture (r6
+        # review)
+        bad = [s for s in samples if not -128 <= s <= 127]
+        if bad:
+            raise ValueError(f"8-bit samples out of range: {bad[:3]}…")
+        frames = bytes(s + 128 for s in samples)
     else:
         raise ValueError("bits must be 8 or 16")
     block = nch * bits // 8
@@ -287,5 +293,11 @@ def corrupt_png(data: bytes) -> bytes:
     """Flip one byte inside the IDAT payload — magic and chunk walk stay
     intact, the inflate fails: the recognized-but-malformed class that
     must surface decode_status='decode_failed' (never 'stub')."""
-    at = data.find(b"IDAT") + 8
+    idat = data.find(b"IDAT")
+    if idat < 0:
+        # find()==-1 would flip signature byte 7 and silently invert the
+        # fixture into the 'stub' class this helper promises never to
+        # produce (r6 review)
+        raise ValueError("corrupt_png: input has no IDAT chunk")
+    at = idat + 8
     return data[:at] + bytes([data[at] ^ 0xFF]) + data[at + 1 :]
