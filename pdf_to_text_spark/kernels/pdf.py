@@ -1420,13 +1420,17 @@ class PDFDocument:
                     # ToUnicode). A conforming writer's ToUnicode
                     # describes the same text the codec decodes.
                     dec = _LegacyCodecMap(codec)
+                elif enc_name not in (
+                    None, "Identity-H", "Identity-V",
+                ) and _UNI_UNICODE_CMAP_RE.match(enc_name):
+                    # Unicode-coded: ToUnicode overrides where present,
+                    # every other code decodes as itself — a partial
+                    # ToUnicode used to send the rest to U+FFFD
+                    dec = _UniWideMap(wide) if wide else _Utf16BEMap()
                 elif not wide and enc_name not in (
                     None, "Identity-H", "Identity-V",
                 ):
-                    if _UNI_UNICODE_CMAP_RE.match(enc_name):
-                        dec = _Utf16BEMap()
-                    else:
-                        dec = _UnsupportedCMap(enc_name)
+                    dec = _UnsupportedCMap(enc_name)
                 else:
                     dec = _WideMap(wide)
             else:
@@ -1882,6 +1886,15 @@ def _utf16be_hex_to_str(h: bytes) -> str:
 class _WideMap(dict):
     """code→str map keyed by 2-byte codes (Type0/Identity-H CIDs) — the
     extractor consumes show-string bytes pairwise when it sees one."""
+
+
+class _UniWideMap(_WideMap):
+    """_WideMap over a Unicode-coded predefined CMap (Uni*-UCS2/UTF16)
+    with a PARTIAL /ToUnicode: codes the ToUnicode misses ARE Unicode,
+    so they fall back to the code point itself instead of pinning U+FFFD
+    (pdfjs merges both sources; r6 review follow-up). Surrogate halves
+    stay U+FFFD — pairs split across 2-byte units are the UTF16
+    variants' rare tail and a lone half is unencodable downstream."""
 
 
 class _LazyProgramMap(dict):
@@ -2362,6 +2375,13 @@ def _extract_page_text(
             return b.decode(m.codec, "replace")  # named legacy encoding
         if type(m) is _Translate:  # declared WinAnsi/MacRoman base
             return b.decode("latin-1").translate(m.table)
+        if type(m) is _UniWideMap:  # Uni* cmap + partial ToUnicode:
+            return "".join(  # unmapped codes ARE the Unicode value
+                m.get(c)
+                or (chr(c) if not 0xD800 <= c <= 0xDFFF else "�")
+                for i in range(0, len(b) - 1, 2)
+                for c in ((b[i] << 8) | b[i + 1],)
+            )
         if type(m) is _WideMap:  # Type0: consume 2-byte CIDs
             return "".join(
                 m.get((b[i] << 8) | b[i + 1], "�")

@@ -1184,3 +1184,27 @@ def test_legacy_cmap_with_tounicode_still_uses_codec():
         )
     )
     assert text2 == "Hi"
+
+
+def test_unicode_cmap_partial_tounicode_merges():
+    """Uni*-UCS2 + a PARTIAL /ToUnicode: mapped codes honor the
+    ToUnicode, every other code decodes as the Unicode value it is —
+    the old wide-map-only path sent unmapped codes to U+FFFD although
+    the encoding itself says what they mean (pdfjs merges both)."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    text, n = extract_pdf_text(
+        predefined_cmap_pdf(
+            encoding="UniGB-UCS2-H",
+            show_hex=b"004800694F60597D",  # H, i via ToUnicode; 你好 unmapped
+            tounicode=True,
+        )
+    )
+    assert (text, n) == ("Hi你好", 1)
+    # lone surrogate halves stay replacement chars, never a crash
+    text2, _ = extract_pdf_text(
+        predefined_cmap_pdf(
+            encoding="UniGB-UCS2-H", show_hex=b"D800", tounicode=True
+        )
+    )
+    assert text2 == "�"
