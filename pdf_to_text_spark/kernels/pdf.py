@@ -2068,8 +2068,9 @@ def _symbol_encoding_build() -> dict[int, str]:
     # extender pieces map to EMPTY, like 0x60 radicalex above — leaving
     # them out of the dict meant latin-1 passthrough, fabricating
     # 'æ'/'÷'… for decorative bracket artwork the page never shows as
-    # text (second r6 review)
-    for c in (*range(0xE6, 0xEF), 0xF4, *range(0xF6, 0xFF)):
+    # text (second r6 review; third pass added arrowvertex/arrowhorizex
+    # 0xBD/0xBE and braceex 0xEF, the center-piece of multi-row braces)
+    for c in (0xBD, 0xBE, *range(0xE6, 0xF0), 0xF4, *range(0xF6, 0xFF)):
         rest[c] = ""
     out = dict(greek_upper)
     out.update(greek_lower)
@@ -2097,12 +2098,13 @@ def _zapf_dingbats_build() -> dict[int, str]:
     out[0x25] = "☎"   # a4  → U+260E
     out[0x2A] = "☛"   # a11 → U+261B
     out[0x2B] = "☞"   # a12 → U+261E
-    out[0x48] = "★"   # a9  → U+2605 BLACK STAR
-    out[0x6C] = "●"   # a71 → U+25CF BLACK CIRCLE
-    out[0x6E] = "■"   # a73 → U+25A0 BLACK SQUARE
-    out[0x73] = "▲"   # a78 → U+25B2 BLACK UP-POINTING TRIANGLE
-    out[0x74] = "▼"   # a79 → U+25BC BLACK DOWN-POINTING TRIANGLE
-    out[0x75] = "◆"   # a81 → U+25C6 BLACK DIAMOND
+    out[0x48] = "★"   # U+2605 BLACK STAR
+    out[0x6C] = "●"   # U+25CF BLACK CIRCLE
+    out[0x6E] = "■"   # U+25A0 BLACK SQUARE
+    out[0x73] = "▲"   # U+25B2 BLACK UP-POINTING TRIANGLE
+    out[0x74] = "▼"   # U+25BC BLACK DOWN-POINTING TRIANGLE
+    out[0x75] = "◆"   # U+25C6 BLACK DIAMOND
+    out[0x77] = "◗"   # U+25D7 RIGHT HALF BLACK CIRCLE (hole U+2757)
     # 0xA1-0xA7 → U+2761-2767; suits; circled digits (three series)
     for c in range(0xA1, 0xA8):
         out[c] = chr(0x2761 + (c - 0xA1))
@@ -2376,9 +2378,14 @@ def _extract_page_text(
         if type(m) is _Translate:  # declared WinAnsi/MacRoman base
             return b.decode("latin-1").translate(m.table)
         if type(m) is _UniWideMap:  # Uni* cmap + partial ToUnicode:
+            # `is None`, not `or`: an explicit empty ToUnicode mapping
+            # must stay blank (same falsy bug as the single-byte path
+            # below); NUL (code 0) degrades to U+FFFD — raw \x00 must
+            # never reach the golden/oracle text surface (r6 review)
             return "".join(  # unmapped codes ARE the Unicode value
-                m.get(c)
-                or (chr(c) if not 0xD800 <= c <= 0xDFFF else "�")
+                v
+                if (v := m.get(c)) is not None
+                else (chr(c) if c and not 0xD800 <= c <= 0xDFFF else "�")
                 for i in range(0, len(b) - 1, 2)
                 for c in ((b[i] << 8) | b[i + 1],)
             )

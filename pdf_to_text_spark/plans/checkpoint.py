@@ -104,7 +104,24 @@ class ManifestTable:
         try:
             while True:
                 existing = sorted(self.manifest_dir.glob("snapshot-*.json"))
-                done = self.committed_buckets()
+                snaps = []
+                for p in existing:
+                    with open(p) as fh:
+                        snaps.append(json.load(fh))
+                # bucket ids only compare within ONE modulus: a writer on
+                # a different n_buckets overlaps every wave without any
+                # id clash (third r6 review — two fresh resumers with 32
+                # vs 64 would double-commit half the corpus), so a
+                # modulus mismatch is itself a conflict
+                moduli = {
+                    s["n_buckets"] for s in snaps if s.get("n_buckets") is not None
+                }
+                if n_buckets is not None and moduli - {n_buckets}:
+                    raise ConcurrentCommitError(
+                        f"table committed under n_buckets={sorted(moduli)} "
+                        f"but this writer uses n_buckets={n_buckets}"
+                    )
+                done = {b for s in snaps for b in s["buckets"]}
                 clash = done & set(buckets)
                 if clash:
                     raise ConcurrentCommitError(
@@ -198,7 +215,8 @@ def run_resumable_extraction(
     # the new one — rows silently dropped AND duplicated (r6 review). The
     # manifests carry the modulus they were committed under; mismatches
     # are a loud error, not a "complete" run that lost data.
-    for s in mt.snapshots():
+    snaps = mt.snapshots()  # one parse serves both checks (r6 review)
+    for s in snaps:
         committed_n = s.get("n_buckets")
         if committed_n is not None and committed_n != n_buckets:
             raise ValueError(
@@ -207,7 +225,7 @@ def run_resumable_extraction(
                 f"{s['snapshot_id']}); bucket ids are not comparable "
                 f"across moduli"
             )
-    done = mt.committed_buckets()
+    done = {b for s in snaps for b in s["buckets"]}
     todo = [b for b in range(n_buckets) if b not in done]
     # n_buckets MUST reach with_bucket: a custom value against the
     # default-bucketed column would leave buckets >= n_buckets matching

@@ -27,7 +27,7 @@ SEED = 42
 # Bump whenever _row_payload's OUTPUT changes for any i — .benchdata
 # cache directories embed it, so a stale cache can't silently serve the
 # previous round's corpus (r4 review; replaces the manual delete step).
-PAGES_GEN = 11  # r6 review: embedded-font fixture dicts reshaped (Length1/2/3, FirstChar)
+PAGES_GEN = 12  # r6 review: Type1 Length2/3 split corrected in embedded-font fixtures
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 LANGS = ["en", "es", "de", "fr", "zh"]
 # weights ~40/16/14/16/14 via a 50-slot cycle

@@ -172,3 +172,17 @@ def test_run_extraction_num_partitions_alone_is_loud(spark):
 
     with pytest.raises(ValueError, match="num_partitions"):
         run_extraction(pages_df(spark, 10), num_partitions=4)
+
+
+def test_commit_conflict_across_moduli_is_loud(tmp_path):
+    """Bucket ids only compare within one modulus: a 64-bucket writer's
+    wave [32..63] shows no id clash against a 32-bucket writer's
+    [0..31] yet overlaps half its rows — the modulus mismatch itself
+    must abort the commit (r6 review)."""
+    from pdf_to_text_spark.plans.checkpoint import ConcurrentCommitError
+
+    a = ManifestTable(str(tmp_path / "t"))
+    a.commit([0, 1], ["fa"], [], n_buckets=32)
+    b = ManifestTable(str(tmp_path / "t"))
+    with pytest.raises(ConcurrentCommitError, match="n_buckets=64"):
+        b.commit([32, 33], ["fb"], [], n_buckets=64)

@@ -600,3 +600,37 @@ def test_dangling_font_refs_fail_soft_to_latin1():
         ),
     )
     assert extract_pdf_text(pdf2) == ("Hi", 1)
+
+
+def test_zapf_dingbats_tenth_hole_and_symbol_brace_extenders():
+    """Third-pass sweep of the unification/extender classes: code 0x77
+    is the tenth Dingbats-block hole (U+25D7 right half black circle,
+    hole U+2757), and Symbol's arrowvertex/arrowhorizex/braceex
+    (0xBD/0xBE/0xEF) are extender artwork like the paren/bracket
+    pieces (r6 review)."""
+    text, _ = extract_pdf_text(_symbolic_pdf(b"ZapfDingbats", b"\x77"))
+    assert text == "◗"
+    text2, _ = extract_pdf_text(
+        _symbolic_pdf(b"Symbol", b"a\xbd\xbe\xefb")
+    )
+    assert text2 == "αβ"
+
+
+def test_type1_fontfile_length_split_is_consistent():
+    """/Length1+/Length2+/Length3 must partition the stream: Length2 is
+    the encrypted blob ONLY, Length3 covers the 512-zero trailer —
+    claiming Length3=0 misdescribed the trailer as ciphertext (r6
+    review)."""
+    import re
+
+    from tools.make_pdf import embedded_font_pdf
+
+    pdf = embedded_font_pdf("type1")
+    m = re.search(
+        rb"/Length (\d+) /Length1 (\d+) /Length2 (\d+) /Length3 (\d+)", pdf
+    )
+    assert m, "FontFile length keys missing"
+    total, l1, l2, l3 = (int(g) for g in m.groups())
+    assert l1 + l2 + l3 == total
+    assert l3 > 512  # the 512 zeros + cleartomark really are the trailer
+    assert pdf.count(b"/Length1") == 1  # no duplicate key

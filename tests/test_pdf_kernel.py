@@ -1208,3 +1208,35 @@ def test_unicode_cmap_partial_tounicode_merges():
         )
     )
     assert text2 == "�"
+
+
+def test_uniwidemap_empty_mapping_and_nul_degrade():
+    """Explicitly-blanked ToUnicode values stay blank under the Uni*
+    fallback (the `or` would resurrect the code point), and CID 0x0000
+    degrades to U+FFFD instead of injecting a raw NUL into the golden/
+    oracle text surface (r6 review)."""
+    from tools.make_pdf import build_pdf
+
+    # <0041> <41>: a 2-hex-digit UTF-16BE value trims to the empty
+    # string in _parse_tounicode — the sloppy-writer shape that yields
+    # an explicit EMPTY mapping
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 beginbfchar\n<0041> <41>\nendbfchar\nendcmap\nend"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+        b"/Encoding /UniGB-UCS2-H /ToUnicode 6 0 R /DescendantFonts "
+        b"[<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        b"/Supplement 2 >> >>] >>"
+    )
+    pdf = build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td <004100420000> Tj ET"],
+        font_obj=font,
+        extra_objects=(
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        ),
+    )
+    text, n = extract_pdf_text(pdf)
+    assert (text, n) == ("B�", 1)  # 0x41 blanked, 0x42 fallback, NUL → �

@@ -1210,17 +1210,21 @@ def embedded_font_pdf(kind: str = "truetype") -> bytes:
     )
     if ff_key == b"/FontFile":
         # Type1 Table-127 metadata for real: Length1 = cleartext portion
-        # (through the eexec line terminator), Length2 = the rest,
-        # Length3 = 0 (no 512-zero trailer). The old shape emitted
-        # '/Length1 0 ... /Length1 N' — a duplicate key hidden only by
-        # last-wins parsing (r6 review).
+        # (through the eexec line terminator), Length2 = the encrypted
+        # blob only, Length3 = the 512-zero trailer + cleartomark when
+        # the program carries one (claiming Length3=0 while Length2
+        # swallowed the trailer misdescribed 525 bytes of ASCII zeros as
+        # ciphertext — r6 review; the original shape even emitted a
+        # duplicate /Length1 key hidden by last-wins parsing).
         cut = prog.find(b"eexec")
         l1 = cut + 5 if cut >= 0 else len(prog)
         while l1 < len(prog) and prog[l1 : l1 + 1] in (b"\r", b"\n"):
             l1 += 1
+        zi = prog.find(b"0" * 512, l1)
+        l3 = len(prog) - zi if zi >= 0 else 0
         fontfile = (
-            b"<< /Length %d /Length1 %d /Length2 %d /Length3 0 >>\nstream\n"
-            % (len(prog), l1, len(prog) - l1) + prog + b"\nendstream"
+            b"<< /Length %d /Length1 %d /Length2 %d /Length3 %d >>\nstream\n"
+            % (len(prog), l1, len(prog) - l1 - l3, l3) + prog + b"\nendstream"
         )
     else:
         fontfile = (
