@@ -1878,7 +1878,13 @@ def _utf16be_hex_to_str(h: bytes) -> str:
     if len(h) % 4:
         h = h[: len(h) - len(h) % 4]
     try:
-        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+        # a writer mapping a code to <0000> means "no text" — strip the
+        # NUL rather than carrying it into extracted_text (r6 fuzz)
+        return (
+            bytes.fromhex(h.decode("ascii"))
+            .decode("utf-16-be", "replace")
+            .replace("\x00", "")
+        )
     except (ValueError, UnicodeDecodeError):
         return "�"
 
@@ -2371,10 +2377,14 @@ def _extract_page_text(
                 f"text shown through predefined CID CMap /{m.name} "
                 "without ToUnicode"
             )
+        # NUL codes (a 0x00 show byte is VALID in the legacy codespaces
+        # and UTF-16BE) must not put raw \x00 into the extracted-text
+        # surface — same contract as the _UniWideMap branch below
+        # (r6 fuzz finding)
         if type(m) is _Utf16BEMap:  # Uni*-UCS2/UTF16: codes ARE Unicode
-            return b.decode("utf-16-be", "replace")
+            return b.decode("utf-16-be", "replace").replace("\x00", "�")
         if type(m) is _LegacyCodecMap:  # GBK-EUC/RKSJ/…: codes ARE the
-            return b.decode(m.codec, "replace")  # named legacy encoding
+            return b.decode(m.codec, "replace").replace("\x00", "�")
         if type(m) is _Translate:  # declared WinAnsi/MacRoman base
             return b.decode("latin-1").translate(m.table)
         if type(m) is _UniWideMap:  # Uni* cmap + partial ToUnicode:

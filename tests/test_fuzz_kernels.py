@@ -95,3 +95,28 @@ def test_rc4_is_an_involution(key, data):
     from pdf_to_text_spark.kernels.crypto import rc4
 
     assert rc4(key, rc4(key, data)) == data
+
+
+@settings(max_examples=120, deadline=3000)
+@given(
+    st.sampled_from(
+        ["GBK-EUC-H", "90ms-RKSJ-H", "ETen-B5-H", "KSC-EUC-H",
+         "UniGB-UCS2-H", "UniJIS-UTF16-H"]
+    ),
+    st.binary(max_size=64),
+    st.booleans(),
+)
+def test_predefined_cmap_show_bytes_never_crash_or_emit_nul(enc, raw, tu):
+    """r6 decode paths (legacy codec wins over ToUnicode; Uni* merges a
+    partial ToUnicode over the code-is-Unicode fallback): arbitrary show
+    bytes must never crash the page, never emit a raw NUL, and never
+    leak a lone surrogate into extracted text."""
+    from tools.make_pdf import predefined_cmap_pdf
+
+    hx = raw.hex().encode()
+    text, n = extract_pdf_text(
+        predefined_cmap_pdf(encoding=enc, show_hex=hx, tounicode=tu)
+    )
+    assert n == 1
+    assert "\x00" not in text
+    assert not any(0xD800 <= ord(c) <= 0xDFFF for c in text)
