@@ -324,3 +324,39 @@ def test_writer_rejects_subsecond_and_converts_non_utc():
     assert b"WARC-Date: 2024-01-01T12:30:00Z" in data
     (got,) = warc_to_page_rows(data)
     assert got[1] == dt.datetime(2024, 1, 1, 12, 30, 0, tzinfo=dt.timezone.utc)
+
+
+# ── hypothesis fuzz: the ingest walker is a crawl-facing parser ──────────────
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_to_text_spark.sources.warc import warc_to_page_rows
+
+
+@settings(max_examples=200, deadline=3000)
+@given(st.binary(max_size=4096))
+def test_warc_walker_random_bytes_never_crash(data):
+    """Arbitrary bytes (including gzip magic prefixes) must parse to a
+    list — per-file fail-soft, never an executor exception."""
+    rows = warc_to_page_rows(data)
+    assert isinstance(rows, list)
+
+
+@settings(max_examples=150, deadline=3000)
+@given(st.binary(max_size=256), st.integers(0, 3), st.booleans())
+def test_warc_walker_mutated_valid_file(junk, where, gz):
+    """A valid WARC with junk spliced at structural boundaries degrades
+    to fewer rows, never a crash; surviving rows keep the pages shape."""
+    import datetime as dt
+
+    base = build_warc_bytes(
+        [("https://x.example/a", dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+          b"<html><body>ok</body></html>")],
+        gzip_per_record=gz,
+    )
+    cut = [0, len(base) // 3, 2 * len(base) // 3, len(base)][where]
+    rows = warc_to_page_rows(base[:cut] + junk + base[cut:])
+    assert isinstance(rows, list)
+    for url, ts, html, text, lang in rows:
+        assert isinstance(url, str) and isinstance(html, (bytes, type(None)))
