@@ -1,10 +1,13 @@
 """Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
 
-PNG, GIF and WAV-PCM decode with zero external dependencies, so
-`media_features` / `image_resize` compute over REAL pixels and samples
-instead of the contract-sanctioned stub (which remains the fallback for
-formats that genuinely need external libraries — JPEG, MP3, MP4 —
-and is now reported distinctly as decode_status='stub').
+PNG, GIF, baseline JPEG and WAV-PCM decode with zero external
+dependencies (JPEG leans on numpy — baked into the runtime — for the
+IDCT), so `media_features` / `image_resize` compute over REAL pixels
+and samples instead of the contract-sanctioned stub (which remains the
+fallback for formats that genuinely need external libraries — MP3,
+MP4/video containers — and is reported distinctly as
+decode_status='stub'; progressive/arithmetic JPEG is RECOGNIZED and
+surfaces the countable decode_failed class instead).
 
 Public specs implemented:
 * PNG (RFC 2083 / W3C PNG): signature, IHDR/PLTE/IDAT/IEND chunk walk,
@@ -297,6 +300,318 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             rgb[3 * i : 3 * i + 3] = pal[3 * k : 3 * k + 3]
         return w, h, 3, bytes(rgb)
     raise MediaDecodeError("no image block before trailer")
+
+
+# ── JPEG decode (baseline sequential DCT, ITU-T T.81) ────────────────────────
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Natural (row-major) index for each zigzag position (T.81 Fig. 5):
+    generated, not hand-typed — anti-diagonal walk alternating up-right
+    (even sums) and down-left (odd sums)."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            out.append(r * 8 + (s - r))
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman (T.81 Annex C): {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise MediaDecodeError("DHT counts exceed symbols")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at markers, and surfaces RSTn for restart-interval resets."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # pending marker code (RSTn / EOI / next seg)
+
+    def _fill(self) -> bool:
+        d = self.data
+        p = self.pos
+        while True:
+            if p >= len(d):
+                return False
+            b = d[p]
+            if b != 0xFF:
+                self.pos = p + 1
+                break
+            if p + 1 >= len(d):
+                return False
+            nxt = d[p + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos = p + 2
+                break
+            if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+                p += 1
+                self.pos = p
+                continue
+            self.marker = nxt  # restart / EOI / next segment
+            self.pos = p
+            return False
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                raise MediaDecodeError("truncated entropy data")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("invalid Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the pending RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet seen: it must be the next bytes
+            d, p = self.data, self.pos
+            while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+                p += 1
+            if p + 1 >= len(d) or not 0xD0 <= d[p + 1] <= 0xD7:
+                raise MediaDecodeError("missing restart marker")
+            self.pos = p + 2
+            return
+        if not 0xD0 <= self.marker <= 0xD7:
+            raise MediaDecodeError("expected restart marker")
+        self.marker = None
+        self.pos += 2  # past FF Dn
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an n-bit magnitude to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Typed front door: every malformed-stream failure mode inside the
+    parser (short segments, bad lengths, absent tables) surfaces as
+    MediaDecodeError — the per-row decode_failed contract, like the
+    other codecs' explicit bounds checks."""
+    try:
+        return _decode_jpeg(data)
+    except MediaDecodeError:
+        raise
+    except (struct.error, IndexError, KeyError, ValueError,
+            ZeroDivisionError, OverflowError) as e:
+        raise MediaDecodeError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) → (w, h, ch, pixels).
+
+    Grayscale (1 component) and YCbCr (3 components) with sampling
+    factors in {1, 2} — covers 4:4:4, 4:2:2 and 4:2:0, the crawl-common
+    shapes; restart intervals (DRI/RSTn) are honored. Progressive
+    (SOF2), arithmetic coding and 12-bit precision raise
+    MediaDecodeError (→ the countable decode_failed class, same
+    contract as the other codecs). IDCT is the orthonormal separable
+    matrix product (numpy), bit-exactness is NOT part of the contract —
+    JPEG is lossy and T.81 Annex A only bounds IDCT error."""
+    import numpy as np
+
+    if not data.startswith(JPEG_MAGIC):
+        raise MediaDecodeError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] | None = None  # (comp idx, Td, Ta)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaDecodeError("marker expected")
+        m = data[pos + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:  # SOI / stray RST
+            pos += 2
+            continue
+        if m == 0xD9:  # EOI before any scan
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise MediaDecodeError("truncated segment")
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                if i + n > len(seg):
+                    raise MediaDecodeError("short DQT")
+                raw = (
+                    list(struct.unpack_from(f">64H", seg, i))
+                    if pq
+                    else list(seg[i : i + 64])
+                )
+                tbl = [0] * 64
+                for z, v in enumerate(raw):
+                    tbl[_JPEG_ZZ[z]] = v
+                qt[tq] = tbl
+                i += n
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = seg[i + 17 : i + 17 + n]
+                if len(vals) != n:
+                    raise MediaDecodeError("short DHT")
+                (huff_ac if tc else huff_dc)[th] = _jpeg_huff_table(bits, vals)
+                i += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
+            if seg[0] != 8:
+                raise MediaDecodeError("only 8-bit precision")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise MediaDecodeError(f"{nc}-component JPEG unsupported")
+            if w == 0 or h == 0 or w * h > MAX_PIXELS:
+                raise MediaDecodeError("dimension bomb")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                H, V = hv >> 4, hv & 0x0F
+                if H not in (1, 2) or V not in (1, 2):
+                    raise MediaDecodeError("sampling factor outside {1,2}")
+                comps.append((cid, H, V, tq))
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError("non-baseline JPEG (progressive/arith)")
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    (k for k, comp in enumerate(comps) if comp[0] == cid), None
+                )
+                if idx is None:
+                    raise MediaDecodeError("scan names unknown component")
+                scan.append((idx, tda >> 4, tda & 0x0F))
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if not comps or scan is None or not w:
+        raise MediaDecodeError("missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise MediaDecodeError("partial scans unsupported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # orthonormal DCT-II basis: row k is c(k)/2 * cos((2n+1)kπ/16)
+    n_idx = np.arange(8)
+    D = np.cos((2 * n_idx[None, :] + 1) * n_idx[:, None] * np.pi / 16) / 2.0
+    D[0, :] /= np.sqrt(2.0)
+    planes = [
+        np.zeros((mcuy * 8 * V, mcux * 8 * H), dtype=np.float64)
+        for _, H, V, _ in comps
+    ]
+    pred = [0] * len(comps)
+    bits = _JpegBits(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for (ci, td, ta) in scan:
+                _, H, V, tq = comps[ci]
+                if tq not in qt or td not in huff_dc or ta not in huff_ac:
+                    raise MediaDecodeError("scan references missing table")
+                q = qt[tq]
+                for v in range(V):
+                    for u in range(H):
+                        coefs = np.zeros(64, dtype=np.float64)
+                        s = bits.huff(huff_dc[td])
+                        diff = _jpeg_extend(bits.read(s), s) if s else 0
+                        pred[ci] += diff
+                        coefs[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(huff_ac[ta])
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise MediaDecodeError("AC run overflow")
+                            nat = _JPEG_ZZ[k]
+                            coefs[nat] = _jpeg_extend(bits.read(sz), sz) * q[nat]
+                            k += 1
+                        block = D.T @ coefs.reshape(8, 8) @ D + 128.0
+                        y0 = (my * V + v) * 8
+                        x0 = (mx * H + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, (_, H, V, _) in enumerate(comps):
+        p = planes[ci]
+        if H < hmax:
+            p = np.repeat(p, hmax // H, axis=1)
+        if V < vmax:
+            p = np.repeat(p, vmax // V, axis=0)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    Y, Cb, Cr = out_planes
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
+        axis=-1,
+    )
+    return w, h, 3, rgb.tobytes()
 
 
 # ── PNG encode (filter-0 scanlines) ──────────────────────────────────────────

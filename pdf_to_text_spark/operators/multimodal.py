@@ -2,9 +2,9 @@
 
 The Spark-side machinery (schemas, Arrow batch shape, partition layout,
 byte-capped batching) is REAL and tested. Since round 6 the codecs are
-REAL too for PNG, GIF and WAV-PCM (kernels/media.py, stdlib-only):
-features/resize compute over actual pixels and samples. Formats whose
-decoders genuinely need external libraries (JPEG, MP3, video
+REAL too for PNG, GIF, baseline JPEG and WAV-PCM (kernels/media.py,
+stdlib+numpy): features/resize compute over actual pixels and samples.
+Formats whose decoders genuinely need external libraries (MP3, video
 containers) fall back to the deterministic stub, DECLARED via
 decode_status='stub' (task contract: "STUB the decode step … make the
 Spark-side plumbing real"); swapping in PIL/librosa for those is a
@@ -78,8 +78,8 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB — deterministic fake 'decode + feature extract'.
 
     Since round 6 this is only the FALLBACK for formats whose codecs
-    genuinely need external libraries (JPEG, MP3, MP4, video
-    containers) — PNG and WAV-PCM payloads decode for REAL in
+    genuinely need external libraries (MP3, MP4, video containers) —
+    PNG/GIF/baseline-JPEG and WAV-PCM payloads decode for REAL in
     kernels/media.py and compute features over actual pixels/samples.
     The stub: a blake2b of the payload expanded to FEATURE_DIM floats
     in [-1, 1), so tests can assert exact values and the Arrow plumbing
@@ -88,16 +88,19 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def _decode_real(payload: bytes, kind: str):
-    """Default decode (round 6): REAL stdlib codecs for PNG, GIF and
-    WAV, stub for everything else — returns (features, status) where
-    status 'ok' means real decoded content and 'stub' declares the
-    sanctioned fallback (observable in the driver gate, not silently
-    green). A recognized-but-malformed payload raises
-    (→ 'decode_failed')."""
+    """Default decode (round 6): REAL stdlib codecs for PNG, GIF,
+    baseline JPEG and WAV, stub for everything else — returns
+    (features, status) where status 'ok' means real decoded content and
+    'stub' declares the sanctioned fallback (observable in the driver
+    gate, not silently green). A recognized-but-malformed payload
+    raises (→ 'decode_failed')."""
     from ..kernels import media as M
 
     if payload.startswith(M.PNG_MAGIC):
         w, h, ch, pixels = M.decode_png(payload)
+        return M.image_features(w, h, ch, pixels), "ok"
+    if payload.startswith(M.JPEG_MAGIC):
+        w, h, ch, pixels = M.decode_jpeg(payload)
         return M.image_features(w, h, ch, pixels), "ok"
     if payload[:6] in M.GIF_MAGICS:
         w, h, ch, pixels = M.decode_gif(payload)
@@ -225,8 +228,8 @@ RESIZE_SCHEMA = T.StructType(
 def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
     """STUB — deterministic fake 'decode + bilinear resize + re-encode'.
 
-    Since round 6 only the fallback for non-PNG images (JPEG etc. need
-    external libs). The output bytes are a blake2b keyed by
+    Since round 6 only the fallback for images outside the real-codec
+    set (PNG/GIF/baseline JPEG decode for real). The output bytes are a blake2b keyed by
     (payload, tw, th) repeated to a plausible size (tw*th//8), so tests
     can assert exact values and the byte-capped Arrow plumbing carries
     realistic volumes."""
@@ -234,15 +237,19 @@ def _resize_stub(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
 
 
 def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
-    """Default resize (round 6): PNG/GIF → real decode + fixed-point
-    bilinear + PNG re-encode ((bytes, 'ok'); GIF input re-encodes as
-    RGB PNG — the resize sink normalizes formats, standard vision
-    preprocessing); other formats → stub with the declared 'stub'
-    status. Malformed payloads raise (→ 'decode_failed')."""
+    """Default resize (round 6): PNG/GIF/JPEG → real decode +
+    fixed-point bilinear + PNG re-encode ((bytes, 'ok'); GIF/JPEG input
+    re-encodes as PNG — the resize sink normalizes formats, standard
+    vision preprocessing); other formats → stub with the declared
+    'stub' status. Malformed payloads raise (→ 'decode_failed')."""
     from ..kernels import media as M
 
     if payload.startswith(M.PNG_MAGIC):
         dw, dh, ch, pixels = M.decode_png(payload)
+        out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
+        return M.encode_png(tw, th, ch, out), "ok"
+    if payload.startswith(M.JPEG_MAGIC):
+        dw, dh, ch, pixels = M.decode_jpeg(payload)
         out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
         return M.encode_png(tw, th, ch, out), "ok"
     if payload[:6] in M.GIF_MAGICS:
@@ -474,15 +481,23 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
 
     Round 6: image rows carry REAL PNGs (filter types 0-4, gray/RGB/
     RGBA/gray-alpha/palette — tools/make_media.py, the independent
-    writer side) or REAL GIFs (i%12==9 slice: LZW, interlace, local
-    palettes, comment blocks) and audio rows carry REAL PCM WAVs, so
-    the default decode path computes features over actual
-    pixels/samples. Declared slices keep the other statuses observable:
-    i%17==5 null payloads, i%15==12 undecodable image bytes ('stub'
-    fallback), i%18==6 corrupt PNGs ('decode_failed'), i%45==13
-    non-WAV audio bytes ('stub'); video payloads stay opaque ('stub' —
-    no stdlib container codec)."""
-    from tools.make_media import corrupt_png, media_audio, media_gif, media_image
+    writer side), REAL GIFs (i%12==9 slice: LZW, interlace, local
+    palettes, comment blocks) or REAL baseline JPEGs (i%12==3 slice:
+    gray/4:4:4/4:2:0/restart-interval shapes; i%72==51 truncated-scan →
+    'decode_failed') and audio rows carry REAL PCM WAVs, so the default
+    decode path computes features over actual pixels/samples. Declared
+    slices keep the other statuses observable: i%17==5 null payloads,
+    i%15==12 undecodable image bytes ('stub' fallback), i%18==6 corrupt
+    PNGs ('decode_failed'), i%45==13 non-WAV audio bytes ('stub');
+    video payloads stay opaque ('stub' — no stdlib container codec)."""
+    from tools.make_media import (
+        corrupt_jpeg,
+        corrupt_png,
+        media_audio,
+        media_gif,
+        media_image,
+        media_jpeg,
+    )
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -500,6 +515,11 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
         elif kind == "image":
             if i % 15 == 12:  # undecodable format → sanctioned stub
                 payload, meta = lattice, (64 + i % 512, 48 + i % 256, None, None)
+            elif i % 12 == 3:  # baseline JPEG slice (real decode, r6)
+                jpg, w, h = media_jpeg(i)
+                if i % 72 == 51:  # truncated scan → decode_failed
+                    jpg = corrupt_jpeg(jpg)
+                payload, meta = jpg, (w, h, None, None)
             elif i % 12 == 9:  # GIF slice (real decode, r6)
                 gif, w, h = media_gif(i)
                 payload, meta = gif, (w, h, None, None)

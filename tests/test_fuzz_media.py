@@ -108,3 +108,24 @@ def test_mutated_gif_fails_typed(junk, where, overwrite):
 def test_random_bytes_behind_gif_magic_fail_typed(data):
     _try_gif(b"GIF89a" + data)
     _try_gif(b"GIF87a" + data)
+
+
+@settings(max_examples=150, deadline=5000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_jpeg_fails_typed(junk, where, overwrite):
+    """Junk spliced/overwritten anywhere in a valid baseline JPEG either
+    still decodes or raises MediaDecodeError — never any other
+    exception type (the per-row decode_failed contract)."""
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    base = make_jpeg(12, 10, 3, pixels_for(4, 12, 10, 3), subsample=True)
+    at = int(where * len(base))
+    data = (
+        base[:at] + junk + base[at + (len(junk) if overwrite else 0):]
+    )
+    try:
+        w, h, ch, px = decode_jpeg(data)
+        assert len(px) == w * h * ch
+    except MediaDecodeError:
+        pass

@@ -325,3 +325,96 @@ def test_corrupt_png_requires_idat():
 
     with pytest.raises(ValueError, match="IDAT"):
         corrupt_png(b"GIF89a not a png")
+
+
+# ── JPEG (baseline, r6) ──────────────────────────────────────────────────────
+
+
+def test_jpeg_gray_flat_quant_roundtrip():
+    """Near-lossless flat-quant gray: every pixel within the
+    quantization error bound of the source."""
+    from pdf_to_text_spark.kernels.media import decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    w, h = 16, 12
+    px = pixels_for(3, w, h, 1)
+    dw, dh, ch, out = decode_jpeg(make_jpeg(w, h, 1, px, quant=([8] * 64, [8] * 64)))
+    assert (dw, dh, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 8
+
+
+@pytest.mark.parametrize("subsample,restart", [(False, 0), (True, 0), (False, 2)])
+def test_jpeg_color_roundtrip(subsample, restart):
+    """4:4:4 / 4:2:0 / restart-interval color: decoded pixels track the
+    source within the lossy envelope (tight for 4:4:4 flat quant, mean
+    bound for subsampled chroma)."""
+    from pdf_to_text_spark.kernels.media import decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    w, h = 17, 13
+    px = pixels_for(5, w, h, 3)
+    data = make_jpeg(w, h, 3, px, quant=([4] * 64, [4] * 64),
+                     subsample=subsample, restart=restart)
+    dw, dh, ch, out = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    if subsample:
+        mean_err = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+        assert mean_err < 20  # chroma detail genuinely lost at 4:2:0
+    else:
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 8
+
+
+def test_jpeg_annex_k_tables_decode():
+    """The default Annex K.1 quant tables: realistic loss, recognizable
+    content (mean error well under a gray-step)."""
+    from pdf_to_text_spark.kernels.media import decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    w, h = 24, 16
+    px = pixels_for(7, w, h, 3)
+    dw, dh, ch, out = decode_jpeg(make_jpeg(w, h, 3, px))
+    assert (dw, dh, ch) == (w, h, 3)
+    assert sum(abs(a - b) for a, b in zip(px, out)) / len(px) < 24
+
+
+def test_jpeg_failure_classes():
+    """Truncated scan and non-baseline SOF raise MediaDecodeError (the
+    countable decode_failed class); non-JPEG bytes are refused."""
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_jpeg
+    from tools.make_media import corrupt_jpeg, make_jpeg, pixels_for
+
+    data = make_jpeg(10, 8, 1, pixels_for(1, 10, 8, 1))
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(corrupt_jpeg(data))
+    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(MediaDecodeError, match="non-baseline"):
+        decode_jpeg(progressive)
+    with pytest.raises(MediaDecodeError, match="not a JPEG"):
+        decode_jpeg(b"GIF89a")
+
+
+def test_jpeg_dimension_bomb_capped():
+    """A tiny file declaring enormous SOF dimensions must be refused
+    before any allocation (same MAX_PIXELS contract as PNG/GIF)."""
+    import struct as st
+
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    data = bytearray(make_jpeg(10, 8, 1, pixels_for(1, 10, 8, 1)))
+    sof = bytes(data).find(b"\xff\xc0")
+    data[sof + 5 : sof + 9] = st.pack(">HH", 60000, 60000)
+    with pytest.raises(MediaDecodeError, match="bomb"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_zigzag_tables_agree():
+    """The kernel's generated zigzag and the writer's snake-walk zigzag
+    are independent constructions of T.81 Figure 5 — they must agree."""
+    from pdf_to_text_spark.kernels.media import _jpeg_zigzag
+    from tools.make_media import _jpeg_zz_snake
+
+    zz = _jpeg_zigzag()
+    assert zz == _jpeg_zz_snake()
+    assert sorted(zz) == list(range(64))
+    assert zz[:8] == [0, 1, 8, 16, 9, 2, 3, 10]  # the spec's opening walk

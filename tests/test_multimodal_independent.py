@@ -172,6 +172,15 @@ def _expected_features() -> set[tuple]:
         if kind == "image":
             if i % 15 == 12:
                 p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            elif i % 12 == 3:  # JPEG slice (r6): LOSSY — the ok rows are
+                # checked with tolerance in the test body; only the
+                # deterministic decode_failed row belongs to the exact set
+                if i % 72 == 51:
+                    from tools.make_media import corrupt_jpeg, media_jpeg
+
+                    p = corrupt_jpeg(media_jpeg(i)[0])
+                    out.add((i, kind, len(p), None, None, "decode_failed"))
+                continue
             elif i % 12 == 9:  # GIF slice (r6)
                 from tools.make_media import media_gif
 
@@ -210,6 +219,14 @@ def _expected_features() -> set[tuple]:
     return out
 
 
+def _jpeg_ok_ids() -> set[int]:
+    return {
+        i for i in range(N)
+        if _kind(i) == "image" and i % 17 != 5 and i % 15 != 12
+        and i % 12 == 3 and i % 72 != 51
+    }
+
+
 def test_media_features_matches_independent_recompute(spark):
     got = {
         (
@@ -219,7 +236,25 @@ def test_media_features_matches_independent_recompute(spark):
         )
         for r in media_features(synth_media_df(spark, N)).collect()
     }
-    assert got == _expected_features()
+    jpeg_ids = _jpeg_ok_ids()
+    got_jpeg = {t for t in got if t[0] in jpeg_ids}
+    assert (got - got_jpeg) == _expected_features()
+    # JPEG is lossy: geometry feature dims are lossless facts of a real
+    # decode (exact), content dims must sit within the quantization
+    # error envelope of the SOURCE pixels' independently-computed
+    # features — a stub or misdecoded payload lands far outside it
+    assert len(got_jpeg) == len(jpeg_ids)
+    from tools.make_media import media_jpeg, pixels_for
+
+    for mid, kind, nbytes, chash, feat, status in sorted(got_jpeg):
+        assert status == "ok" and kind == "image"
+        p, w, h = media_jpeg(mid)
+        assert nbytes == len(p)
+        assert chash == hashlib.blake2b(p, digest_size=16).hexdigest()
+        ch = 1 if (mid // 12) % 4 == 1 else 3
+        expect = _image_feat(w, h, ch, pixels_for(mid, w, h, ch))
+        assert feat[:4] == tuple(_f32(v) for v in expect[:4])
+        assert all(abs(a - b) < 0.25 for a, b in zip(feat[4:], expect[4:]))
 
 
 # ── independent resize (fixed-point spec, different code shape) ──────────────
@@ -291,6 +326,11 @@ def _expected_resize(tw: int = 224, th: int = 224) -> set[tuple]:
                 hashlib.blake2b(body, digest_size=16).hexdigest(), "stub",
             ))
             continue
+        if i % 12 == 3:  # JPEG slice (r6): lossy — ok rows checked in
+            # the test body; only the deterministic failure row is exact
+            if i % 72 == 51:
+                out.add((i, None, None, 0, None, "decode_failed"))
+            continue
         if i % 12 == 9:  # GIF slice (r6): own geometry, RGB expansion
             w, h, px = _gif_pixels(i)
             scale = min(tw / w, th / h)
@@ -320,7 +360,17 @@ def test_image_resize_matches_independent_recompute(spark):
     got = {
         tuple(r) for r in image_resize(synth_media_df(spark, N)).collect()
     }
-    assert got == _expected_resize()
+    jpeg_ids = _jpeg_ok_ids()
+    got_jpeg = {t for t in got if t[0] in jpeg_ids}
+    assert (got - got_jpeg) == _expected_resize()
+    assert len(got_jpeg) == len(jpeg_ids)
+    from tools.make_media import media_jpeg
+
+    for mid, ow, oh, nbytes, ohash, status in sorted(got_jpeg):
+        _, w, h = media_jpeg(mid)
+        scale = min(224 / w, 224 / h)
+        assert (ow, oh) == (max(1, int(w * scale)), max(1, int(h * scale)))
+        assert status == "ok" and nbytes > 0 and len(ohash) == 32
 
 
 def test_audio_resample_plan_matches_independent_recompute(spark):
@@ -451,6 +501,8 @@ def _expected_statuses() -> dict[int, str]:
         elif kind == "image":
             out[i] = (
                 "stub" if i % 15 == 12
+                else ("decode_failed" if i % 72 == 51 else "ok")
+                if i % 12 == 3
                 else "decode_failed" if i % 18 == 6 else "ok"
             )
         elif kind == "audio":

@@ -301,3 +301,290 @@ def corrupt_png(data: bytes) -> bytes:
         raise ValueError("corrupt_png: input has no IDAT chunk")
     at = idat + 8
     return data[:at] + bytes([data[at] ^ 0xFF]) + data[at + 1 :]
+
+
+# ── JPEG writer (baseline sequential, ITU-T T.81) ────────────────────────────
+# Independent of kernels/media.py's decoder, like the PNG/GIF writers
+# above: pure-Python FDCT (math.cos), snake-walk zigzag, and FLAT
+# canonical Huffman tables (every DC symbol 4 bits, every AC symbol
+# 8 bits) — spec-valid DHT segments that sidestep hand-typing Annex
+# K's 162-entry code-length lists while still exercising a generic
+# table reader. Quant tables default to the public Annex K.1 pair;
+# pass flat tables for near-lossless fixtures.
+
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_zz_snake() -> list[int]:
+    out, r, c, up = [], 0, 0, True
+    for _ in range(64):
+        out.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r, up = r + 1, False
+            elif r == 0:
+                c, up = c + 1, False
+            else:
+                r, c = r - 1, c + 1
+        else:
+            if r == 7:
+                c, up = c + 1, True
+            elif c == 0:
+                r, up = r + 1, True
+            else:
+                r, c = r + 1, c - 1
+    return out
+
+
+_ZZ = _jpeg_zz_snake()
+# AC symbols in ascending order, all 8 bits: EOB, (run,size) pairs, ZRL
+_AC_SYMS = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_CODE = {sym: i for i, sym in enumerate(_AC_SYMS)}
+
+import math as _math
+
+_DCT = [
+    [
+        ((1 / _math.sqrt(2)) if k == 0 else 1.0) / 2.0
+        * _math.cos((2 * n + 1) * k * _math.pi / 16)
+        for n in range(8)
+    ]
+    for k in range(8)
+]
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _fdct_quant(block: list[float], q: list[int]) -> list[int]:
+    tmp = [[block[r * 8 + c] - 128.0 for c in range(8)] for r in range(8)]
+    rows = [
+        [sum(_DCT[k][n] * tmp[r][n] for n in range(8)) for k in range(8)]
+        for r in range(8)
+    ]
+    out = [0] * 64
+    for k in range(8):
+        for kk in range(8):
+            f = sum(_DCT[k][n] * rows[n][kk] for n in range(8))
+            out[k * 8 + kk] = round(f / q[k * 8 + kk])
+    return out
+
+
+def _encode_block(wtr: _JpegWriter, coefs: list[int], pred: int) -> int:
+    dc = coefs[0]
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    wtr.bits(s, 4)  # flat DC table: code == category, 4 bits
+    if s:
+        wtr.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for z in range(1, 64):
+        v = coefs[_ZZ[z]]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wtr.bits(_AC_CODE[0xF0], 8)  # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        if s > 10:
+            raise ValueError("AC coefficient out of the 10-bit profile")
+        wtr.bits(_AC_CODE[(run << 4) | s], 8)
+        wtr.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        wtr.bits(_AC_CODE[0x00], 8)  # EOB
+    return dc
+
+
+def _plane_blocks(plane: list[list[float]], y0: int, x0: int) -> list[float]:
+    h = len(plane)
+    w = len(plane[0])
+    out = []
+    for r in range(8):
+        row = plane[min(y0 + r, h - 1)]
+        for c in range(8):
+            out.append(row[min(x0 + c, w - 1)])
+    return out
+
+
+def _dht(tc: int, th: int, lengths: list[int], syms: list[int]) -> bytes:
+    bits = [0] * 16
+    for ln in lengths:
+        bits[ln - 1] += 1
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(syms)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def make_jpeg(
+    width: int, height: int, channels: int, pixels: bytes, *,
+    subsample: bool = False, restart: int = 0,
+    quant: tuple[list[int], list[int]] | None = None,
+) -> bytes:
+    """Baseline JPEG: grayscale (channels=1) or YCbCr 4:4:4 /
+    `subsample` 4:2:0 (channels=3), optional DRI restart interval."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match geometry")
+    ql, qc = quant if quant is not None else (_JPEG_QL, _JPEG_QC)
+    if channels == 1:
+        planes = [[
+            [float(pixels[y * width + x]) for x in range(width)]
+            for y in range(height)
+        ]]
+    else:
+        ys, cbs, crs = [], [], []
+        for y in range(height):
+            yr, cbr, crr = [], [], []
+            for x in range(width):
+                p = (y * width + x) * 3
+                r, g, b = pixels[p], pixels[p + 1], pixels[p + 2]
+                yr.append(0.299 * r + 0.587 * g + 0.114 * b)
+                cbr.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+                crr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+            ys.append(yr)
+            cbs.append(cbr)
+            crs.append(crr)
+        if subsample:  # 4:2:0 — 2x2 box average, edge-replicated
+            def half(p):
+                hh = (len(p) + 1) // 2
+                hw = (len(p[0]) + 1) // 2
+                return [[
+                    (p[min(2 * y, len(p) - 1)][min(2 * x, len(p[0]) - 1)]
+                     + p[min(2 * y + 1, len(p) - 1)][min(2 * x, len(p[0]) - 1)]
+                     + p[min(2 * y, len(p) - 1)][min(2 * x + 1, len(p[0]) - 1)]
+                     + p[min(2 * y + 1, len(p) - 1)][min(2 * x + 1, len(p[0]) - 1)]
+                     ) / 4.0
+                    for x in range(hw)] for y in range(hh)]
+            planes = [ys, half(cbs), half(crs)]
+        else:
+            planes = [ys, cbs, crs]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT(s), zigzag order
+    qseg = bytes([0x00]) + bytes(ql[_ZZ[z]] for z in range(64))
+    if channels == 3:
+        qseg += bytes([0x01]) + bytes(qc[_ZZ[z]] for z in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", len(qseg) + 2) + qseg
+    # SOF0
+    hy, vy = (2, 2) if (channels == 3 and subsample) else (1, 1)
+    comps = [(1, hy, vy, 0)] + ([(2, 1, 1, 1), (3, 1, 1, 1)] if channels == 3 else [])
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, hh, vv, tq in comps:
+        sof += bytes([cid, (hh << 4) | vv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT: flat tables (DC: 12 syms @4 bits; AC: 162 syms @8 bits)
+    out += _dht(0, 0, [4] * 12, list(range(12)))
+    out += _dht(1, 0, [8] * len(_AC_SYMS), _AC_SYMS)
+    if channels == 3:
+        out += _dht(0, 1, [4] * 12, list(range(12)))
+        out += _dht(1, 1, [8] * len(_AC_SYMS), _AC_SYMS)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    # SOS
+    sos = bytes([len(comps)])
+    for cid, _, _, tq in comps:
+        sos += bytes([cid, (tq << 4) | tq])  # Td/Ta mirror the quant slot
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    wtr = _JpegWriter()
+    pred = [0] * len(comps)
+    qts = [ql] + ([qc, qc] if channels == 3 else [])
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                wtr.flush()
+                wtr.out += b"\xff" + bytes([0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * len(comps)
+            mcu += 1
+            for ci, (cid, hh, vv, tq) in enumerate(comps):
+                for v in range(vv):
+                    for u in range(hh):
+                        block = _plane_blocks(
+                            planes[ci], (my * vv + v) * 8, (mx * hh + u) * 8
+                        )
+                        coefs = _fdct_quant(block, qts[ci])
+                        _encode_block(wtr, coefs, pred[ci])
+                        pred[ci] = coefs[0]
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def media_jpeg(i: int) -> tuple[bytes, int, int]:
+    """(jpeg_bytes, w, h) for synthetic JPEG row i — varies gray/color,
+    4:4:4 vs 4:2:0, and a restart-interval slice. Keyed by i//12 like
+    media_gif: the corpus slice fixes every i-modulus ≤ 12."""
+    w, h = 9 + i % 15, 7 + i % 10
+    j = i // 12
+    if j % 4 == 1:
+        return make_jpeg(w, h, 1, pixels_for(i, w, h, 1)), w, h
+    return (
+        make_jpeg(
+            w, h, 3, pixels_for(i, w, h, 3),
+            subsample=j % 3 == 2, restart=2 if j % 5 == 0 else 0,
+        ),
+        w, h,
+    )
+
+
+def corrupt_jpeg(data: bytes) -> bytes:
+    """Truncate the entropy-coded scan (no EOI) — headers stay intact,
+    the bit reader runs dry mid-MCU: decode_status='decode_failed'
+    deterministically (a single bit-flip can re-decode as different but
+    VALID Huffman codes, which would silently flip the fixture's class)."""
+    sos = data.find(b"\xff\xda")
+    if sos < 0:
+        raise ValueError("corrupt_jpeg: input has no SOS segment")
+    seglen = struct.unpack_from(">H", data, sos + 2)[0]
+    start = sos + 2 + seglen
+    if start >= len(data) - 4:
+        raise ValueError("corrupt_jpeg: no scan data to truncate")
+    return data[: start + max(1, (len(data) - 2 - start) // 3)]
