@@ -322,20 +322,33 @@ def _jpeg_zigzag() -> list[int]:
 _JPEG_ZZ = _jpeg_zigzag()
 
 
-def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman (T.81 Annex C): {(length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> tuple[list, int]:
+    """Canonical JPEG Huffman (T.81 Annex C) as a flat peek-LUT:
+    (lut, maxlen) where lut[first-maxlen-bits] = (symbol, code_length).
+    One list index per symbol instead of up-to-16 bit-at-a-time reads —
+    without it a legal MAX_PIXELS image drives ~10^8 Python-level loop
+    iterations, a CPU-bomb asymmetry the C-speed zlib PNG path doesn't
+    have (r6 review)."""
+    maxlen = max((ln for ln in range(1, 17) if bits[ln - 1]), default=0)
+    if maxlen == 0:
+        raise MediaDecodeError("empty DHT")
+    lut: list = [None] * (1 << maxlen)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             if k >= len(vals):
                 raise MediaDecodeError("DHT counts exceed symbols")
-            table[(length, code)] = vals[k]
+            base = code << (maxlen - length)
+            if base + (1 << (maxlen - length)) > len(lut):
+                raise MediaDecodeError("DHT code overflow")
+            entry = (vals[k], length)
+            for s in range(1 << (maxlen - length)):
+                lut[base + s] = entry
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut, maxlen
 
 
 class _JpegBits:
@@ -387,23 +400,38 @@ class _JpegBits:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise MediaDecodeError("invalid Huffman code")
+    def huff(self, table: tuple[list, int]) -> int:
+        lut, maxlen = table
+        while self.nbits < maxlen:
+            if not self._fill():
+                break
+        if self.nbits >= maxlen:
+            idx = (self.acc >> (self.nbits - maxlen)) & ((1 << maxlen) - 1)
+        elif self.nbits:
+            idx = (self.acc << (maxlen - self.nbits)) & ((1 << maxlen) - 1)
+        else:
+            raise MediaDecodeError("truncated entropy data")
+        entry = lut[idx]
+        if entry is None:
+            raise MediaDecodeError("invalid Huffman code")
+        sym, ln = entry
+        if ln > self.nbits:
+            raise MediaDecodeError("truncated entropy data")
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return sym
 
     def restart(self) -> None:
         """Byte-align and consume the pending RSTn marker."""
         self.acc = 0
         self.nbits = 0
         if self.marker is None:
-            # marker not yet seen: it must be the next bytes
+            # marker not yet seen: it must be the next bytes (possibly
+            # behind 0xFF fill padding, T.81 B.1.1.2 — r6 review)
             d, p = self.data, self.pos
             while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+                p += 1
+            while p + 1 < len(d) and d[p + 1] == 0xFF:
                 p += 1
             if p + 1 >= len(d) or not 0xD0 <= d[p + 1] <= 0xD7:
                 raise MediaDecodeError("missing restart marker")
@@ -439,14 +467,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) → (w, h, ch, pixels).
 
-    Grayscale (1 component) and YCbCr (3 components) with sampling
-    factors in {1, 2} — covers 4:4:4, 4:2:2 and 4:2:0, the crawl-common
-    shapes; restart intervals (DRI/RSTn) are honored. Progressive
-    (SOF2), arithmetic coding and 12-bit precision raise
-    MediaDecodeError (→ the countable decode_failed class, same
-    contract as the other codecs). IDCT is the orthonormal separable
-    matrix product (numpy), bit-exactness is NOT part of the contract —
-    JPEG is lossy and T.81 Annex A only bounds IDCT error."""
+    Grayscale (1 component) and 3-component color with sampling factors
+    in {1, 2} — covers 4:4:4, 4:2:2 and 4:2:0, the crawl-common shapes;
+    restart intervals (DRI/RSTn) and 0xFF fill padding are honored;
+    Adobe APP14 transform 0 keeps the planes RGB (no color matrix).
+    Progressive (SOF2), arithmetic coding, 12-bit precision and
+    non-interleaved multi-scan sequential files raise MediaDecodeError
+    (→ the countable decode_failed class, same contract as the other
+    codecs). IDCT is the orthonormal separable matrix product (numpy),
+    bit-exactness is NOT part of the contract — JPEG is lossy and T.81
+    Annex A only bounds IDCT error."""
     import numpy as np
 
     if not data.startswith(JPEG_MAGIC):
@@ -457,13 +487,17 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
     w = h = 0
     restart_interval = 0
+    adobe_transform: int | None = None
     pos = 2
     scan: list[tuple[int, int, int]] | None = None  # (comp idx, Td, Ta)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise MediaDecodeError("marker expected")
         m = data[pos + 1]
-        if m == 0xD8 or 0xD0 <= m <= 0xD7:  # SOI / stray RST
+        if m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:  # SOI / RST / TEM
             pos += 2
             continue
         if m == 0xD9:  # EOI before any scan
@@ -481,10 +515,16 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if i + n > len(seg):
                     raise MediaDecodeError("short DQT")
                 raw = (
-                    list(struct.unpack_from(f">64H", seg, i))
+                    list(struct.unpack_from(">64H", seg, i))
                     if pq
                     else list(seg[i : i + 64])
                 )
+                if 0 in raw:
+                    # T.81 requires 1..255/65535: a zero entry multiplies
+                    # every coefficient away and the malformed stream
+                    # would decode to flat gray with status 'ok' instead
+                    # of the decode_failed class (r6 review)
+                    raise MediaDecodeError("zero DQT entry")
                 tbl = [0] * 64
                 for z, v in enumerate(raw):
                     tbl[_JPEG_ZZ[z]] = v
@@ -521,6 +561,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise MediaDecodeError("non-baseline JPEG (progressive/arith)")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: transform 0 = the planes are RGB, not YCbCr —
+            # applying the color matrix anyway silently mangles every
+            # pixel under status 'ok' (r6 review)
+            adobe_transform = seg[11]
         elif m == 0xDA:  # SOS
             ns = seg[0]
             scan = []
@@ -538,7 +583,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if not comps or scan is None or not w:
         raise MediaDecodeError("missing SOF/SOS")
     if len(scan) != len(comps):
-        raise MediaDecodeError("partial scans unsupported")
+        # non-interleaved sequential files (one SOS per component) are a
+        # documented scope cut — rare writer output; the overwhelmingly
+        # common baseline shape is one interleaved scan (r6 review: the
+        # docstring now names this class alongside progressive)
+        raise MediaDecodeError("non-interleaved multi-scan unsupported")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -603,10 +652,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(comps) == 1:
         gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
-    Y, Cb, Cr = out_planes
-    r = Y + 1.402 * (Cr - 128.0)
-    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
-    b = Y + 1.772 * (Cb - 128.0)
+    comp_ids = tuple(c[0] for c in comps)
+    is_rgb = adobe_transform == 0 or comp_ids == (0x52, 0x47, 0x42)  # 'R','G','B'
+    if is_rgb:
+        r, g, b = out_planes
+    else:
+        Y, Cb, Cr = out_planes
+        r = Y + 1.402 * (Cr - 128.0)
+        g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+        b = Y + 1.772 * (Cb - 128.0)
     rgb = np.stack(
         [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
         axis=-1,

@@ -418,3 +418,58 @@ def test_jpeg_zigzag_tables_agree():
     assert zz == _jpeg_zz_snake()
     assert sorted(zz) == list(range(64))
     assert zz[:8] == [0, 1, 8, 16, 9, 2, 3, 10]  # the spec's opening walk
+
+
+def test_jpeg_app14_rgb_transform_and_fill_bytes():
+    """Adobe APP14 transform=0 means the planes are RGB — applying the
+    YCbCr matrix anyway mangled every pixel under status 'ok'; 0xFF
+    fill padding before header markers is spec-legal (T.81 B.1.1.2)
+    and used to become a garbage segment length (r6 review)."""
+    from pdf_to_text_spark.kernels.media import decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    w, h = 16, 8
+    px = pixels_for(9, w, h, 3)
+    data = make_jpeg(w, h, 3, px, quant=([4] * 64, [4] * 64))
+    # splice APP14 (transform 0) and a fill byte after SOI
+    app14 = b"\xff\xee\x00\x0eAdobe\x00\x64\x00\x00\x00\x00\x00"
+    data = data[:2] + b"\xff" + app14 + data[2:]
+    dw, dh, ch, out = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    # encoder wrote YCbCr; decoding those planes as RGB must NOT match
+    # the source (proves the transform flag actually changed the path)
+    ycc_as_rgb_err = max(abs(a - b) for a, b in zip(px, out))
+    assert ycc_as_rgb_err > 30
+    # and the no-APP14 decode still round-trips
+    dw, dh, ch, out2 = decode_jpeg(make_jpeg(w, h, 3, px, quant=([4] * 64, [4] * 64)))
+    assert max(abs(a - b) for a, b in zip(px, out2)) <= 8
+
+
+def test_jpeg_zero_dqt_is_decode_failed():
+    """An all-zero quant table would decode to flat gray with status
+    'ok' — T.81 forbids zero entries; the stream is malformed."""
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    data = bytearray(make_jpeg(10, 8, 1, pixels_for(1, 10, 8, 1)))
+    dqt = bytes(data).find(b"\xff\xdb")
+    data[dqt + 5] = 0  # first quant entry
+    with pytest.raises(MediaDecodeError, match="zero DQT"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_gate_slice_exercises_subsampled_chroma():
+    """The 60-row gate's surviving ok rows must cover the hard decoder
+    paths: i=3 is 4:2:0 + restart interval, i=15 grayscale (r6 review:
+    the old residues parked 4:2:0 on a stub-shadowed index)."""
+    from pdf_to_text_spark.kernels.media import decode_jpeg
+    from tools.make_media import media_jpeg
+
+    p3, w3, h3 = media_jpeg(3)
+    assert b"\xff\xdd" in p3  # DRI present
+    assert decode_jpeg(p3)[2] == 3
+    # SOF0 sampling byte for component 1 is 0x22 (2x2) → subsampled
+    sof = p3.find(b"\xff\xc0")
+    assert p3[sof + 11] == 0x22
+    p15, _, _ = media_jpeg(15)
+    assert decode_jpeg(p15)[2] == 1  # grayscale

@@ -364,13 +364,25 @@ def test_image_resize_matches_independent_recompute(spark):
     got_jpeg = {t for t in got if t[0] in jpeg_ids}
     assert (got - got_jpeg) == _expected_resize()
     assert len(got_jpeg) == len(jpeg_ids)
+    # JPEG rows: decoded pixels come from the kernel (lossy source — no
+    # formula can predict them), but the RESIZE and PNG RE-ENCODE stages
+    # are recomputed with this file's independent implementations and
+    # the output hash must match exactly — a transposed resize or wrong
+    # re-encode bytes fail here (r6 review: the first version only
+    # checked hash LENGTH)
+    from pdf_to_text_spark.kernels.media import decode_jpeg
     from tools.make_media import media_jpeg
 
     for mid, ow, oh, nbytes, ohash, status in sorted(got_jpeg):
-        _, w, h = media_jpeg(mid)
+        p, w, h = media_jpeg(mid)
         scale = min(224 / w, 224 / h)
         assert (ow, oh) == (max(1, int(w * scale)), max(1, int(h * scale)))
-        assert status == "ok" and nbytes > 0 and len(ohash) == 32
+        assert status == "ok"
+        dw, dh, ch, px = decode_jpeg(p)
+        assert (dw, dh) == (w, h)
+        body = _indep_png(ow, oh, ch, _indep_resize(px, w, h, ch, ow, oh))
+        assert nbytes == len(body)
+        assert ohash == hashlib.blake2b(body, digest_size=16).hexdigest()
 
 
 def test_audio_resample_plan_matches_independent_recompute(spark):

@@ -561,7 +561,13 @@ def make_jpeg(
 def media_jpeg(i: int) -> tuple[bytes, int, int]:
     """(jpeg_bytes, w, h) for synthetic JPEG row i — varies gray/color,
     4:4:4 vs 4:2:0, and a restart-interval slice. Keyed by i//12 like
-    media_gif: the corpus slice fixes every i-modulus ≤ 12."""
+    media_gif: the corpus slice fixes every i-modulus ≤ 12. Residues
+    chosen so the 60-row gate's two surviving ok rows land the HARD
+    decoder paths: i=3 (j=0) is color 4:2:0 WITH a restart interval,
+    i=15 (j=1) is grayscale; plain 4:4:4 color runs at other j residues
+    in pytest (r6 review: j%3==2 parked the only 4:2:0 row on an index
+    the stub slice shadows, so the gate never decoded subsampled
+    chroma)."""
     w, h = 9 + i % 15, 7 + i % 10
     j = i // 12
     if j % 4 == 1:
@@ -569,7 +575,7 @@ def media_jpeg(i: int) -> tuple[bytes, int, int]:
     return (
         make_jpeg(
             w, h, 3, pixels_for(i, w, h, 3),
-            subsample=j % 3 == 2, restart=2 if j % 5 == 0 else 0,
+            subsample=j % 3 == 0, restart=2 if j % 5 == 0 else 0,
         ),
         w, h,
     )
