@@ -482,8 +482,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if not data.startswith(JPEG_MAGIC):
         raise MediaDecodeError("not a JPEG")
     qt: dict[int, list[int]] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, tuple[list, int]] = {}
+    huff_ac: dict[int, tuple[list, int]] = {}
+    dht_builds = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
     w = h = 0
     restart_interval = 0
@@ -533,6 +534,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif m == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(seg):
+                # each build costs up to 2^maxlen LUT fills (~2 ms for a
+                # 16-bit table): without a cap, a payload of repeated
+                # tiny DHT segments is a header-stage CPU bomb — the
+                # exact asymmetry the LUT was added to remove (second
+                # r6 review). Baseline files define at most 8 tables
+                # (4 DC + 4 AC slots).
+                dht_builds += 1
+                if dht_builds > 16:
+                    raise MediaDecodeError("too many DHT tables")
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)

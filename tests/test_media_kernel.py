@@ -343,7 +343,8 @@ def test_jpeg_gray_flat_quant_roundtrip():
     assert max(abs(a - b) for a, b in zip(px, out)) <= 8
 
 
-@pytest.mark.parametrize("subsample,restart", [(False, 0), (True, 0), (False, 2)])
+@pytest.mark.parametrize("subsample,restart",
+                         [(False, 0), (True, 0), (False, 2), (True, 2)])
 def test_jpeg_color_roundtrip(subsample, restart):
     """4:4:4 / 4:2:0 / restart-interval color: decoded pixels track the
     source within the lossy envelope (tight for 4:4:4 flat quant, mean
@@ -473,3 +474,42 @@ def test_jpeg_gate_slice_exercises_subsampled_chroma():
     assert p3[sof + 11] == 0x22
     p15, _, _ = media_jpeg(15)
     assert decode_jpeg(p15)[2] == 1  # grayscale
+
+
+def test_jpeg_fill_bytes_inside_entropy_and_before_restart():
+    """0xFF fill padding is legal before ANY marker (T.81 B.1.1.2),
+    including RSTn inside the entropy stream — pins the bit reader's
+    fill-skip and restart()'s fill walk, which had no coverage beyond
+    the header loop (r6 review)."""
+    from pdf_to_text_spark.kernels.media import decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    w, h = 17, 13
+    px = pixels_for(5, w, h, 3)
+    data = make_jpeg(w, h, 3, px, quant=([4] * 64, [4] * 64), restart=1)
+    # pad every restart marker with fill bytes: FF Dn → FF FF FF Dn
+    for n in range(8):
+        data = data.replace(bytes([0xFF, 0xD0 + n]), bytes([0xFF, 0xFF, 0xFF, 0xD0 + n]))
+    dw, dh, ch, out = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 8
+
+
+def test_jpeg_dht_flood_is_capped():
+    """Repeated DHT segments are a header-stage CPU amplifier (each
+    16-bit table costs a 65536-slot LUT build): the cap refuses the
+    flood as malformed instead of burning ~2 ms per segment (r6
+    review)."""
+    import struct as st
+
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_jpeg
+    from tools.make_media import make_jpeg, pixels_for
+
+    data = make_jpeg(10, 8, 1, pixels_for(1, 10, 8, 1))
+    # one 1-bit code + one 16-bit code → maxlen 16
+    bits = [1] + [0] * 14 + [1]
+    dht = bytes([0x00]) + bytes(bits) + bytes([0, 1])
+    seg = b"\xff\xc4" + st.pack(">H", len(dht) + 2) + dht
+    flood = data[:2] + seg * 40 + data[2:]
+    with pytest.raises(MediaDecodeError, match="too many DHT"):
+        decode_jpeg(flood)
