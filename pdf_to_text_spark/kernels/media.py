@@ -1,13 +1,14 @@
 """Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
 
-PNG, GIF, baseline JPEG and WAV-PCM decode with zero external
-dependencies (JPEG leans on numpy — baked into the runtime — for the
-IDCT), so `media_features` / `image_resize` compute over REAL pixels
-and samples instead of the contract-sanctioned stub (which remains the
-fallback for formats that genuinely need external libraries — MP3,
-MP4/video containers — and is reported distinctly as
-decode_status='stub'; progressive/arithmetic JPEG is RECOGNIZED and
-surfaces the countable decode_failed class instead).
+PNG, GIF, baseline JPEG, WAV-PCM and Y4M raw video decode with zero
+external dependencies (JPEG leans on numpy — baked into the runtime —
+for the IDCT), so `media_features` / `image_resize` / `frame_sample`
+compute over REAL pixels, samples and frames instead of the
+contract-sanctioned stub (which remains the fallback for formats that
+genuinely need external libraries — MP3, MP4/MKV compressed video —
+and is reported distinctly as decode_status='stub';
+progressive/arithmetic JPEG is RECOGNIZED and surfaces the countable
+decode_failed class instead).
 
 Public specs implemented:
 * PNG (RFC 2083 / W3C PNG): signature, IHDR/PLTE/IDAT/IEND chunk walk,
@@ -22,6 +23,11 @@ Public specs implemented:
   First frame only (animation is a documented scope cut).
 * WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned and
   16-bit signed little-endian PCM, any channel count.
+* Y4M (YUV4MPEG2, mjpegtools yuv4mpeg(5)): ASCII stream header
+  (W/H/F/I/A/C/X tags), FRAME markers with optional parameters, planar
+  frames under C420(jpeg|mpeg2|paldv)/C422/C444/Cmono; the decode
+  surface is each frame's luma plane (chroma is size-validated and
+  skipped — features and frame sampling are luma-based).
 
 Encoding (for the resize sink) writes the simplest valid PNG: filter-0
 scanlines, one IDAT, CRC32 per chunk.
@@ -705,6 +711,114 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+# ── Y4M (YUV4MPEG2) video decode ─────────────────────────────────────────────
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+# Frame-count bomb cap: the pixel cap alone lets a crafted 1x1 stream
+# materialize millions of tiny bytes objects (~50 B each of interpreter
+# overhead); 10k frames of ANY geometry is far beyond a crawl thumbnail
+# clip and bounds the returned list.
+MAX_FRAMES = 10_000
+
+# chroma-plane divisors per colorspace tag (w_div, h_div); the three
+# C420 variants differ only in chroma SITING, which has no effect on
+# plane sizes or on luma — mjpegtools yuv4mpeg(5).
+_Y4M_CHROMA = {
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2),
+    "420paldv": (2, 2), "422": (2, 1), "444": (1, 1), "mono": None,
+}
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Y4M bytes → (width, height, n_frames, luma_frames).
+
+    YUV4MPEG2 (the mjpegtools raw-video interchange format — an ASCII
+    stream header, then `FRAME\\n` + raw planar YUV per frame) is the
+    one public video container decodable with zero external libraries,
+    so since round 6 `kind='video'` rows decode for REAL through it
+    (MP4/AVI/MKV need real codec stacks and stay on the declared stub
+    path). Each returned frame is its decoded Y (luma) plane, row-major
+    w*h bytes — the analysis surfaces (features, frame sampling) are
+    luma-based, the standard cheap proxy; chroma planes are validated
+    for size and skipped. Colorspaces C420(jpeg|mpeg2|paldv), C422,
+    C444 and Cmono; subsampled dims must be even (what every real
+    writer produces — a lenient ceil here would silently misalign every
+    subsequent frame boundary). Raises MediaDecodeError on anything
+    else, including a truncated final frame."""
+    if not data.startswith(Y4M_MAGIC):
+        raise MediaDecodeError("not a Y4M stream")
+    eol = data.find(b"\n", 0, 1024)
+    if eol < 0:
+        raise MediaDecodeError("unterminated Y4M stream header")
+    try:
+        header = data[:eol].decode("ascii")
+    except UnicodeDecodeError as e:
+        raise MediaDecodeError("non-ASCII Y4M header") from e
+    w = h = None
+    cs = "420"  # mjpegtools default when no C tag is present
+    for tok in header.split(" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[0], tok[1:]
+        if tag == "W" or tag == "H":
+            if not val.isdigit():
+                raise MediaDecodeError(f"bad Y4M {tag} param {val!r}")
+            if tag == "W":
+                w = int(val)
+            else:
+                h = int(val)
+        elif tag == "C":
+            cs = val
+        elif tag == "F" or tag == "A":
+            num, sep, den = val.partition(":")
+            if not (sep and num.isdigit() and den.isdigit()):
+                raise MediaDecodeError(f"bad Y4M {tag} ratio {val!r}")
+        elif tag == "I":
+            if val not in ("p", "t", "b", "m", "?"):
+                raise MediaDecodeError(f"bad Y4M interlace {val!r}")
+        elif tag == "X":
+            pass  # extension parameters carry no layout information
+        else:
+            raise MediaDecodeError(f"unknown Y4M header tag {tag!r}")
+    if not w or not h:
+        raise MediaDecodeError("Y4M header missing W/H")
+    if w * h > MAX_PIXELS:
+        raise MediaDecodeError(f"frame {w}x{h} exceeds pixel cap")
+    chroma = _Y4M_CHROMA.get(cs)
+    if chroma is None and cs != "mono":
+        raise MediaDecodeError(f"unsupported Y4M colorspace C{cs}")
+    if chroma is None:
+        frame_size = w * h
+    else:
+        wd, hd = chroma
+        if w % wd or h % hd:
+            raise MediaDecodeError(
+                f"odd dimensions {w}x{h} for C{cs} chroma subsampling"
+            )
+        frame_size = w * h + 2 * (w // wd) * (h // hd)
+    frames: list[bytes] = []
+    pos = eol + 1
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            raise MediaDecodeError("missing FRAME marker")
+        nl = data.find(b"\n", pos, pos + 1024)
+        if nl < 0:
+            raise MediaDecodeError("unterminated FRAME header")
+        params = data[pos + 5 : nl]
+        if params and not params.startswith(b" "):
+            raise MediaDecodeError("malformed FRAME parameters")
+        pos = nl + 1
+        if pos + frame_size > len(data):
+            raise MediaDecodeError("truncated Y4M frame")
+        frames.append(bytes(data[pos : pos + w * h]))
+        pos += frame_size
+        if len(frames) > MAX_FRAMES:
+            raise MediaDecodeError("frame count exceeds cap")
+        if len(frames) * w * h > MAX_PIXELS:
+            raise MediaDecodeError("total decoded luma exceeds pixel cap")
+    return w, h, len(frames), frames
+
+
 # ── bilinear resize ──────────────────────────────────────────────────────────
 
 
@@ -906,4 +1020,55 @@ def audio_features(rate: int, nch: int, samples: list[int]) -> list[float]:
         _r6(min(samples) / 32768.0), _r6(max(samples) / 32768.0),
         _r6(zc / (n - 1)) if n > 1 else 0.0,
         *[_r6(v) for v in seg],
+    ]
+
+
+def video_features(w: int, h: int, frames: list[bytes]) -> list[float]:
+    """[log-w/16, log-h/16, log-nframes/16, aspect/8, global luma
+    mean/std, first/last frame means, motion (mean abs frame-to-frame
+    luma delta), 4-bucket luma histogram fractions, min, max, temporal
+    std of per-frame means] over decode_y4m's luma planes — integer
+    accumulation wherever order could matter; same float32-recovery
+    contract as image_features."""
+    import math
+
+    nf = len(frames)
+    base = [
+        _r6(math.log1p(w) / 16), _r6(math.log1p(h) / 16),
+        _r6(math.log1p(nf) / 16), _r6(min(w / h, 16.0) / 8),
+    ]
+    if nf == 0:
+        return base + [0.0] * (FEATURE_DIM - 4)
+    n = w * h
+    total = nf * n
+    s = sum(sum(f) for f in frames)
+    s2 = sum(b * b for f in frames for b in f)
+    mean = s / total
+    var = max(0.0, s2 / total - mean * mean)
+    fsums = [sum(f) for f in frames]
+    motion = 0.0
+    if nf > 1:
+        diff = sum(
+            abs(a - b)
+            for f0, f1 in zip(frames, frames[1:])
+            for a, b in zip(f0, f1)
+        )
+        motion = diff / ((nf - 1) * n)
+    hist = [0] * 4
+    for f in frames:
+        for b in f:
+            hist[b >> 6] += 1
+    # temporal variance of per-frame means from the exact integer sums:
+    # E[m^2] - E[m]^2 with m_i = fsums[i]/n
+    tm = sum(fsums) / nf / n
+    tm2 = sum(fs * fs for fs in fsums) / nf / (n * n)
+    tvar = max(0.0, tm2 - tm * tm)
+    return base + [
+        _r6(mean / 255.0), _r6(math.sqrt(var) / 255.0),
+        _r6(fsums[0] / n / 255.0), _r6(fsums[-1] / n / 255.0),
+        _r6(motion / 255.0),
+        *[_r6(v / total) for v in hist],
+        _r6(min(min(f) for f in frames) / 255.0),
+        _r6(max(max(f) for f in frames) / 255.0),
+        _r6(math.sqrt(tvar) / 255.0),
     ]

@@ -2,12 +2,13 @@
 
 The Spark-side machinery (schemas, Arrow batch shape, partition layout,
 byte-capped batching) is REAL and tested. Since round 6 the codecs are
-REAL too for PNG, GIF, baseline JPEG and WAV-PCM (kernels/media.py,
-stdlib+numpy): features/resize compute over actual pixels and samples.
-Formats whose decoders genuinely need external libraries (MP3, video
-containers) fall back to the deterministic stub, DECLARED via
-decode_status='stub' (task contract: "STUB the decode step … make the
-Spark-side plumbing real"); swapping in PIL/librosa for those is a
+REAL too for PNG, GIF, baseline JPEG, WAV-PCM and Y4M raw video
+(kernels/media.py, stdlib+numpy): features/resize/frame-sample compute
+over actual pixels, samples and frames. Formats whose decoders
+genuinely need external libraries (MP3, MP4/MKV compressed video) fall
+back to the deterministic stub, DECLARED via decode_status='stub'
+(task contract: "STUB the decode step … make the Spark-side plumbing
+real"); swapping in PIL/librosa/PyAV for those is a
 body-of-one-function change.
 
 Data model: a media table
@@ -78,9 +79,9 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB — deterministic fake 'decode + feature extract'.
 
     Since round 6 this is only the FALLBACK for formats whose codecs
-    genuinely need external libraries (MP3, MP4, video containers) —
-    PNG/GIF/baseline-JPEG and WAV-PCM payloads decode for REAL in
-    kernels/media.py and compute features over actual pixels/samples.
+    genuinely need external libraries (MP3, MP4/MKV) — PNG/GIF/
+    baseline-JPEG, WAV-PCM and Y4M payloads decode for REAL in
+    kernels/media.py and compute features over actual content.
     The stub: a blake2b of the payload expanded to FEATURE_DIM floats
     in [-1, 1), so tests can assert exact values and the Arrow plumbing
     is exercised end-to-end."""
@@ -89,7 +90,7 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 def _decode_real(payload: bytes, kind: str):
     """Default decode (round 6): REAL stdlib codecs for PNG, GIF,
-    baseline JPEG and WAV, stub for everything else — returns
+    baseline JPEG, WAV and Y4M video, stub for everything else — returns
     (features, status) where status 'ok' means real decoded content and
     'stub' declares the sanctioned fallback (observable in the driver
     gate, not silently green). A recognized-but-malformed payload
@@ -108,6 +109,9 @@ def _decode_real(payload: bytes, kind: str):
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, nch, samples = M.decode_wav(payload)
         return M.audio_features(rate, nch, samples), "ok"
+    if payload.startswith(M.Y4M_MAGIC):
+        w, h, _nf, frames = M.decode_y4m(payload)
+        return M.video_features(w, h, frames), "ok"
     return _decode_stub(payload, kind), "stub"
 
 
@@ -475,6 +479,112 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("frame_status", T.StringType()),
+    ]
+)
+
+
+def _frame_sample_stub(payload: bytes, idx: int) -> str:
+    """STUB frame digest for containers needing external codecs (MP4,
+    MKV …) — blake2b keyed by (payload, frame index), same contract as
+    _resize_stub: deterministic, exactly assertable, declared via
+    frame_status='stub'."""
+    return hashlib.blake2b(
+        payload, digest_size=16, person=struct.pack("<q", idx)
+    ).hexdigest()
+
+
+def frame_sample(media: DataFrame, every_n: int = 10,
+                 batch_bytes: int | None = None) -> DataFrame:
+    """EXECUTING frame sampler (r6): decodes every every_n-th frame of
+    each video row for real — Y4M clips through kernels/media.decode_y4m
+    (per-frame luma plane: size, hash, mean) — and emits the declared
+    'stub' digest rows for containers whose codecs need external libs
+    (same fan-out shape as frame_sample_plan, which stays the pure-JVM
+    planning sibling). Statuses mirror the family contract plus two
+    surfaces the plan silently drops (r3 review there): 'empty' (a
+    well-formed zero-frame stream) and 'no_frames' (a stub container
+    with no usable n_frames meta) — the executing op makes them
+    observable. Per-row errors become 'decode_failed' rows, never task
+    failures."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import media as M
+
+        def rows():
+            def emit(row):
+                return row, _buffered_weight(row)
+
+            for b in batches:
+                for mid, payload, nf_meta in zip(
+                    b["media_id"], b["payload"], b["n_frames_meta"]
+                ):
+                    if payload is None:
+                        yield emit(
+                            (mid, None, None, None, 0, None, None,
+                             "null_payload")
+                        )
+                        continue
+                    p = bytes(payload)
+                    if not p.startswith(M.Y4M_MAGIC):
+                        nf = None if pd.isna(nf_meta) else int(nf_meta)
+                        if nf is None or nf < 1:
+                            yield emit(
+                                (mid, None, None, None, 0, None, None,
+                                 "no_frames")
+                            )
+                            continue
+                        for idx in range(0, nf, every_n):
+                            yield emit(
+                                (mid, idx, None, None, 0,
+                                 _frame_sample_stub(p, idx), None, "stub")
+                            )
+                        continue
+                    try:
+                        w, h, nf, frames = M.decode_y4m(p)
+                    except Exception:
+                        yield emit(
+                            (mid, None, None, None, 0, None, None,
+                             "decode_failed")
+                        )
+                        continue
+                    if nf == 0:
+                        yield emit((mid, None, w, h, 0, None, None, "empty"))
+                        continue
+                    for idx in range(0, nf, every_n):
+                        luma = frames[idx]
+                        digest = hashlib.blake2b(
+                            luma, digest_size=16
+                        ).hexdigest()
+                        yield emit(
+                            (mid, idx, w, h, len(luma), digest,
+                             sum(luma) / len(luma), "ok")
+                        )
+
+        yield from _byte_capped_frames(
+            rows(), list(FRAME_SCHEMA.fieldNames()), batch_bytes
+        )
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.col("meta.n_frames").alias("n_frames_meta"),
+        )
+        .mapInPandas(gen, schema=FRAME_SCHEMA)
+    )
+
+
 def synth_media_rows(n: int = 60) -> list[tuple]:
     """Deterministic tiny media rows (pure function of n — shared by the
     Spark table builder and the VALUES oracle precompute).
@@ -489,14 +599,19 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
     slices keep the other statuses observable: i%17==5 null payloads,
     i%15==12 undecodable image bytes ('stub' fallback), i%18==6 corrupt
     PNGs ('decode_failed'), i%45==13 non-WAV audio bytes ('stub');
-    video payloads stay opaque ('stub' — no stdlib container codec)."""
+    video rows carry REAL Y4M clips since round 6 (kernels/media.py
+    decode_y4m — the one container decodable stdlib-only), with
+    i%21==8 opaque container bytes ('stub' — the MP4-shaped class) and
+    i%33==14 truncated clips ('decode_failed')."""
     from tools.make_media import (
         corrupt_jpeg,
         corrupt_png,
+        corrupt_y4m,
         media_audio,
         media_gif,
         media_image,
         media_jpeg,
+        media_y4m,
     )
 
     rows = []
@@ -535,7 +650,13 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
                 wav, rate = media_audio(i)
                 payload, meta = wav, (None, None, rate, None)
         else:
-            payload, meta = lattice, (None, None, None, 30 * (1 + i % 10))
+            if i % 21 == 8:  # opaque container (MP4-shaped) → sanctioned stub
+                payload, meta = lattice, (None, None, None, 30 * (1 + i % 10))
+            else:
+                y4m, w, h, nf = media_y4m(i)
+                if i % 33 == 14:  # truncated clip → decode_failed
+                    y4m = corrupt_y4m(y4m)
+                payload, meta = y4m, (w, h, None, nf)
         rows.append((i, kind, payload, meta))
     return rows
 

@@ -129,3 +129,34 @@ def test_mutated_jpeg_fails_typed(junk, where, overwrite):
         assert len(px) == w * h * ch
     except MediaDecodeError:
         pass
+
+
+def _try_y4m(data: bytes):
+    from pdf_to_text_spark.kernels.media import decode_y4m
+
+    try:
+        w, h, nf, frames = decode_y4m(data)
+        assert w > 0 and h > 0 and nf == len(frames)
+        assert all(len(f) == w * h for f in frames)
+    except MediaDecodeError:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_y4m_fails_typed(junk, where, overwrite):
+    from tools.make_media import media_y4m
+
+    good = media_y4m(11)[0]
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_y4m(data)
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(min_size=0, max_size=200))
+def test_arbitrary_bytes_after_y4m_magic_fail_typed(tail):
+    _try_y4m(b"YUV4MPEG2 " + tail)

@@ -513,3 +513,102 @@ def test_jpeg_dht_flood_is_capped():
     flood = data[:2] + seg * 40 + data[2:]
     with pytest.raises(MediaDecodeError, match="too many DHT"):
         decode_jpeg(flood)
+
+
+# ── Y4M (r6) ─────────────────────────────────────────────────────────────────
+
+
+def test_y4m_roundtrip_all_colorspaces():
+    from pdf_to_text_spark.kernels.media import decode_y4m
+    from tools.make_media import make_y4m
+
+    lumas = [bytes((k * 31 + j) % 256 for j in range(8 * 4)) for k in range(3)]
+    for cs in ("420jpeg", "420mpeg2", "420paldv", "420", "422", "444",
+               "mono", None):
+        data = make_y4m(8, 4, lumas, colorspace=cs)
+        w, h, nf, frames = decode_y4m(data)
+        assert (w, h, nf) == (8, 4, 3)
+        assert frames == lumas, cs
+
+
+def test_y4m_header_variants_and_frame_params():
+    from pdf_to_text_spark.kernels.media import decode_y4m
+    from tools.make_media import make_y4m
+
+    luma = bytes(range(8))
+    data = make_y4m(
+        4, 2, [luma], colorspace="mono", fps=(30000, 1001),
+        interlace="p", xparam="clip", frame_params=True,
+    )
+    assert decode_y4m(data) == (4, 2, 1, [luma])
+    # zero-frame stream: header only, no FRAME markers — valid, empty
+    assert decode_y4m(b"YUV4MPEG2 W4 H2 F25:1\n") == (4, 2, 0, [])
+
+
+def test_y4m_failure_classes():
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_y4m
+    from tools.make_media import corrupt_y4m, make_y4m
+
+    luma = bytes(64)
+    good = make_y4m(8, 8, [luma, luma])
+    cases = [
+        good[:-3],                                      # truncated frame
+        corrupt_y4m(good),                              # tool-made truncation
+        b"YUV4MPEG2 W8 H8\n" + b"FRANE\n" + bytes(96),  # bad marker
+        b"YUV4MPEG2 W8 H8\nFRAMEx\n" + bytes(96),       # params w/o space
+        b"YUV4MPEG2 W7 H8 C420\nFRAME\n",               # odd dim for 4:2:0
+        b"YUV4MPEG2 W8 H8 C410\nFRAME\n",               # unknown colorspace
+        b"YUV4MPEG2 W8 H8 Z9\n",                        # unknown header tag
+        b"YUV4MPEG2 W8 H8 F25\n",                       # malformed ratio
+        b"YUV4MPEG2 W8\n",                              # missing H
+        b"YUV4MPEG2 W8 H8 " + b"X" * 2000,              # unterminated header
+        b"\xffUV4MPEG2 W8 H8\n",                        # wrong magic
+    ]
+    for bad in cases:
+        with pytest.raises(MediaDecodeError):
+            decode_y4m(bad)
+
+
+def test_y4m_bomb_caps():
+    from pdf_to_text_spark.kernels.media import (
+        MAX_FRAMES,
+        MAX_PIXELS,
+        MediaDecodeError,
+        decode_y4m,
+    )
+
+    # single frame past the pixel cap fails on the header alone
+    with pytest.raises(MediaDecodeError, match="pixel cap"):
+        decode_y4m(b"YUV4MPEG2 W4000 H4000 Cmono\n")
+    # cumulative luma across frames is capped without materializing it
+    w, h = 1000, 1000
+    frame = b"FRAME\n" + bytes(w * h)
+    data = b"YUV4MPEG2 W%d H%d Cmono\n" % (w, h) + frame * 5
+    with pytest.raises(MediaDecodeError, match="luma exceeds pixel cap"):
+        decode_y4m(data)
+    # frame-count cap: tiny frames, huge count
+    many = b"YUV4MPEG2 W1 H1 Cmono\n" + (b"FRAME\n\x00" * (MAX_FRAMES + 1))
+    with pytest.raises(MediaDecodeError, match="frame count"):
+        decode_y4m(many)
+    assert MAX_PIXELS >= w * h  # the cumulative case above needs 1 frame legal
+
+
+def test_video_features_contract():
+    from pdf_to_text_spark.kernels.media import (
+        FEATURE_DIM,
+        decode_y4m,
+        video_features,
+    )
+    from tools.make_media import media_y4m
+
+    for i in (2, 11, 17, 35, 59):
+        w, h, nf, frames = decode_y4m(media_y4m(i)[0])
+        feats = video_features(w, h, frames)
+        assert len(feats) == FEATURE_DIM
+        assert all(abs(x) <= 2 for x in feats)
+        assert all(round(x, 6) == x for x in feats)
+    # motion feature is zero for a static clip, positive for a drifting one
+    static = video_features(4, 2, [bytes(8)] * 3)
+    assert static[8] == 0.0
+    drift = video_features(4, 2, [bytes(8), bytes([10] * 8)])
+    assert drift[8] > 0

@@ -36,6 +36,7 @@ import pytest
 from pdf_to_text_spark.operators.multimodal import (
     audio_resample,
     audio_resample_plan,
+    frame_sample,
     frame_sample_plan,
     image_resize,
     media_features,
@@ -162,6 +163,56 @@ def _audio_feat(rate: int, samples: list[int]) -> list[float]:
     ]
 
 
+def _video_spec(i: int) -> tuple[int, int, list[bytes]]:
+    """Clip geometry + luma FORMULA for video row i, re-stated from the
+    synth spec (make_y4m/y4m_luma_for are never imported for the 'ok'
+    planes — the engine must correctly walk real Y4M frame framing,
+    chroma-plane sizes included, to reach these bytes)."""
+    j = i // 3
+    w, h = 4 + 2 * (j % 5), 2 + 2 * (j % 4)
+    nf = 1 + j % 5
+    lumas = [
+        bytes(
+            (x * 7 + y * 11 + i * 3 + k * 17) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        for k in range(nf)
+    ]
+    return w, h, lumas
+
+
+def _video_feat(w: int, h: int, lumas: list[bytes]) -> list[float]:
+    nf = len(lumas)
+    allb = b"".join(lumas)
+    tot = len(allb)
+    mean = sum(allb) / tot
+    var = max(0.0, sum(v * v for v in allb) / tot - mean * mean)
+    n = w * h
+    fsums = [sum(f) for f in lumas]
+    motion = 0.0
+    if nf > 1:
+        motion = sum(
+            abs(a - b)
+            for k in range(nf - 1)
+            for a, b in zip(lumas[k], lumas[k + 1])
+        ) / ((nf - 1) * n)
+    hist = [sum(1 for v in allb if v >> 6 == b) / tot for b in range(4)]
+    tvar = max(
+        0.0, sum(fs * fs for fs in fsums) / nf / (n * n)
+        - (sum(fsums) / nf / n) ** 2
+    )
+    return [
+        _r6(math.log1p(w) / 16), _r6(math.log1p(h) / 16),
+        _r6(math.log1p(nf) / 16), _r6(min(w / h, 16.0) / 8),
+        _r6(mean / 255.0), _r6(math.sqrt(var) / 255.0),
+        _r6(fsums[0] / n / 255.0), _r6(fsums[-1] / n / 255.0),
+        _r6(motion / 255.0), *map(_r6, hist),
+        _r6(min(allb) / 255.0), _r6(max(allb) / 255.0),
+        _r6(math.sqrt(tvar) / 255.0),
+    ]
+
+
 def _expected_features() -> set[tuple]:
     out = set()
     for i in range(N):
@@ -210,7 +261,20 @@ def _expected_features() -> set[tuple]:
                 rate, samples = _audio_spec(i)
                 feat, status = _audio_feat(rate, samples), "ok"
         else:
-            p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            if i % 21 == 8:  # opaque container → sanctioned stub
+                p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            elif i % 33 == 14:  # truncated clip (r6)
+                from tools.make_media import corrupt_y4m, media_y4m
+
+                p = corrupt_y4m(media_y4m(i)[0])
+                out.add((i, kind, len(p), None, None, "decode_failed"))
+                continue
+            else:
+                from tools.make_media import media_y4m
+
+                p = media_y4m(i)[0]
+                w, h, lumas = _video_spec(i)
+                feat, status = _video_feat(w, h, lumas), "ok"
         out.add((
             i, kind, len(p),
             hashlib.blake2b(p, digest_size=16).hexdigest(),
@@ -470,14 +534,59 @@ def test_audio_resample_matches_independent_recompute(spark):
     assert got == expect
 
 
+def _video_meta_frames(i: int) -> int:
+    """meta.n_frames for video row i per the synth spec: opaque/null
+    rows keep the fake 30*(1+i%10); real/corrupt Y4M rows carry the
+    writer's true frame count."""
+    if i % 17 == 5 or i % 21 == 8:
+        return 30 * (1 + i % 10)
+    return 1 + (i // 3) % 5
+
+
 def test_frame_sample_plan_matches_independent_recompute(spark):
     got = {tuple(r) for r in frame_sample_plan(synth_media_df(spark, N)).collect()}
     expect = set()
     for i in range(N):
         if _kind(i) != "video":
             continue
-        n_frames = 30 * (1 + i % 10)  # synth spec
-        expect.update((i, idx) for idx in range(0, n_frames, 10))
+        expect.update((i, idx) for idx in range(0, _video_meta_frames(i), 10))
+    assert got == expect
+
+
+def test_frame_sample_matches_independent_recompute(spark):
+    """The EXECUTING sampler (r6): 'ok' rows carry each sampled frame's
+    REAL luma plane (size/hash/mean recomputed here from the luma
+    formula — the engine must walk real frame framing to match), stub
+    rows re-state the (payload, idx)-keyed blake2b, and the two
+    terminal classes surface per-row."""
+    got = {
+        tuple(r)
+        for r in frame_sample(synth_media_df(spark, N), every_n=2).collect()
+    }
+    expect = set()
+    for i in range(N):
+        if _kind(i) != "video":
+            continue
+        if i % 17 == 5:
+            expect.add((i, None, None, None, 0, None, None, "null_payload"))
+        elif i % 21 == 8:
+            p = _lattice(i)
+            for idx in range(0, _video_meta_frames(i), 2):
+                dig = hashlib.blake2b(
+                    p, digest_size=16, person=idx.to_bytes(8, "little")
+                ).hexdigest()
+                expect.add((i, idx, None, None, 0, dig, None, "stub"))
+        elif i % 33 == 14:
+            expect.add((i, None, None, None, 0, None, None, "decode_failed"))
+        else:
+            w, h, lumas = _video_spec(i)
+            for idx in range(0, len(lumas), 2):
+                luma = lumas[idx]
+                expect.add((
+                    i, idx, w, h, len(luma),
+                    hashlib.blake2b(luma, digest_size=16).hexdigest(),
+                    sum(luma) / len(luma), "ok",
+                ))
     assert got == expect
 
 
@@ -520,7 +629,10 @@ def _expected_statuses() -> dict[int, str]:
         elif kind == "audio":
             out[i] = "stub" if i % 45 == 13 else "ok"
         else:
-            out[i] = "stub"
+            out[i] = (
+                "stub" if i % 21 == 8
+                else "decode_failed" if i % 33 == 14 else "ok"
+            )
     return out
 
 

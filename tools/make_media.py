@@ -594,3 +594,97 @@ def corrupt_jpeg(data: bytes) -> bytes:
     if start >= len(data) - 4:
         raise ValueError("corrupt_jpeg: no scan data to truncate")
     return data[: start + max(1, (len(data) - 2 - start) // 3)]
+
+
+# ── Y4M writer (YUV4MPEG2, mjpegtools yuv4mpeg(5)) ───────────────────────────
+# Independent of kernels/media.py's decoder like the writers above:
+# header assembled token by token, planes emitted per frame from a
+# pixel formula the independent test re-states.
+
+
+def y4m_luma_for(i: int, w: int, h: int, k: int) -> bytes:
+    """Deterministic Y plane for frame k of clip i — a drifting gradient
+    so consecutive frames differ (the motion feature is nonzero)."""
+    return bytes(
+        (x * 7 + y * 11 + i * 3 + k * 17) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def make_y4m(
+    w: int,
+    h: int,
+    lumas: list[bytes],
+    *,
+    colorspace: str | None = "420jpeg",
+    fps: tuple[int, int] = (25, 1),
+    interlace: str | None = None,
+    xparam: str | None = None,
+    frame_params: bool = False,
+) -> bytes:
+    """Assemble a YUV4MPEG2 stream: stream header, then FRAME marker +
+    Y plane + constant mid-gray chroma planes (skipped by the luma-based
+    decoder but required for frame framing to be right). colorspace=None
+    omits the C tag (readers must default to 4:2:0)."""
+    toks = ["YUV4MPEG2", f"W{w}", f"H{h}", f"F{fps[0]}:{fps[1]}"]
+    if interlace is not None:
+        toks.append(f"I{interlace}")
+    if colorspace is not None:
+        toks.append(f"C{colorspace}")
+    if xparam is not None:
+        toks.append(f"X{xparam}")
+    cs = colorspace or "420"
+    if cs.startswith("420"):
+        cbytes = (w // 2) * (h // 2)
+    elif cs == "422":
+        cbytes = (w // 2) * h
+    elif cs == "444":
+        cbytes = w * h
+    elif cs == "mono":
+        cbytes = None
+    else:
+        raise ValueError(f"make_y4m: unknown colorspace {cs}")
+    out = bytearray((" ".join(toks)).encode("ascii") + b"\n")
+    for luma in lumas:
+        if len(luma) != w * h:
+            raise ValueError("make_y4m: luma plane size mismatch")
+        out += b"FRAME Xk=1\n" if frame_params else b"FRAME\n"
+        out += luma
+        if cbytes is not None:
+            out += b"\x80" * (2 * cbytes)
+    return bytes(out)
+
+
+def media_y4m(i: int) -> tuple[bytes, int, int, int]:
+    """(y4m_bytes, w, h, n_frames) for synthetic video row i — geometry,
+    colorspace, frame count, interlace/X tags and FRAME params all vary.
+    Keyed by i//3 (j), NOT i: the video slice is i%3==2, under which
+    every i-keyed modulus divisible by 3 is constant (the GIF-slice
+    lesson, r6 review #4)."""
+    j = i // 3
+    w, h = 4 + 2 * (j % 5), 2 + 2 * (j % 4)
+    nf = 1 + j % 5
+    cs = ["420jpeg", "444", "mono", "422", None, "420mpeg2"][j % 6]
+    lumas = [y4m_luma_for(i, w, h, k) for k in range(nf)]
+    return (
+        make_y4m(
+            w, h, lumas,
+            colorspace=cs,
+            fps=[(25, 1), (30, 1), (30000, 1001)][j % 3],
+            interlace="p" if j % 4 == 1 else None,
+            xparam=f"clip{i}" if j % 5 == 2 else None,
+            frame_params=j % 7 == 3,
+        ),
+        w, h, nf,
+    )
+
+
+def corrupt_y4m(data: bytes) -> bytes:
+    """Drop the tail of the final frame — header and all earlier frames
+    stay intact, the walk hits 'truncated Y4M frame':
+    decode_status='decode_failed' deterministically."""
+    last = data.rfind(b"FRAME")
+    if last <= 0:
+        raise ValueError("corrupt_y4m: input has no FRAME marker")
+    return data[: len(data) - max(1, (len(data) - last) // 4)]
