@@ -100,7 +100,7 @@ def _gif_pixels(i: int) -> tuple[int, int, bytes]:
 
 
 def _audio_spec(i: int) -> tuple[int, list[int]]:
-    rate = [8000, 16000, 44100][i % 3]
+    rate = [8000, 16000, 44100][(i // 3) % 3]  # i//3-keyed: see media_audio
     n = 40 + (i * 13) % 160
     samples = [
         (((j * 997 + i * 6151) % 4001) - 2000) * (8 if j % 2 else -8)
@@ -455,7 +455,10 @@ def test_audio_resample_plan_matches_independent_recompute(spark):
     for i in range(N):
         if _kind(i) != "audio":
             continue
-        rate = 16000 if i % 17 == 5 or i % 45 == 13 else [8000, 16000, 44100][i % 3]
+        rate = (
+            16000 if i % 17 == 5 or i % 45 == 13
+            else [8000, 16000, 44100][(i // 3) % 3]
+        )
         mode = (
             "copy" if rate == 16000
             else "downsample" if rate > 16000 else "upsample"

@@ -53,7 +53,11 @@ def test_image_resize_and_audio_resample_plumbing(spark):
     for r in ok:
         assert max(r["out_width"], r["out_height"]) >= 180
     rp = multimodal.audio_resample_plan(media, 16000).collect()
-    assert len(rp) == 20 and {r["mode"] for r in rp} == {"copy"}  # synth rate 16000
+    # synth rates cycle 8000/16000/44100 (i//3-keyed, r6 fix — the old
+    # i%3 keying pinned every row to 16000 and this asserted {"copy"}),
+    # so all three executable modes must appear
+    assert len(rp) == 20
+    assert {r["mode"] for r in rp} == {"copy", "downsample", "upsample"}
 
 
 def test_stratified_sample_per_stratum_rates(spark):

@@ -283,8 +283,12 @@ def media_gif(i: int) -> tuple[bytes, int, int]:
 
 
 def media_audio(i: int) -> tuple[bytes, int]:
-    """(wav_bytes, rate) for synthetic audio row i."""
-    rate = [8000, 16000, 44100][i % 3]
+    """(wav_bytes, rate) for synthetic audio row i. Rate is keyed by
+    i//3, NOT i: the audio slice is i%3==1, under which i%3 is CONSTANT
+    — the old [..][i%3] pinned every row to 16000, so the gate's
+    audio_resample (target 16000) only ever exercised 'copy' mode (the
+    GIF-slice lesson again, r6)."""
+    rate = [8000, 16000, 44100][(i // 3) % 3]
     n = 40 + (i * 13) % 160
     return make_wav(rate, 1, samples_for(i, n)), rate
 
