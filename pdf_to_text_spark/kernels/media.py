@@ -729,8 +729,17 @@ _Y4M_CHROMA = {
 }
 
 
-def decode_y4m(data: bytes) -> tuple[int, int, int, list[bytes]]:
+def decode_y4m(
+    data: bytes, stride: int = 1
+) -> tuple[int, int, int, list[bytes]]:
     """Y4M bytes → (width, height, n_frames, luma_frames).
+
+    `stride` materializes only every stride-th frame (ordinals 0,
+    stride, 2*stride, …) while still validating the framing of every
+    frame — the frame-sampling path would otherwise copy ~90% of the
+    stream's luma bytes just to discard them (r6 review). n_frames is
+    always the TOTAL frame count; the cumulative-luma bomb cap applies
+    to the frames actually kept.
 
     YUV4MPEG2 (the mjpegtools raw-video interchange format — an ASCII
     stream header, then `FRAME\\n` + raw planar YUV per frame) is the
@@ -796,7 +805,10 @@ def decode_y4m(data: bytes) -> tuple[int, int, int, list[bytes]]:
                 f"odd dimensions {w}x{h} for C{cs} chroma subsampling"
             )
         frame_size = w * h + 2 * (w // wd) * (h // hd)
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
     frames: list[bytes] = []
+    n_frames = 0
     pos = eol + 1
     while pos < len(data):
         if not data.startswith(b"FRAME", pos):
@@ -810,13 +822,15 @@ def decode_y4m(data: bytes) -> tuple[int, int, int, list[bytes]]:
         pos = nl + 1
         if pos + frame_size > len(data):
             raise MediaDecodeError("truncated Y4M frame")
-        frames.append(bytes(data[pos : pos + w * h]))
+        if n_frames % stride == 0:
+            frames.append(bytes(data[pos : pos + w * h]))
+            if len(frames) * w * h > MAX_PIXELS:
+                raise MediaDecodeError("total decoded luma exceeds pixel cap")
         pos += frame_size
-        if len(frames) > MAX_FRAMES:
+        n_frames += 1
+        if n_frames > MAX_FRAMES:
             raise MediaDecodeError("frame count exceeds cap")
-        if len(frames) * w * h > MAX_PIXELS:
-            raise MediaDecodeError("total decoded luma exceeds pixel cap")
-    return w, h, len(frames), frames
+    return w, h, n_frames, frames
 
 
 # ── bilinear resize ──────────────────────────────────────────────────────────
@@ -1041,11 +1055,11 @@ def video_features(w: int, h: int, frames: list[bytes]) -> list[float]:
         return base + [0.0] * (FEATURE_DIM - 4)
     n = w * h
     total = nf * n
-    s = sum(sum(f) for f in frames)
+    fsums = [sum(f) for f in frames]
+    s = sum(fsums)  # one pass, not two: r6 review
     s2 = sum(b * b for f in frames for b in f)
     mean = s / total
     var = max(0.0, s2 / total - mean * mean)
-    fsums = [sum(f) for f in frames]
     motion = 0.0
     if nf > 1:
         diff = sum(

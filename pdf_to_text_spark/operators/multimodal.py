@@ -493,13 +493,16 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _frame_sample_stub(payload: bytes, idx: int) -> str:
+def _frame_sample_stub(payload_digest: bytes, idx: int) -> str:
     """STUB frame digest for containers needing external codecs (MP4,
-    MKV …) — blake2b keyed by (payload, frame index), same contract as
-    _resize_stub: deterministic, exactly assertable, declared via
-    frame_status='stub'."""
+    MKV …) — blake2b keyed by (payload digest, frame index), same
+    contract as _resize_stub: deterministic, exactly assertable,
+    declared via frame_status='stub'. The payload is hashed ONCE per
+    row and only its 16-byte digest is re-keyed per frame — re-hashing
+    a multi-MB payload per sampled frame made untrusted n_frames meta
+    a CPU bomb (r6 review)."""
     return hashlib.blake2b(
-        payload, digest_size=16, person=struct.pack("<q", idx)
+        payload_digest, digest_size=16, person=struct.pack("<q", idx)
     ).hexdigest()
 
 
@@ -543,14 +546,21 @@ def frame_sample(media: DataFrame, every_n: int = 10,
                                  "no_frames")
                             )
                             continue
+                        # meta.n_frames is UNTRUSTED row data: clamp the
+                        # fan-out to the decode path's frame cap, else a
+                        # crafted 2e9 value drives an effectively
+                        # unbounded loop (r6 review)
+                        nf = min(nf, M.MAX_FRAMES)
+                        pdig = hashlib.blake2b(p, digest_size=16).digest()
                         for idx in range(0, nf, every_n):
                             yield emit(
                                 (mid, idx, None, None, 0,
-                                 _frame_sample_stub(p, idx), None, "stub")
+                                 _frame_sample_stub(pdig, idx), None, "stub")
                             )
                         continue
                     try:
-                        w, h, nf, frames = M.decode_y4m(p)
+                        # stride: only the sampled planes are copied out
+                        w, h, nf, frames = M.decode_y4m(p, stride=every_n)
                     except Exception:
                         yield emit(
                             (mid, None, None, None, 0, None, None,
@@ -560,8 +570,8 @@ def frame_sample(media: DataFrame, every_n: int = 10,
                     if nf == 0:
                         yield emit((mid, None, w, h, 0, None, None, "empty"))
                         continue
-                    for idx in range(0, nf, every_n):
-                        luma = frames[idx]
+                    for k, idx in enumerate(range(0, nf, every_n)):
+                        luma = frames[k]
                         digest = hashlib.blake2b(
                             luma, digest_size=16
                         ).hexdigest()

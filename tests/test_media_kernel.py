@@ -612,3 +612,23 @@ def test_video_features_contract():
     assert static[8] == 0.0
     drift = video_features(4, 2, [bytes(8), bytes([10] * 8)])
     assert drift[8] > 0
+
+
+def test_y4m_stride_materializes_only_sampled_frames():
+    from pdf_to_text_spark.kernels.media import decode_y4m
+    from tools.make_media import make_y4m
+
+    lumas = [bytes([k] * 8) for k in range(7)]
+    data = make_y4m(4, 2, lumas, colorspace="mono")
+    w, h, nf, frames = decode_y4m(data, stride=3)
+    assert (w, h, nf) == (4, 2, 7)  # nf is the TOTAL count
+    assert frames == [lumas[0], lumas[3], lumas[6]]
+    # framing of UNSAMPLED frames is still validated
+    from pdf_to_text_spark.kernels.media import MediaDecodeError
+
+    with pytest.raises(MediaDecodeError):
+        decode_y4m(data[:-3], stride=3)  # truncates frame 6 (sampled)
+    with pytest.raises(MediaDecodeError):
+        decode_y4m(data[:-12], stride=3)  # truncates frame 5 (skipped)
+    with pytest.raises(ValueError):
+        decode_y4m(data, stride=0)

@@ -573,10 +573,10 @@ def test_frame_sample_matches_independent_recompute(spark):
         if i % 17 == 5:
             expect.add((i, None, None, None, 0, None, None, "null_payload"))
         elif i % 21 == 8:
-            p = _lattice(i)
+            pdig = hashlib.blake2b(_lattice(i), digest_size=16).digest()
             for idx in range(0, _video_meta_frames(i), 2):
                 dig = hashlib.blake2b(
-                    p, digest_size=16, person=idx.to_bytes(8, "little")
+                    pdig, digest_size=16, person=idx.to_bytes(8, "little")
                 ).hexdigest()
                 expect.add((i, idx, None, None, 0, dig, None, "stub"))
         elif i % 33 == 14:
@@ -682,3 +682,20 @@ def test_audio_codec_returning_non_bytes_degrades_per_row(spark):
     # their own status; every row that REACHED the codec must degrade
     statuses = {r.resample_status for r in rows}
     assert statuses == {"decode_failed", "null_payload"}
+
+
+def test_frame_sample_stub_fanout_is_capped(spark):
+    """meta.n_frames is untrusted row data: a crafted 2e9 frame count on
+    a non-decodable container must clamp to the decode path's frame cap
+    instead of driving an effectively unbounded per-row loop (r6
+    review)."""
+    from pdf_to_text_spark.kernels.media import MAX_FRAMES
+
+    schema = synth_media_df(spark, 1).schema
+    df = spark.createDataFrame(
+        [(0, "video", b"not-a-container", (None, None, None, 2_000_000_000))],
+        schema=schema,
+    )
+    rows = frame_sample(df, every_n=1000).collect()
+    assert len(rows) == (MAX_FRAMES + 999) // 1000
+    assert {r.frame_status for r in rows} == {"stub"}
