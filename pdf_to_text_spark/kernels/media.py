@@ -21,8 +21,10 @@ Public specs implemented:
   CLEAR/EOI, 3..12-bit growing codes — the opposite bit order of the
   PDF/TIFF LZW in kernels/pdf.py), 4-pass de-interlace, palette→RGB.
   First frame only (animation is a documented scope cut).
-* WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned and
-  16-bit signed little-endian PCM, any channel count.
+* WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned, 16-bit
+  signed LE and 24-bit signed LE PCM (24-bit scaled into the 16-bit
+  analysis domain), WAVE_FORMAT_EXTENSIBLE unwrapped when its
+  SubFormat GUID names PCM, any channel count.
 * Y4M (YUV4MPEG2, mjpegtools yuv4mpeg(5)): ASCII stream header
   (W/H/F/I/A/C/X tags), FRAME markers with optional parameters, planar
   frames under C420(jpeg|mpeg2|paldv)/C422/C444/Cmono; the decode
@@ -877,10 +879,15 @@ def bilinear_resize(
 def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
     """WAV bytes → (sample_rate, n_channels, bits, samples interleaved).
 
-    PCM 8-bit (rebased to signed) and 16-bit LE only; other codecs
-    raise MediaDecodeError. The header rate field is u32, but a rate of
-    0 or beyond int32 is rejected (no real recorder produces one; it
-    would silently wrap the engine's int columns — r6 review #2)."""
+    PCM 8-bit (rebased to signed), 16-bit LE, and 24-bit LE (scaled
+    into the 16-bit analysis domain with an arithmetic >>8 — the
+    feature/resample contract is 16-bit full-range, and studio-depth
+    LSBs carry no analysis signal); other codecs raise MediaDecodeError.
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE — what real recorders wrap 24-bit
+    and multichannel PCM in) is unwrapped when its SubFormat GUID names
+    PCM. The header rate field is u32, but a rate of 0 or beyond int32
+    is rejected (no real recorder produces one; it would silently wrap
+    the engine's int columns — r6 review #2)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaDecodeError("not a WAV")
     pos = 12
@@ -896,7 +903,12 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
                 raise MediaDecodeError("short fmt chunk")
             fmt_tag, nch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt_tag != 1:
+            if fmt_tag == 0xFFFE:
+                # extensible: PCM iff the SubFormat GUID's leading
+                # format tag is 1 (KSDATAFORMAT_SUBTYPE_PCM)
+                if len(body) < 40 or body[24:26] != b"\x01\x00":
+                    raise MediaDecodeError("non-PCM extensible format")
+            elif fmt_tag != 1:
                 raise MediaDecodeError(f"non-PCM format {fmt_tag}")
         elif cid == b"data":
             frames = body
@@ -904,13 +916,21 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
         raise MediaDecodeError("missing fmt/data")
     if not 0 < rate <= 0x7FFFFFFF:
         raise MediaDecodeError(f"implausible sample rate {rate}")
-    if len(frames) > MAX_SAMPLES * (2 if bits == 16 else 1):
+    if len(frames) > MAX_SAMPLES * {16: 2, 24: 3}.get(bits, 1):
         raise MediaDecodeError("data chunk exceeds sample cap")
     if bits == 16:
         n = len(frames) // 2
         samples = list(struct.unpack(f"<{n}h", frames[: 2 * n]))
     elif bits == 8:
         samples = [b - 128 for b in frames]
+    elif bits == 24:
+        n = len(frames) // 3
+        samples = []
+        for k in range(0, 3 * n, 3):
+            v = frames[k] | frames[k + 1] << 8 | frames[k + 2] << 16
+            if v >= 1 << 23:
+                v -= 1 << 24
+            samples.append(v >> 8)  # arithmetic shift: floor toward -inf
     else:
         raise MediaDecodeError(f"unsupported bit depth {bits}")
     return rate, nch, bits, samples

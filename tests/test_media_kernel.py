@@ -632,3 +632,56 @@ def test_y4m_stride_materializes_only_sampled_frames():
         decode_y4m(data[:-12], stride=3)  # truncates frame 5 (skipped)
     with pytest.raises(ValueError):
         decode_y4m(data, stride=0)
+
+
+def test_wav_24bit_scales_into_16bit_domain():
+    from pdf_to_text_spark.kernels.media import decode_wav_ex
+    from tools.make_media import make_wav
+
+    src = [0, 1 << 23 - 1, -(1 << 23), (1 << 23) - 1, -256, 255, -1]
+    rate, nch, bits, got = decode_wav_ex(make_wav(8000, 1, src, bits=24))
+    assert (rate, nch, bits) == (8000, 1, 24)
+    # arithmetic >>8: floor toward -inf (so -1 stays -1, -256 → -1)
+    assert got == [s >> 8 for s in src]
+    assert all(-32768 <= s <= 32767 for s in got)
+
+
+def test_wav_extensible_pcm_unwraps_and_non_pcm_rejected():
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_wav_ex
+    from tools.make_media import make_wav
+
+    src = [100, -100, 32000, -32000]
+    data = make_wav(44100, 2, src, bits=16, extensible=True)
+    assert decode_wav_ex(data)[3] == src
+    ext24 = make_wav(48000, 1, [1 << 20, -(1 << 20)], bits=24, extensible=True)
+    assert decode_wav_ex(ext24)[3] == [1 << 12, -(1 << 12)]
+    # extensible with a non-PCM SubFormat GUID (IEEE float = 3) rejects
+    bad = bytearray(data)
+    at = bad.find(b"fmt ") + 8 + 24
+    assert bad[at:at + 2] == b"\x01\x00"
+    bad[at] = 3
+    with pytest.raises(MediaDecodeError, match="non-PCM extensible"):
+        decode_wav_ex(bytes(bad))
+    # short extensible fmt body (no GUID) rejects rather than trusting it
+    trunc = make_wav(8000, 1, [5], bits=16)
+    trunc = trunc.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 0xFFFE, 1), 1)
+    with pytest.raises(MediaDecodeError):
+        decode_wav_ex(trunc)
+
+
+def test_wav_24bit_sample_cap():
+    from pdf_to_text_spark.kernels.media import (
+        MAX_SAMPLES,
+        MediaDecodeError,
+        decode_wav_ex,
+    )
+
+    # a data chunk past 3*MAX_SAMPLES must be rejected before list-building
+    hdr_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    n_bytes = 3 * MAX_SAMPLES + 3
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(hdr_fmt)) + hdr_fmt
+        + b"data" + struct.pack("<I", n_bytes) + b"\x00" * n_bytes
+    )
+    with pytest.raises(MediaDecodeError, match="sample cap"):
+        decode_wav_ex(b"RIFF" + struct.pack("<I", len(body)) + body)

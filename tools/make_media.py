@@ -116,7 +116,13 @@ def make_png(
     )
 
 
-def make_wav(rate: int, nch: int, samples: list[int], *, bits: int = 16) -> bytes:
+def make_wav(
+    rate: int, nch: int, samples: list[int], *, bits: int = 16,
+    extensible: bool = False,
+) -> bytes:
+    """`extensible=True` wraps the fmt in WAVE_FORMAT_EXTENSIBLE with
+    the PCM SubFormat GUID — the framing real recorders emit for 24-bit
+    and multichannel PCM."""
     if bits == 16:
         frames = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:
@@ -127,10 +133,23 @@ def make_wav(rate: int, nch: int, samples: list[int], *, bits: int = 16) -> byte
         if bad:
             raise ValueError(f"8-bit samples out of range: {bad[:3]}…")
         frames = bytes(s + 128 for s in samples)
+    elif bits == 24:
+        bad = [s for s in samples if not -(1 << 23) <= s < (1 << 23)]
+        if bad:
+            raise ValueError(f"24-bit samples out of range: {bad[:3]}…")
+        frames = b"".join(
+            (s & 0xFFFFFF).to_bytes(3, "little") for s in samples
+        )
     else:
-        raise ValueError("bits must be 8 or 16")
+        raise ValueError("bits must be 8, 16 or 24")
     block = nch * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block, block, bits)
+    tag = 0xFFFE if extensible else 1
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * block, block, bits)
+    if extensible:
+        # cbSize=22, wValidBitsPerSample, dwChannelMask, PCM GUID
+        # 00000001-0000-0010-8000-00aa00389b71
+        guid = bytes.fromhex("0100000000001000800000aa00389b71")
+        fmt += struct.pack("<HHI", 22, bits, 0) + guid
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(frames)) + frames
     if len(frames) & 1:
@@ -290,7 +309,15 @@ def media_audio(i: int) -> tuple[bytes, int]:
     GIF-slice lesson again, r6)."""
     rate = [8000, 16000, 44100][(i // 3) % 3]
     n = 40 + (i * 13) % 160
-    return make_wav(rate, 1, samples_for(i, n)), rate
+    samples = samples_for(i, n)
+    if (i // 3) % 5 == 4:
+        # 24-bit WAVE_FORMAT_EXTENSIBLE slice (r6): samples pre-scaled
+        # x256 so the kernel's >>8 into the 16-bit analysis domain
+        # recovers them exactly — same features, different container
+        return make_wav(
+            rate, 1, [s * 256 for s in samples], bits=24, extensible=True
+        ), rate
+    return make_wav(rate, 1, samples), rate
 
 
 def corrupt_png(data: bytes) -> bytes:
