@@ -13,8 +13,9 @@ decode_failed class instead).
 Public specs implemented:
 * PNG (RFC 2083 / W3C PNG): signature, IHDR/PLTE/IDAT/IEND chunk walk,
   zlib inflate, the five scanline filters (None/Sub/Up/Average/Paeth),
-  bit depth 8, color types 0/2/3/4/6, interlace 0. Adam7 interlacing
-  and bit depths 1/2/4/16 are documented scope cuts (rare in crawl
+  bit depth 8, color types 0/2/3/4/6, interlace 0 and Adam7 (r6 —
+  seven independently-filtered passes scattered onto the pass grid).
+  Bit depths 1/2/4/16 are documented scope cuts (rare in crawl
   thumbnails; such files fall back to the stub path).
 * GIF (GIF89a spec): logical screen + image descriptors, global/local
   color tables, extension-block skip, GIF-variant LZW (LSB-first,
@@ -116,11 +117,22 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass — W3C
+# PNG §8.2. Each pass is an independently-filtered sub-image.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes → (width, height, channels, pixels row-major).
 
-    Palette images are expanded to RGB through PLTE. Raises
-    MediaDecodeError for anything outside the supported profile."""
+    Palette images are expanded to RGB through PLTE; Adam7-interlaced
+    images (r6) are de-interlaced — each of the seven passes is
+    unfiltered as its own sub-image, then scattered onto the pass grid.
+    Raises MediaDecodeError for anything outside the supported
+    profile."""
     if not data.startswith(PNG_MAGIC):
         raise MediaDecodeError("not a PNG")
     pos = 8
@@ -146,7 +158,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise MediaDecodeError("missing IHDR/IDAT")
-    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in _CHANNELS:
         raise MediaDecodeError(
             f"unsupported profile depth={bit_depth} color={color_type} "
             f"interlace={interlace}"
@@ -158,7 +170,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     # detect overlong streams) — zlib.decompress alone is unbounded, so
     # a 200 KB IDAT could otherwise inflate to hundreds of MB before
     # the length check (r6 review #1, confirmed experimentally).
-    expected = height * (width * ch + 1)
+    if interlace == 1:
+        passes = []
+        expected = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # pass is empty for this geometry
+            passes.append((x0, y0, xs, ys, pw, ph))
+            expected += ph * (pw * ch + 1)
+    else:
+        expected = height * (width * ch + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected + 1)
@@ -166,7 +189,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise MediaDecodeError(f"bad IDAT: {e}") from None
     if len(raw) > expected:
         raise MediaDecodeError("IDAT inflates past declared geometry")
-    pixels = _unfilter(raw, width, height, ch)
+    if interlace == 1:
+        pixels = bytearray(width * height * ch)
+        pos = 0
+        for x0, y0, xs, ys, pw, ph in passes:
+            size = ph * (pw * ch + 1)
+            sub = _unfilter(raw[pos : pos + size], pw, ph, ch)
+            pos += size
+            for ry in range(ph):
+                src = ry * pw * ch
+                row = (y0 + ry * ys) * width
+                for rx in range(pw):
+                    dst = (row + x0 + rx * xs) * ch
+                    s = src + rx * ch
+                    pixels[dst : dst + ch] = sub[s : s + ch]
+    else:
+        pixels = _unfilter(raw, width, height, ch)
     if color_type == 3:
         if not plte:
             raise MediaDecodeError("palette image without PLTE")

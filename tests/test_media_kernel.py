@@ -685,3 +685,46 @@ def test_wav_24bit_sample_cap():
     )
     with pytest.raises(MediaDecodeError, match="sample cap"):
         decode_wav_ex(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_png_adam7_roundtrip_edge_geometries():
+    """Adam7 (r6): geometries where several of the seven passes are
+    EMPTY (w or h below the pass origin) are the classic off-by-one
+    spots — every (w,h,ch) here must reassemble the exact pixels."""
+    from pdf_to_text_spark.kernels.media import decode_png
+    from tools.make_media import make_png
+
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 5), (1, 7), (5, 1)]:
+        for ch in (1, 2, 3, 4):
+            px = pixels_for(13, w, h, ch)
+            assert decode_png(make_png(w, h, ch, px, interlace=True)) == (
+                w, h, ch, px,
+            )
+
+
+def test_png_adam7_palette_and_truncation():
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_png
+    from tools.make_media import make_png
+
+    pal = bytes((k * 7 + 3) % 256 for k in range(48))
+    idx = bytes(((x * 3 + y * 5) % 16) for y in range(9) for x in range(7))
+    data = make_png(7, 9, 1, idx, palette=pal, interlace=True)
+    w, h, ch, px = decode_png(data)
+    assert (w, h, ch) == (7, 9, 3)
+    assert px == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    # short interlaced pixel data must fail typed, not scatter garbage
+    import struct as _s
+    import zlib as _z
+
+    at = data.find(b"IDAT")
+    (ln,) = _s.unpack_from(">I", data, at - 4)
+    body = _z.decompress(data[at + 4 : at + 4 + ln])
+    short = _z.compress(body[:-10])
+    rebuilt = (
+        data[: at - 4]
+        + _s.pack(">I", len(short)) + b"IDAT" + short
+        + _s.pack(">I", _z.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+        + data[at + 8 + ln :]
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_png(rebuilt)

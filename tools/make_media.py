@@ -56,19 +56,60 @@ def _paeth_predict(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+_ADAM7_W = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def make_png(
     w: int, h: int, ch: int, pixels: bytes, *, filter_cycle: bool = True,
-    palette: bytes | None = None,
+    palette: bytes | None = None, interlace: bool = False,
 ) -> bytes:
     """Encode 8-bit pixels as a PNG whose scanlines cycle filter types
     0-4 (y % 5), forcing a reader to implement every unfilter branch.
     With `palette`, pixels are 1-channel indices and a PLTE is written
-    (color type 3)."""
+    (color type 3). With `interlace`, the seven Adam7 passes are each
+    extracted and filtered as independent sub-images (W3C PNG §8.2)."""
     if palette is not None:
         color_type, bpp = 3, 1
     else:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
         bpp = ch
+    if interlace:
+        raw = bytearray()
+        for x0, y0, xs, ys in _ADAM7_W:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for ry in range(ph):
+                row = (y0 + ry * ys) * w
+                for rx in range(pw):
+                    at = (row + x0 + rx * xs) * bpp
+                    sub += pixels[at : at + bpp]
+            raw += _filter_scanlines(bytes(sub), pw, ph, bpp, filter_cycle)
+    else:
+        raw = _filter_scanlines(pixels, w, h, bpp, filter_cycle)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(
+    pixels: bytes, w: int, h: int, bpp: int, filter_cycle: bool
+) -> bytearray:
+    """Filter h scanlines of a (sub-)image — the prev-row context resets
+    per call, exactly as each Adam7 pass requires."""
     stride = w * bpp
     raw = bytearray()
     prev = bytes(stride)
@@ -105,15 +146,7 @@ def make_png(
                 for x in range(stride)
             )
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-    if palette is not None:
-        out += _png_chunk(b"PLTE", palette)
-    return (
-        out
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return raw
 
 
 def make_wav(
@@ -267,16 +300,21 @@ def gif_indices_for(i: int, w: int, h: int, n: int = 16) -> bytes:
 
 def media_image(i: int) -> tuple[bytes, int, int]:
     """(png_bytes, w, h) for synthetic image row i — geometry varies
-    with i; a slice of rows is palette-coded."""
+    with i; a slice of rows is palette-coded; an i%10==4 slice is
+    Adam7-interlaced (r6 — the de-interlacer must reassemble the same
+    pixel formula the independent test re-states)."""
     w, h = 8 + i % 17, 6 + i % 11
+    interlace = i % 10 == 4
     if i % 9 == 3:  # palette slice
         palette = bytes((k * 5 + i) % 256 for k in range(48))
         idx = bytes(
             ((x * 3 + y * 5 + i) % 16) for y in range(h) for x in range(w)
         )
-        return make_png(w, h, 1, idx, palette=palette), w, h
+        return make_png(w, h, 1, idx, palette=palette,
+                        interlace=interlace), w, h
     ch = [1, 3, 4, 2][i % 4]
-    return make_png(w, h, ch, pixels_for(i, w, h, ch)), w, h
+    return make_png(w, h, ch, pixels_for(i, w, h, ch),
+                    interlace=interlace), w, h
 
 
 def media_gif(i: int) -> tuple[bytes, int, int]:
