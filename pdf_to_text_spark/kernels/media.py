@@ -13,10 +13,12 @@ decode_failed class instead).
 Public specs implemented:
 * PNG (RFC 2083 / W3C PNG): signature, IHDR/PLTE/IDAT/IEND chunk walk,
   zlib inflate, the five scanline filters (None/Sub/Up/Average/Paeth),
-  bit depth 8, color types 0/2/3/4/6, interlace 0 and Adam7 (r6 —
-  seven independently-filtered passes scattered onto the pass grid).
-  Bit depths 1/2/4/16 are documented scope cuts (rare in crawl
-  thumbnails; such files fall back to the stub path).
+  bit depths 8 and 16 (16-bit samples reduce to the 8-bit analysis
+  domain by their high byte — same rationale as 24-bit WAV), color
+  types 0/2/3/4/6, interlace 0 and Adam7 (r6 — seven independently-
+  filtered passes scattered onto the pass grid). Sub-byte depths
+  1/2/4 are the remaining documented scope cut (tiny palette icons;
+  such files fall back to the stub path).
 * GIF (GIF89a spec): logical screen + image descriptors, global/local
   color tables, extension-block skip, GIF-variant LZW (LSB-first,
   CLEAR/EOI, 3..12-bit growing codes — the opposite bit order of the
@@ -158,7 +160,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise MediaDecodeError("missing IHDR/IDAT")
-    if bit_depth != 8 or interlace not in (0, 1) or color_type not in _CHANNELS:
+    if (
+        bit_depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color_type not in _CHANNELS
+        or (bit_depth == 16 and color_type == 3)  # no 16-bit palettes (spec)
+    ):
         raise MediaDecodeError(
             f"unsupported profile depth={bit_depth} color={color_type} "
             f"interlace={interlace}"
@@ -166,6 +173,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width == 0 or height == 0 or width * height > MAX_PIXELS:
         raise MediaDecodeError("dimension bomb")
     ch = _CHANNELS[color_type]
+    # 16-bit samples (r6) reduce to the 8-bit analysis domain by their
+    # high byte after unfiltering — same rationale as 24-bit WAV's >>8:
+    # the feature/resize contract is 8-bit and photographic LSBs carry
+    # no analysis signal. Filters at depth 16 operate on BYTES with a
+    # 2x-per-channel left-neighbor offset (W3C PNG §9.2), which
+    # _unfilter's bpp parameter already expresses.
+    sw = bit_depth // 8  # bytes per sample
+    bpp = ch * sw
     # Inflate AT MOST the geometry the IHDR declares (+1 slack byte to
     # detect overlong streams) — zlib.decompress alone is unbounded, so
     # a 200 KB IDAT could otherwise inflate to hundreds of MB before
@@ -179,9 +194,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             if pw <= 0 or ph <= 0:
                 continue  # pass is empty for this geometry
             passes.append((x0, y0, xs, ys, pw, ph))
-            expected += ph * (pw * ch + 1)
+            expected += ph * (pw * bpp + 1)
     else:
-        expected = height * (width * ch + 1)
+        expected = height * (width * bpp + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected + 1)
@@ -193,9 +208,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pixels = bytearray(width * height * ch)
         pos = 0
         for x0, y0, xs, ys, pw, ph in passes:
-            size = ph * (pw * ch + 1)
-            sub = _unfilter(raw[pos : pos + size], pw, ph, ch)
+            size = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[pos : pos + size], pw, ph, bpp)
             pos += size
+            if sw == 2:
+                sub = sub[::2]  # high byte of each big-endian sample
             for ry in range(ph):
                 src = ry * pw * ch
                 row = (y0 + ry * ys) * width
@@ -204,7 +221,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                     s = src + rx * ch
                     pixels[dst : dst + ch] = sub[s : s + ch]
     else:
-        pixels = _unfilter(raw, width, height, ch)
+        pixels = _unfilter(raw, width, height, bpp)
+        if sw == 2:
+            pixels = pixels[::2]  # high byte of each big-endian sample
     if color_type == 3:
         if not plte:
             raise MediaDecodeError("palette image without PLTE")

@@ -728,3 +728,53 @@ def test_png_adam7_palette_and_truncation():
     )
     with pytest.raises(MediaDecodeError):
         decode_png(rebuilt)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    """Depth-16 PNGs (r6) reduce to the 8-bit analysis domain via each
+    big-endian sample's high byte — the writer plants deterministic
+    junk low bytes that must never leak into the output; filters at
+    depth 16 use the 2x-per-channel byte offset, pinned by the cycling
+    filter types."""
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_png
+    from tools.make_media import make_png
+
+    for w, h in [(1, 1), (7, 5), (9, 5), (16, 11)]:
+        for ch in (1, 2, 3, 4):
+            px = pixels_for(21, w, h, ch)
+            assert decode_png(make_png(w, h, ch, px, depth=16)) == (
+                w, h, ch, px,
+            )
+            assert decode_png(
+                make_png(w, h, ch, px, depth=16, interlace=True)
+            ) == (w, h, ch, px)
+    # depth-16 palette color type is spec-invalid: loud on both sides
+    with pytest.raises(ValueError):
+        make_png(4, 4, 1, bytes(16), palette=bytes(48), depth=16)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    forged = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 1) + b"IDAT" + b"x"
+        + struct.pack(">I", zlib.crc32(b"IDATx") & 0xFFFFFFFF)
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_png(forged)
+    # short 16-bit pixel data fails typed (stride is 2x the 8-bit one)
+    import zlib as _z
+
+    good = make_png(6, 4, 3, pixels_for(2, 6, 4, 3), depth=16,
+                    filter_cycle=False)
+    at = good.find(b"IDAT")
+    (ln,) = struct.unpack_from(">I", good, at - 4)
+    body = _z.decompress(good[at + 4 : at + 4 + ln])
+    short = _z.compress(body[: len(body) // 2])
+    rebuilt = (
+        good[: at - 4]
+        + struct.pack(">I", len(short)) + b"IDAT" + short
+        + struct.pack(">I", _z.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+        + good[at + 8 + ln :]
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_png(rebuilt)

@@ -64,18 +64,31 @@ _ADAM7_W = [
 
 def make_png(
     w: int, h: int, ch: int, pixels: bytes, *, filter_cycle: bool = True,
-    palette: bytes | None = None, interlace: bool = False,
+    palette: bytes | None = None, interlace: bool = False, depth: int = 8,
 ) -> bytes:
     """Encode 8-bit pixels as a PNG whose scanlines cycle filter types
     0-4 (y % 5), forcing a reader to implement every unfilter branch.
     With `palette`, pixels are 1-channel indices and a PLTE is written
     (color type 3). With `interlace`, the seven Adam7 passes are each
-    extracted and filtered as independent sub-images (W3C PNG §8.2)."""
+    extracted and filtered as independent sub-images (W3C PNG §8.2).
+    With `depth=16`, each 8-bit input sample becomes the HIGH byte of a
+    16-bit big-endian sample whose low byte is deterministic junk — a
+    reader reducing to the 8-bit analysis domain must recover `pixels`
+    exactly and drop the junk."""
     if palette is not None:
+        if depth != 8:
+            raise ValueError("16-bit palette PNGs do not exist (spec)")
         color_type, bpp = 3, 1
     else:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
         bpp = ch
+    if depth == 16:
+        pixels = b"".join(
+            bytes((v, (v * 31 + 7) & 0xFF)) for v in pixels
+        )
+        bpp *= 2
+    elif depth != 8:
+        raise ValueError("depth must be 8 or 16")
     if interlace:
         raw = bytearray()
         for x0, y0, xs, ys in _ADAM7_W:
@@ -93,7 +106,7 @@ def make_png(
     else:
         raw = _filter_scanlines(pixels, w, h, bpp, filter_cycle)
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
     )
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -301,8 +314,10 @@ def gif_indices_for(i: int, w: int, h: int, n: int = 16) -> bytes:
 def media_image(i: int) -> tuple[bytes, int, int]:
     """(png_bytes, w, h) for synthetic image row i — geometry varies
     with i; a slice of rows is palette-coded; an i%10==4 slice is
-    Adam7-interlaced (r6 — the de-interlacer must reassemble the same
-    pixel formula the independent test re-states)."""
+    Adam7-interlaced and an i%30==6 slice is depth-16 (r6 — the
+    de-interlacer / high-byte reduction must reassemble the same pixel
+    formula the independent test re-states; the palette branch stays
+    depth 8, 16-bit palettes being spec-invalid)."""
     w, h = 8 + i % 17, 6 + i % 11
     interlace = i % 10 == 4
     if i % 9 == 3:  # palette slice
@@ -313,8 +328,9 @@ def media_image(i: int) -> tuple[bytes, int, int]:
         return make_png(w, h, 1, idx, palette=palette,
                         interlace=interlace), w, h
     ch = [1, 3, 4, 2][i % 4]
+    depth = 16 if i % 30 == 6 else 8
     return make_png(w, h, ch, pixels_for(i, w, h, ch),
-                    interlace=interlace), w, h
+                    interlace=interlace, depth=depth), w, h
 
 
 def media_gif(i: int) -> tuple[bytes, int, int]:
