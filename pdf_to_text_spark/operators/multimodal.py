@@ -519,6 +519,11 @@ def frame_sample(media: DataFrame, every_n: int = 10,
     with no usable n_frames meta) — the executing op makes them
     observable. Per-row errors become 'decode_failed' rows, never task
     failures."""
+    if every_n < 1:
+        # fail at plan build: inside the executor generator a zero step
+        # would be a task failure on the stub path and a misleading
+        # per-row 'decode_failed' on the Y4M path (r6 self-review)
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import media as M

@@ -699,3 +699,13 @@ def test_frame_sample_stub_fanout_is_capped(spark):
     rows = frame_sample(df, every_n=1000).collect()
     assert len(rows) == (MAX_FRAMES + 999) // 1000
     assert {r.frame_status for r in rows} == {"stub"}
+
+
+def test_frame_sample_rejects_nonpositive_step(spark):
+    """every_n < 1 must fail at PLAN BUILD: inside the executor
+    generator a zero range step is a task failure on the stub path and
+    a misleading per-row 'decode_failed' on the Y4M path."""
+    media = synth_media_df(spark, 6)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="every_n"):
+            frame_sample(media, every_n=bad)

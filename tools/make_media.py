@@ -721,8 +721,15 @@ def make_y4m(
         toks.append(f"X{xparam}")
     cs = colorspace or "420"
     if cs.startswith("420"):
+        if w % 2 or h % 2:
+            # fail loudly like make_wav's range checks: silently flooring
+            # would write a stream whose frame framing the decoder
+            # correctly rejects — fixture garbage
+            raise ValueError(f"make_y4m: odd dims {w}x{h} for C{cs}")
         cbytes = (w // 2) * (h // 2)
     elif cs == "422":
+        if w % 2:
+            raise ValueError(f"make_y4m: odd width {w} for C422")
         cbytes = (w // 2) * h
     elif cs == "444":
         cbytes = w * h
