@@ -13,12 +13,13 @@ decode_failed class instead).
 Public specs implemented:
 * PNG (RFC 2083 / W3C PNG): signature, IHDR/PLTE/IDAT/IEND chunk walk,
   zlib inflate, the five scanline filters (None/Sub/Up/Average/Paeth),
-  bit depths 8 and 16 (16-bit samples reduce to the 8-bit analysis
-  domain by their high byte — same rationale as 24-bit WAV), color
-  types 0/2/3/4/6, interlace 0 and Adam7 (r6 — seven independently-
-  filtered passes scattered onto the pass grid). Sub-byte depths
-  1/2/4 are the remaining documented scope cut (tiny palette icons;
-  such files fall back to the stub path).
+  the full spec depth matrix (r6): 8- and 16-bit (16-bit samples
+  reduce to the 8-bit analysis domain by their high byte — same
+  rationale as 24-bit WAV) plus sub-byte 1/2/4 gray-or-palette
+  (MSB-first unpack, grayscale scaled 255/(2^d-1) per the spec's
+  sample expansion), color types 0/2/3/4/6, interlace 0 and Adam7
+  (seven independently-filtered passes scattered onto the pass
+  grid).
 * GIF (GIF89a spec): logical screen + image descriptors, global/local
   color tables, extension-block skip, GIF-variant LZW (LSB-first,
   CLEAR/EOI, 3..12-bit growing codes — the opposite bit order of the
@@ -161,10 +162,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise MediaDecodeError("missing IHDR/IDAT")
     if (
-        bit_depth not in (8, 16)
+        bit_depth not in (1, 2, 4, 8, 16)
         or interlace not in (0, 1)
         or color_type not in _CHANNELS
         or (bit_depth == 16 and color_type == 3)  # no 16-bit palettes (spec)
+        or (bit_depth < 8 and color_type not in (0, 3))  # gray/palette only
     ):
         raise MediaDecodeError(
             f"unsupported profile depth={bit_depth} color={color_type} "
@@ -173,14 +175,45 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width == 0 or height == 0 or width * height > MAX_PIXELS:
         raise MediaDecodeError("dimension bomb")
     ch = _CHANNELS[color_type]
-    # 16-bit samples (r6) reduce to the 8-bit analysis domain by their
-    # high byte after unfiltering — same rationale as 24-bit WAV's >>8:
-    # the feature/resize contract is 8-bit and photographic LSBs carry
-    # no analysis signal. Filters at depth 16 operate on BYTES with a
-    # 2x-per-channel left-neighbor offset (W3C PNG §9.2), which
-    # _unfilter's bpp parameter already expresses.
-    sw = bit_depth // 8  # bytes per sample
-    bpp = ch * sw
+    # Sample-depth normalization into the 8-bit analysis domain (r6):
+    # 16-bit samples reduce to their HIGH byte after unfiltering (same
+    # rationale as 24-bit WAV's >>8 — the feature/resize contract is
+    # 8-bit and photographic LSBs carry no analysis signal); sub-byte
+    # samples (1/2/4-bit gray or palette indices) unpack MSB-first and
+    # grayscale ones scale by 255/(2^d-1) per the spec's sample
+    # expansion. Filters ALWAYS operate on bytes: at depth 16 the
+    # left-neighbor offset is 2x per channel, at sub-byte depths it is
+    # one byte (W3C PNG §9.2) — both shapes _unfilter's bpp/width
+    # parameters express (for sub-byte rows the byte-stride is passed
+    # as the width with bpp=1).
+    sw = bit_depth // 8  # bytes per sample (0 for sub-byte depths)
+    bpp = max(1, ch * sw)
+
+    def _row_bytes(pw: int) -> int:
+        return (pw * ch * bit_depth + 7) // 8
+
+    def _normalize(sub: bytearray, pw: int, ph: int) -> bytearray:
+        """Unfiltered scanline bytes of a (sub-)image → one byte per
+        sample in the 8-bit domain."""
+        if bit_depth == 8:
+            return sub
+        if bit_depth == 16:
+            return sub[::2]
+        mask = (1 << bit_depth) - 1
+        per = 8 // bit_depth
+        scale = 0 if color_type == 3 else 255 // mask  # indices unscaled
+        stride = _row_bytes(pw)
+        out = bytearray(pw * ph)
+        at = 0
+        for ry in range(ph):
+            base = ry * stride
+            for rx in range(pw):
+                b = sub[base + rx // per]
+                v = (b >> (8 - bit_depth * (rx % per + 1))) & mask
+                out[at] = v * scale if scale else v
+                at += 1
+        return out
+
     # Inflate AT MOST the geometry the IHDR declares (+1 slack byte to
     # detect overlong streams) — zlib.decompress alone is unbounded, so
     # a 200 KB IDAT could otherwise inflate to hundreds of MB before
@@ -194,9 +227,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             if pw <= 0 or ph <= 0:
                 continue  # pass is empty for this geometry
             passes.append((x0, y0, xs, ys, pw, ph))
-            expected += ph * (pw * bpp + 1)
+            expected += ph * (_row_bytes(pw) + 1)
     else:
-        expected = height * (width * bpp + 1)
+        expected = height * (_row_bytes(width) + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected + 1)
@@ -208,11 +241,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pixels = bytearray(width * height * ch)
         pos = 0
         for x0, y0, xs, ys, pw, ph in passes:
-            size = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[pos : pos + size], pw, ph, bpp)
+            stride = _row_bytes(pw)
+            size = ph * (stride + 1)
+            if bit_depth < 8:
+                sub = _unfilter(raw[pos : pos + size], stride, ph, 1)
+            else:
+                sub = _unfilter(raw[pos : pos + size], pw, ph, bpp)
             pos += size
-            if sw == 2:
-                sub = sub[::2]  # high byte of each big-endian sample
+            sub = _normalize(sub, pw, ph)
             for ry in range(ph):
                 src = ry * pw * ch
                 row = (y0 + ry * ys) * width
@@ -221,9 +257,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                     s = src + rx * ch
                     pixels[dst : dst + ch] = sub[s : s + ch]
     else:
-        pixels = _unfilter(raw, width, height, bpp)
-        if sw == 2:
-            pixels = pixels[::2]  # high byte of each big-endian sample
+        if bit_depth < 8:
+            pixels = _unfilter(raw, _row_bytes(width), height, 1)
+        else:
+            pixels = _unfilter(raw, width, height, bpp)
+        pixels = _normalize(pixels, width, height)
     if color_type == 3:
         if not plte:
             raise MediaDecodeError("palette image without PLTE")

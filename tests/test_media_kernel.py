@@ -778,3 +778,47 @@ def test_png_16bit_reduces_to_high_byte():
     )
     with pytest.raises(MediaDecodeError):
         decode_png(rebuilt)
+
+
+def test_png_subbyte_gray_and_palette():
+    """Depths 1/2/4 (r6): MSB-first unpack, grayscale scaled by
+    255/(2^d-1) per the spec's sample expansion, palette indices
+    unscaled through PLTE — plain and Adam7 (per-pass byte strides
+    differ, the classic packing off-by-one spot)."""
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_png
+    from tools.make_media import make_png
+
+    for d in (1, 2, 4):
+        mask = (1 << d) - 1
+        for w, h in [(1, 1), (7, 5), (9, 3), (16, 11)]:
+            vals = bytes(
+                (x * 3 + y * 7 + d) % (mask + 1)
+                for y in range(h) for x in range(w)
+            )
+            exp = bytes(v * (255 // mask) for v in vals)
+            for il in (False, True):
+                assert decode_png(
+                    make_png(w, h, 1, vals, depth=d, interlace=il)
+                ) == (w, h, 1, exp), (d, w, h, il)
+    pal = bytes((k * 9 + 2) % 256 for k in range(48))
+    vals = bytes((x + y) % 4 for y in range(7) for x in range(9))
+    exp = b"".join(pal[3 * v : 3 * v + 3] for v in vals)
+    assert decode_png(
+        make_png(9, 7, 1, vals, palette=pal, depth=2, interlace=True)
+    ) == (9, 7, 3, exp)
+    # sub-byte RGB is spec-invalid: loud on both sides
+    with pytest.raises(ValueError):
+        make_png(4, 4, 3, bytes(48), depth=4)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    forged = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 1) + b"IDAT" + b"x"
+        + struct.pack(">I", zlib.crc32(b"IDATx") & 0xFFFFFFFF)
+    )
+    with pytest.raises(MediaDecodeError):
+        decode_png(forged)
+    # out-of-range writer samples are loud, not silently masked
+    with pytest.raises(ValueError, match="out of range"):
+        make_png(4, 4, 1, bytes([9] * 16), depth=2)

@@ -74,9 +74,11 @@ def make_png(
     With `depth=16`, each 8-bit input sample becomes the HIGH byte of a
     16-bit big-endian sample whose low byte is deterministic junk — a
     reader reducing to the 8-bit analysis domain must recover `pixels`
-    exactly and drop the junk."""
+    exactly and drop the junk. With `depth` 1/2/4 (gray or palette
+    only), `pixels` holds one sample VALUE in 0..2^depth-1 per byte and
+    scanlines pack MSB-first."""
     if palette is not None:
-        if depth != 8:
+        if depth == 16:
             raise ValueError("16-bit palette PNGs do not exist (spec)")
         color_type, bpp = 3, 1
     else:
@@ -87,8 +89,14 @@ def make_png(
             bytes((v, (v * 31 + 7) & 0xFF)) for v in pixels
         )
         bpp *= 2
+    elif depth in (1, 2, 4):
+        if color_type not in (0, 3):
+            raise ValueError(f"depth {depth} is gray/palette only (spec)")
+        bad = [v for v in pixels if v >> depth]
+        if bad:
+            raise ValueError(f"depth-{depth} samples out of range: {bad[:3]}…")
     elif depth != 8:
-        raise ValueError("depth must be 8 or 16")
+        raise ValueError("depth must be 1, 2, 4, 8 or 16")
     if interlace:
         raw = bytearray()
         for x0, y0, xs, ys in _ADAM7_W:
@@ -102,7 +110,14 @@ def make_png(
                 for rx in range(pw):
                     at = (row + x0 + rx * xs) * bpp
                     sub += pixels[at : at + bpp]
-            raw += _filter_scanlines(bytes(sub), pw, ph, bpp, filter_cycle)
+            if depth < 8:
+                packed, stride = _pack_subbyte(bytes(sub), pw, ph, depth)
+                raw += _filter_scanlines(packed, stride, ph, 1, filter_cycle)
+            else:
+                raw += _filter_scanlines(bytes(sub), pw, ph, bpp, filter_cycle)
+    elif depth < 8:
+        packed, stride = _pack_subbyte(pixels, w, h, depth)
+        raw = _filter_scanlines(packed, stride, h, 1, filter_cycle)
     else:
         raw = _filter_scanlines(pixels, w, h, bpp, filter_cycle)
     ihdr = struct.pack(
@@ -116,6 +131,24 @@ def make_png(
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _pack_subbyte(
+    samples: bytes, w: int, h: int, depth: int
+) -> tuple[bytes, int]:
+    """One-sample-per-byte values → MSB-first packed scanlines; returns
+    (packed bytes, byte stride per scanline)."""
+    stride = (w * depth + 7) // 8
+    per = 8 // depth
+    out = bytearray(stride * h)
+    for y in range(h):
+        base = y * stride
+        row = y * w
+        for x in range(w):
+            out[base + x // per] |= samples[row + x] << (
+                8 - depth * (x % per + 1)
+            )
+    return bytes(out), stride
 
 
 def _filter_scanlines(
