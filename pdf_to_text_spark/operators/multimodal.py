@@ -460,6 +460,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     would run in media_features; this operator is the partition-shape
     part: a video row fans out to ceil(n_frames / every_n) frame tasks.
     """
+    if every_n < 1:
+        # same plan-build guard as frame_sample: a zero sequence step
+        # builds fine and then fails EVERY task mid-job (r6 review)
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     return (
         # n_frames >= 1 required: NULL (unknown) or 0 (empty container)
         # would otherwise emit a phantom frame_idx=0 row for a frame that

@@ -20,18 +20,28 @@ from tools.make_media import make_png, make_wav, pixels_for
 
 
 def test_png_rejects_unsupported_profiles():
+    """r6: depth 16 and Adam7 now DECODE, so the rejection surface is
+    spec-invalid profiles only — non-power depths, unknown color types,
+    unknown interlace methods, and a reinterpreted-geometry stream
+    whose IDAT is short for the header it claims."""
     px = pixels_for(1, 4, 4, 1)
     good = make_png(4, 4, 1, px)
-    # 16-bit depth
-    bad_depth = bytearray(good)
-    bad_depth[24] = 16  # IHDR bit-depth byte
-    with pytest.raises(MediaDecodeError):
-        decode_png(bytes(bad_depth))
-    # Adam7 interlace
-    bad_il = bytearray(good)
-    bad_il[28] = 1  # IHDR interlace byte
-    with pytest.raises(MediaDecodeError):
-        decode_png(bytes(bad_il))
+    for byte_at, bad_val in (
+        (24, 3),    # depth 3: not a spec depth
+        (24, 32),   # depth 32: not a spec depth
+        (25, 7),    # color type 7: undefined
+        (28, 2),    # interlace 2: undefined
+    ):
+        forged = bytearray(good)
+        forged[byte_at] = bad_val
+        with pytest.raises(MediaDecodeError, match="unsupported profile"):
+            decode_png(bytes(forged))
+    # depth flipped to 16 on a depth-8-sized IDAT: the profile is now
+    # ACCEPTED, so the failure must come from the short pixel data
+    flipped = bytearray(good)
+    flipped[24] = 16
+    with pytest.raises(MediaDecodeError, match="short pixel data"):
+        decode_png(bytes(flipped))
     for junk in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\nXXXX"):
         with pytest.raises(MediaDecodeError):
             decode_png(junk)
@@ -638,7 +648,7 @@ def test_wav_24bit_scales_into_16bit_domain():
     from pdf_to_text_spark.kernels.media import decode_wav_ex
     from tools.make_media import make_wav
 
-    src = [0, 1 << 23 - 1, -(1 << 23), (1 << 23) - 1, -256, 255, -1]
+    src = [0, -(1 << 23), (1 << 23) - 1, -256, 255, -1]
     rate, nch, bits, got = decode_wav_ex(make_wav(8000, 1, src, bits=24))
     assert (rate, nch, bits) == (8000, 1, 24)
     # arithmetic >>8: floor toward -inf (so -1 stays -1, -256 → -1)

@@ -361,7 +361,13 @@ def media_image(i: int) -> tuple[bytes, int, int]:
         return make_png(w, h, 1, idx, palette=palette,
                         interlace=interlace), w, h
     ch = [1, 3, 4, 2][i % 4]
-    depth = 16 if i % 30 == 6 else 8
+    # j-keyed like media_audio/media_gif (r6 review: the first cut,
+    # i%30==6, froze every co-shape — gcd(30,10)=10 meant a 16-bit PNG
+    # could never be interlaced). j%6==0 yields four decodable 16-bit
+    # rows in N=60 (i=0/18/36/54: gray and gray-alpha, i=54 also
+    # Adam7); ch 2/3 at depth 16 stay pytest-pinned (on the image
+    # subsequence gcd(18,4)=2 pins ch to {1,4} — accepted, documented).
+    depth = 16 if (i // 3) % 6 == 0 else 8
     return make_png(w, h, ch, pixels_for(i, w, h, ch),
                     interlace=interlace, depth=depth), w, h
 
