@@ -56,6 +56,10 @@ __all__ = [
     "make_o_oe_r6",
     "make_perms_r6",
     "check_perms_r6",
+    # R6 owner-side verification/retrieval (used by pdf.py _init_v5 —
+    # they were exported in behavior but missing here, r6 review)
+    "verify_owner_password_r6",
+    "retrieve_file_key_r6_owner",
 ]
 
 # §7.6.3.3 Algorithm 2 padding string
@@ -65,6 +69,13 @@ PASSWORD_PAD = bytes.fromhex(
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
+    if not key:
+        # honor the module's error contract (ValueError → PDFParseError)
+        # instead of an arithmetic ZeroDivisionError from i % klen; the
+        # kernel's /Length guards make this unreachable today, but a
+        # new caller deriving a zero-length key must fail typed
+        # (r6 review)
+        raise ValueError("rc4: empty key")
     S = list(range(256))
     j = 0
     klen = len(key)
@@ -573,12 +584,14 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> byt
     least 64 rounds, stopping when the last byte of E ≤ round−32."""
     # repr() of a bytes/int tuple is an injective, deterministic encoding
     ck = hashlib.sha256(repr((password, salt, udata, r)).encode()).digest()
-    cached = _HASH2B_CACHE.get(ck)
+    cached = _HASH2B_CACHE.pop(ck, None)
     if cached is not None:
-        return cached
+        _HASH2B_CACHE[ck] = cached  # refresh to tail: true LRU, the
+        return cached               # policy CLAUDE.md documents — FIFO
+    # evicted the hottest writer-reused salt by insertion age (r6 review)
     out = _hash_2b_uncached(password, salt, udata, r)
     if len(_HASH2B_CACHE) >= 256:  # same bound the old lru_cache had
-        _HASH2B_CACHE.pop(next(iter(_HASH2B_CACHE)))  # FIFO eviction
+        _HASH2B_CACHE.pop(next(iter(_HASH2B_CACHE)))  # evict LRU head
     _HASH2B_CACHE[ck] = out
     return out
 

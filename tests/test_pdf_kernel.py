@@ -1240,3 +1240,59 @@ def test_uniwidemap_empty_mapping_and_nul_degrade():
     )
     text, n = extract_pdf_text(pdf)
     assert (text, n) == ("B�", 1)  # 0x41 blanked, 0x42 fallback, NUL → �
+
+
+def test_aes256_fips197_c3_vectors_and_fast_equals_reference():
+    """r6 review: the suite pinned only the AES-128 C.1 vector, so a
+    regression in the Nk=8 key-schedule branch would cancel out in
+    writer-encrypt/reader-decrypt round trips and every real AESV3 PDF
+    would silently land in 'encrypted'. Pins FIPS-197 appendix C.3 both
+    directions on the public (fast) API, and fast == reference for BOTH
+    directions on BOTH key sizes over a spread of blocks."""
+    from pdf_to_text_spark.kernels import crypto as c
+
+    key256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert c.aes_encrypt_block(key256, pt) == ct
+    assert c.aes_decrypt_block(key256, ct) == pt
+    for key in (key256[:16], key256):
+        rks = c._expand_key(key)
+        for n in range(8):
+            blk = bytes((n * 31 + j * 7 + len(key)) % 256 for j in range(16))
+            enc_fast = c.aes_encrypt_block(key, blk)
+            assert enc_fast == c._crypt_block(blk, rks, inverse=False)
+            assert c.aes_decrypt_block(key, enc_fast) == c._crypt_block(
+                enc_fast, rks, inverse=True
+            )
+            assert c.aes_decrypt_block(key, enc_fast) == blk
+
+
+def test_rc4_empty_key_raises_value_error():
+    """r6 review: an empty key used to ZeroDivisionError out of the
+    module's ValueError->PDFParseError contract."""
+    from pdf_to_text_spark.kernels.crypto import rc4
+
+    with pytest.raises(ValueError, match="empty key"):
+        rc4(b"", b"data")
+
+
+def test_hash_2b_cache_is_lru_not_fifo():
+    """r6 review: the memo cache evicted by insertion age even for
+    constantly-hit entries; a hit must refresh recency."""
+    from pdf_to_text_spark.kernels import crypto as c
+
+    c._HASH2B_CACHE.clear()
+    hot = c.hash_2b(b"hot", b"saltsalt", b"", 5)  # r=5: cheap one-shot
+    for n in range(255):
+        c.hash_2b(b"cold%d" % n, b"saltsalt", b"", 5)
+        assert c.hash_2b(b"hot", b"saltsalt", b"", 5) == hot  # keep hot
+    # cache is at capacity; one more insert must evict a COLD entry
+    hot_key = next(
+        k for k, v in c._HASH2B_CACHE.items() if v == hot
+    )
+    c.hash_2b(b"overflow", b"saltsalt", b"", 5)
+    assert hot_key in c._HASH2B_CACHE
+    c._HASH2B_CACHE.clear()
