@@ -305,7 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_media_features(spark, sf):
         _ensure_shipped(spark)
-        feats = multimodal.media_features(multimodal.synth_media_df(spark, 60))
+        feats = multimodal.media_features(multimodal.synth_media_df(spark, 90))
         # feature values are k/1e6 - 1 for integer k (multimodal._decode_stub);
         # recover k exactly and emit the array as JSON text: scalar column for
         # the driver canonicalizer, integer-only so no float-format drift.
@@ -324,14 +324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_image_resize(spark, sf):
         _ensure_shipped(spark)
-        return multimodal.image_resize(multimodal.synth_media_df(spark, 60))
+        return multimodal.image_resize(multimodal.synth_media_df(spark, 90))
 
     def q_audio_resample(spark, sf):
         """r6: the EXECUTING resample stage (real fixed-point linear DSP
         over decoded WAV-PCM) replaces the metadata-only plan in this
         gate slot; audio_resample_plan keeps its pytest coverage."""
         _ensure_shipped(spark)
-        return multimodal.audio_resample(multimodal.synth_media_df(spark, 60))
+        return multimodal.audio_resample(multimodal.synth_media_df(spark, 90))
 
     def q_llm_record_ingest(spark, sf):
         """r6: 100 generated responses (sources/crafted.py) — fenced/
@@ -1081,9 +1081,9 @@ def oracle_sql(_only: set | None = None) -> dict[str, str]:
         "extraction_pdf_e2e": lambda: _ov.extraction_e2e_oracle(120),
         "extraction_status_metrics": lambda: _ov.extraction_status_metrics_oracle(120),
         "winnow_fingerprints": lambda: _ov.winnow_oracle(_ov.oracle_sf_dir()),
-        "media_features": lambda: _ov.media_oracle(60),
-        "image_resize": lambda: _ov.image_resize_oracle(60),
-        "audio_resample": lambda: _ov.audio_resample_exec_oracle(60),
+        "media_features": lambda: _ov.media_oracle(90),
+        "image_resize": lambda: _ov.image_resize_oracle(90),
+        "audio_resample": lambda: _ov.audio_resample_exec_oracle(90),
         "minhash_dedup_pairs": lambda: _ov.minhash_oracle(
             _ov.oracle_sf_dir(), threshold=0.2
         ),

@@ -1,9 +1,9 @@
 """Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
 
-PNG, GIF, baseline JPEG, WAV-PCM and Y4M raw video decode with zero
-external dependencies (JPEG leans on numpy — baked into the runtime —
-for the IDCT), so `media_features` / `image_resize` / `frame_sample`
-compute over REAL pixels, samples and frames instead of the
+PNG, TIFF, GIF, baseline JPEG, WAV-PCM and Y4M raw video decode with
+zero external dependencies (JPEG leans on numpy — baked into the
+runtime — for the IDCT), so `media_features` / `image_resize` /
+`frame_sample` compute over REAL pixels, samples and frames instead of the
 contract-sanctioned stub (which remains the fallback for formats that
 genuinely need external libraries — MP3, MP4/MKV compressed video —
 and is reported distinctly as decode_status='stub';
@@ -25,6 +25,12 @@ Public specs implemented:
   CLEAR/EOI, 3..12-bit growing codes — the opposite bit order of the
   PDF/TIFF LZW in kernels/pdf.py), 4-pass de-interlace, palette→RGB.
   First frame only (animation is a documented scope cut).
+* TIFF (baseline TIFF 6.0): both byte orders, first-IFD walk, strip
+  organization, compression none/PackBits/LZW (the PDF kernel's
+  MSB-first early-change LZW reused — §13 and PDF LZWDecode share the
+  algorithm), 8-bit chunky gray (WhiteIsZero inverted) / RGB / RGBA.
+  Tiles, planar config 2, sub-byte bilevel/palette TIFFs and
+  JPEG-in-TIFF are documented scope cuts (stub-path fallback).
 * WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned, 16-bit
   signed LE and 24-bit signed LE PCM (24-bit scaled into the 16-bit
   analysis domain), WAVE_FORMAT_EXTENSIBLE unwrapped when its
@@ -806,6 +812,140 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
+
+
+# ── TIFF decode ──────────────────────────────────────────────────────────────
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+# field-type byte widths we accept (TIFF 6.0 §2): BYTE, SHORT, LONG
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _packbits_decode(src: bytes, max_out: int) -> bytearray:
+    """PackBits (TIFF 6.0 §9 / Apple RLE): n in 0..127 → copy n+1
+    literal bytes, n in 129..255 → repeat next byte 257-n times,
+    n == 128 → no-op. Truncated runs raise."""
+    out = bytearray()
+    i = 0
+    n_src = len(src)
+    while i < n_src:
+        n = src[i]
+        i += 1
+        if n < 128:
+            end = i + n + 1
+            if end > n_src:
+                raise MediaDecodeError("PackBits: truncated literal run")
+            out += src[i:end]
+            i = end
+        elif n > 128:
+            if i >= n_src:
+                raise MediaDecodeError("PackBits: truncated repeat run")
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+        if len(out) > max_out:
+            raise MediaDecodeError("PackBits: output exceeds cap")
+    return out
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline TIFF 6.0 bytes → (width, height, channels, pixels).
+
+    Both byte orders (II/MM), first IFD (multi-page files decode their
+    first image, like the GIF first-frame rule), strip organization,
+    compression none(1)/LZW(5)/PackBits(32773) — the LZW is the same
+    MSB-first early-change-1 code the PDF kernel implements
+    (kernels/pdf.py _lzw_decode; TIFF 6.0 §13 and PDF LZWDecode share
+    the algorithm) — 8 bits per sample, chunky planar config, gray
+    (PhotometricInterpretation 1, or 0 inverted), RGB and RGBA.
+    Anything else raises MediaDecodeError (tiles, planar=2, sub-byte
+    bilevel/palette TIFFs and JPEG-in-TIFF are documented scope cuts —
+    such files fall back to the stub path)."""
+    if len(data) < 8 or data[:4] not in TIFF_MAGICS:
+        raise MediaDecodeError("not a TIFF")
+    fmt = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(fmt + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise MediaDecodeError("IFD offset out of range")
+    (n_entries,) = struct.unpack_from(fmt + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        at = ifd_off + 2 + 12 * k
+        if at + 12 > len(data):
+            raise MediaDecodeError("truncated IFD")
+        tag, ftype, count = struct.unpack_from(fmt + "HHI", data, at)
+        size = _TIFF_TYPE_SIZE.get(ftype)
+        if size is None or count > 1_000_000:
+            continue  # RATIONAL metadata etc. — not layout-bearing
+        total = size * count
+        if total <= 4:
+            voff = at + 8
+        else:
+            (voff,) = struct.unpack_from(fmt + "I", data, at + 8)
+        if voff + total > len(data):
+            raise MediaDecodeError(f"tag {tag} value out of range")
+        code = {1: "B", 3: "H", 4: "I"}[ftype]
+        tags[tag] = list(struct.unpack_from(fmt + code * count, data, voff))
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise MediaDecodeError(f"missing required TIFF tag {tag}")
+            return default
+        return v[0]
+    width, height = one(256), one(257)
+    if not width or not height or width * height > MAX_PIXELS:
+        raise MediaDecodeError("dimension bomb")
+    spp = one(277, 1)
+    if spp not in (1, 3, 4):
+        raise MediaDecodeError(f"unsupported samples/pixel {spp}")
+    bits = tags.get(258, [1])
+    if set(bits) != {8}:
+        raise MediaDecodeError(f"unsupported bits/sample {bits}")
+    compression = one(259, 1)
+    photometric = one(262)
+    if (photometric in (0, 1)) != (spp == 1) or photometric > 2:
+        raise MediaDecodeError(f"unsupported photometric {photometric}")
+    if one(284, 1) != 1:
+        raise MediaDecodeError("planar TIFF unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise MediaDecodeError("missing/mismatched strip tables")
+    rows_per_strip = min(one(278, height), height)
+    if rows_per_strip < 1:
+        raise MediaDecodeError("bad RowsPerStrip")
+    out = bytearray()
+    row_bytes = width * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise MediaDecodeError("strip out of range")
+        rows_here = min(rows_per_strip, height - si * rows_per_strip)
+        if rows_here <= 0:
+            raise MediaDecodeError("more strips than image rows")
+        expected = rows_here * row_bytes
+        raw = data[off : off + cnt]
+        if compression == 1:
+            strip = raw
+        elif compression == 5:
+            from .pdf import _lzw_decode
+
+            try:
+                strip = _lzw_decode(raw, early=1)
+            except Exception as e:
+                raise MediaDecodeError(f"bad LZW strip: {e}") from None
+        elif compression == 32773:
+            strip = _packbits_decode(raw, expected + row_bytes)
+        else:
+            raise MediaDecodeError(f"unsupported compression {compression}")
+        if len(strip) < expected:
+            raise MediaDecodeError("short strip data")
+        out += strip[:expected]  # writers may pad the final strip
+    if len(out) != height * row_bytes:
+        raise MediaDecodeError("assembled strips mismatch geometry")
+    if photometric == 0:  # WhiteIsZero: invert into the common scale
+        out = bytearray(255 - b for b in out)
+    return width, height, spp, bytes(out)
 
 
 # ── Y4M (YUV4MPEG2) video decode ─────────────────────────────────────────────

@@ -2,7 +2,7 @@
 
 The Spark-side machinery (schemas, Arrow batch shape, partition layout,
 byte-capped batching) is REAL and tested. Since round 6 the codecs are
-REAL too for PNG, GIF, baseline JPEG, WAV-PCM and Y4M raw video
+REAL too for PNG, TIFF, GIF, baseline JPEG, WAV-PCM and Y4M raw video
 (kernels/media.py, stdlib+numpy): features/resize/frame-sample compute
 over actual pixels, samples and frames. Formats whose decoders
 genuinely need external libraries (MP3, MP4/MKV compressed video) fall
@@ -79,7 +79,7 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB — deterministic fake 'decode + feature extract'.
 
     Since round 6 this is only the FALLBACK for formats whose codecs
-    genuinely need external libraries (MP3, MP4/MKV) — PNG/GIF/
+    genuinely need external libraries (MP3, MP4/MKV) — PNG/TIFF/GIF/
     baseline-JPEG, WAV-PCM and Y4M payloads decode for REAL in
     kernels/media.py and compute features over actual content.
     The stub: a blake2b of the payload expanded to FEATURE_DIM floats
@@ -90,7 +90,7 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 def _decode_real(payload: bytes, kind: str):
     """Default decode (round 6): REAL stdlib codecs for PNG, GIF,
-    baseline JPEG, WAV and Y4M video, stub for everything else — returns
+    baseline JPEG, TIFF, WAV and Y4M video, stub for everything else — returns
     (features, status) where status 'ok' means real decoded content and
     'stub' declares the sanctioned fallback (observable in the driver
     gate, not silently green). A recognized-but-malformed payload
@@ -105,6 +105,9 @@ def _decode_real(payload: bytes, kind: str):
         return M.image_features(w, h, ch, pixels), "ok"
     if payload[:6] in M.GIF_MAGICS:
         w, h, ch, pixels = M.decode_gif(payload)
+        return M.image_features(w, h, ch, pixels), "ok"
+    if payload[:4] in M.TIFF_MAGICS:
+        w, h, ch, pixels = M.decode_tiff(payload)
         return M.image_features(w, h, ch, pixels), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, nch, samples = M.decode_wav(payload)
@@ -258,6 +261,10 @@ def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
         return M.encode_png(tw, th, ch, out), "ok"
     if payload[:6] in M.GIF_MAGICS:
         dw, dh, ch, pixels = M.decode_gif(payload)
+        out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
+        return M.encode_png(tw, th, ch, out), "ok"
+    if payload[:4] in M.TIFF_MAGICS:
+        dw, dh, ch, pixels = M.decode_tiff(payload)
         out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
         return M.encode_png(tw, th, ch, out), "ok"
     return _resize_stub(payload, w, h, tw, th), "stub"
@@ -608,23 +615,26 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
     """Deterministic tiny media rows (pure function of n — shared by the
     Spark table builder and the VALUES oracle precompute).
 
-    Round 6: image rows carry REAL PNGs (filter types 0-4, gray/RGB/
-    RGBA/gray-alpha/palette — tools/make_media.py, the independent
-    writer side), REAL GIFs (i%12==9 slice: LZW, interlace, local
-    palettes, comment blocks) or REAL baseline JPEGs (i%12==3 slice:
-    gray/4:4:4/4:2:0/restart-interval shapes; i%72==51 truncated-scan →
-    'decode_failed') and audio rows carry REAL PCM WAVs, so the default
-    decode path computes features over actual pixels/samples. Declared
-    slices keep the other statuses observable: i%17==5 null payloads,
-    i%15==12 undecodable image bytes ('stub' fallback), i%18==6 corrupt
-    PNGs ('decode_failed'), i%45==13 non-WAV audio bytes ('stub');
-    video rows carry REAL Y4M clips since round 6 (kernels/media.py
-    decode_y4m — the one container decodable stdlib-only), with
-    i%21==8 opaque container bytes ('stub' — the MP4-shaped class) and
-    i%33==14 truncated clips ('decode_failed')."""
+    Round 6: image rows carry REAL PNGs (filter types 0-4, all spec
+    depths incl. Adam7 — tools/make_media.py, the independent writer
+    side), REAL TIFFs (media_image's j%12∈{4,8} slice: none/PackBits/
+    LZW strips, II/MM, WhiteIsZero), REAL GIFs (i%12==9 slice: LZW,
+    interlace, local palettes, comment blocks) or REAL baseline JPEGs
+    (i%12==3 slice: gray/4:4:4/4:2:0/restart-interval shapes; i%72==51
+    truncated-scan → 'decode_failed') and audio rows carry REAL PCM
+    WAVs (16-bit plus a 24-bit WAVE_FORMAT_EXTENSIBLE slice), so the
+    default decode path computes features over actual pixels/samples.
+    Declared slices keep the other statuses observable: i%17==5 null
+    payloads, i%15==12 undecodable image bytes ('stub' fallback),
+    i%18==6 corrupt PNG/TIFF ('decode_failed', magic-dispatched),
+    i%45==13 non-WAV audio bytes ('stub'); video rows carry REAL Y4M
+    clips since round 6 (kernels/media.py decode_y4m — the one
+    container decodable stdlib-only), with i%21==8 opaque container
+    bytes ('stub' — the MP4-shaped class) and i%33==14 truncated clips
+    ('decode_failed')."""
     from tools.make_media import (
+        corrupt_image,
         corrupt_jpeg,
-        corrupt_png,
         corrupt_y4m,
         media_audio,
         media_gif,
@@ -660,7 +670,7 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
             else:
                 png, w, h = media_image(i)
                 if i % 18 == 6:  # recognized-but-malformed → decode_failed
-                    png = corrupt_png(png)
+                    png = corrupt_image(png)
                 payload, meta = png, (w, h, None, None)
         elif kind == "audio":
             if i % 45 == 13:  # undecodable format → sanctioned stub

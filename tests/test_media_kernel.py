@@ -832,3 +832,85 @@ def test_png_subbyte_gray_and_palette():
     # out-of-range writer samples are loud, not silently masked
     with pytest.raises(ValueError, match="out of range"):
         make_png(4, 4, 1, bytes([9] * 16), depth=2)
+
+
+# ── TIFF (r6) ────────────────────────────────────────────────────────────────
+
+
+def test_tiff_roundtrip_matrix():
+    from pdf_to_text_spark.kernels.media import decode_tiff
+    from tools.make_media import make_tiff
+
+    for ch in (1, 3, 4):
+        for comp in ("none", "packbits", "lzw"):
+            for bo in ("II", "MM"):
+                for rps in (None, 2, 3):
+                    px = pixels_for(5, 9, 7, ch)
+                    data = make_tiff(
+                        9, 7, ch, px, compression=comp, byte_order=bo,
+                        rows_per_strip=rps,
+                    )
+                    assert decode_tiff(data) == (9, 7, ch, px), (
+                        ch, comp, bo, rps,
+                    )
+
+
+def test_tiff_white_is_zero_inverts():
+    from pdf_to_text_spark.kernels.media import decode_tiff
+    from tools.make_media import make_tiff
+
+    px = pixels_for(8, 6, 5, 1)
+    data = make_tiff(6, 5, 1, px, white_is_zero=True, compression="packbits")
+    assert decode_tiff(data) == (6, 5, 1, px)
+
+
+def test_tiff_failure_classes():
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_tiff
+    from tools.make_media import corrupt_tiff, make_tiff
+
+    good = make_tiff(8, 6, 3, pixels_for(3, 8, 6, 3), rows_per_strip=2)
+    with pytest.raises(MediaDecodeError):
+        decode_tiff(corrupt_tiff(good))  # truncated strip data
+    with pytest.raises(MediaDecodeError, match="not a TIFF"):
+        decode_tiff(b"II+\x00" + good[4:])
+    # dimension bomb via a forged width tag (II: tag 256 SHORT)
+    import struct as _s
+
+    at = good.find(_s.pack("<HH", 256, 3))
+    forged = bytearray(good)
+    _s.pack_into("<I", forged, at + 8, 1_000_000)
+    with pytest.raises(MediaDecodeError):
+        decode_tiff(bytes(forged))
+    # unsupported compression id
+    at = good.find(_s.pack("<HH", 259, 3))
+    forged = bytearray(good)
+    _s.pack_into("<H", forged, at + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(MediaDecodeError, match="compression"):
+        decode_tiff(bytes(forged))
+    # photometric/spp mismatch: gray photometric claimed on RGB samples
+    at = good.find(_s.pack("<HH", 262, 3))
+    forged = bytearray(good)
+    _s.pack_into("<H", forged, at + 8, 1)
+    with pytest.raises(MediaDecodeError, match="photometric"):
+        decode_tiff(bytes(forged))
+
+
+def test_packbits_decode_edges():
+    from pdf_to_text_spark.kernels.media import (
+        MediaDecodeError,
+        _packbits_decode,
+    )
+    from tools.make_media import _packbits_encode
+
+    for payload in [b"", b"a", b"a" * 300, b"abc" * 50,
+                    bytes(range(256)) * 2, b"ab" + b"c" * 129 + b"de"]:
+        enc = _packbits_encode(payload)
+        assert bytes(_packbits_decode(enc, 10_000)) == payload
+    # 128 is a no-op, not a crash
+    assert _packbits_decode(b"\x80\x00a", 10) == bytearray(b"a")
+    with pytest.raises(MediaDecodeError, match="truncated literal"):
+        _packbits_decode(b"\x05ab", 10)
+    with pytest.raises(MediaDecodeError, match="truncated repeat"):
+        _packbits_decode(b"\xfe", 10)
+    with pytest.raises(MediaDecodeError, match="cap"):
+        _packbits_decode(b"\x81a" * 100, 50)

@@ -43,7 +43,7 @@ from pdf_to_text_spark.operators.multimodal import (
     synth_media_df,
 )
 
-N = 60
+N = 90  # the gate's media-table size (r6: grown from 60 for the TIFF slice)
 
 
 def _kind(i: int) -> str:
@@ -61,14 +61,26 @@ def _r6(x: float) -> float:
 # ── synth slice spec, re-stated ──────────────────────────────────────────────
 
 
+def _image_sel(i: int) -> int:
+    """media_image's j%12 partition selector, re-stated."""
+    return (i // 3) % 12
+
+
 def _image_geom(i: int) -> tuple[int, int]:
+    j = i // 3
+    if _image_sel(i) in (4, 8):  # TIFF slice has its own geometry
+        return 9 + j % 11, 7 + j % 7
     return 8 + i % 17, 6 + i % 11
 
 
 def _image_pixels(i: int) -> tuple[int, bytes]:
-    """(channels, pixels) from the content formula — decoder-free."""
+    """(channels, pixels) from the content formula — decoder-free.
+    TIFF rows re-state media_tiff's k-keyed channel choice; WhiteIsZero
+    rows need NO special-casing here because the decoder must invert
+    back to the original formula bytes."""
     w, h = _image_geom(i)
-    if i % 9 == 3:  # palette slice expands to RGB through PLTE
+    sel = _image_sel(i)
+    if sel == 10:  # palette slice expands to RGB through PLTE
         palette = bytes((k * 5 + i) % 256 for k in range(48))
         out = bytearray()
         for y in range(h):
@@ -76,7 +88,10 @@ def _image_pixels(i: int) -> tuple[int, bytes]:
                 idx = (x * 3 + y * 5 + i) % 16
                 out += palette[3 * idx : 3 * idx + 3]
         return 3, bytes(out)
-    ch = [1, 3, 4, 2][i % 4]
+    if sel in (4, 8):
+        ch = [1, 3, 4, 1][(i // 3 // 6) % 4]
+    else:
+        ch = [1, 3, 4, 2][i % 4]
     return ch, bytes(
         (x * 7 + y * 13 + c * 41 + i * 29) % 256
         for y in range(h) for x in range(w) for c in range(ch)
@@ -239,9 +254,9 @@ def _expected_features() -> set[tuple]:
                 w, h, px = _gif_pixels(i)
                 feat, status = _image_feat(w, h, 3, px), "ok"
             elif i % 18 == 6:
-                from tools.make_media import corrupt_png, media_image
+                from tools.make_media import corrupt_image, media_image
 
-                p = corrupt_png(media_image(i)[0])
+                p = corrupt_image(media_image(i)[0])
                 out.add((i, kind, len(p), None, None, "decode_failed"))
                 continue
             else:

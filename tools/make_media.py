@@ -345,15 +345,27 @@ def gif_indices_for(i: int, w: int, h: int, n: int = 16) -> bytes:
 
 
 def media_image(i: int) -> tuple[bytes, int, int]:
-    """(png_bytes, w, h) for synthetic image row i — geometry varies
-    with i; a slice of rows is palette-coded; an i%10==4 slice is
-    Adam7-interlaced and an i%30==6 slice is depth-16 (r6 — the
-    de-interlacer / high-byte reduction must reassemble the same pixel
-    formula the independent test re-states; the palette branch stays
-    depth 8, 16-bit palettes being spec-invalid)."""
+    """(image_bytes, w, h) for synthetic image row i.
+
+    The format dispatch is an EXPLICIT j%12 partition of the rows that
+    survive the synth-level stub/JPEG/GIF slices (r6 review: the free
+    rows' moduli are fully entangled — 3 | 9 | 18 and gcd(30,10)=10 —
+    so every modular slice key either starved a sibling class or froze
+    its co-shapes; the partition assigns classes outright):
+      j%12 in {4,8} → TIFF (media_tiff geometry — i=24/60 land on the
+                      synth corrupt slice, so the gate holds both ok-
+                      and corrupt-TIFF rows);
+      j%12 == 0     → depth-16 PNG (high-byte reduction);
+      j%12 == 10    → palette PNG;
+      else          → plain depth-8 PNG;
+    PNG rows are Adam7-interlaced when i%10==4."""
+    j = i // 3
+    sel = j % 12
+    if sel in (4, 8):
+        return media_tiff(i)
     w, h = 8 + i % 17, 6 + i % 11
     interlace = i % 10 == 4
-    if i % 9 == 3:  # palette slice
+    if sel == 10:  # palette slice
         palette = bytes((k * 5 + i) % 256 for k in range(48))
         idx = bytes(
             ((x * 3 + y * 5 + i) % 16) for y in range(h) for x in range(w)
@@ -361,13 +373,7 @@ def media_image(i: int) -> tuple[bytes, int, int]:
         return make_png(w, h, 1, idx, palette=palette,
                         interlace=interlace), w, h
     ch = [1, 3, 4, 2][i % 4]
-    # j-keyed like media_audio/media_gif (r6 review: the first cut,
-    # i%30==6, froze every co-shape — gcd(30,10)=10 meant a 16-bit PNG
-    # could never be interlaced). j%6==0 yields four decodable 16-bit
-    # rows in N=60 (i=0/18/36/54: gray and gray-alpha, i=54 also
-    # Adam7); ch 2/3 at depth 16 stay pytest-pinned (on the image
-    # subsequence gcd(18,4)=2 pins ch to {1,4} — accepted, documented).
-    depth = 16 if (i // 3) % 6 == 0 else 8
+    depth = 16 if sel == 0 else 8
     return make_png(w, h, ch, pixels_for(i, w, h, ch),
                     interlace=interlace, depth=depth), w, h
 
@@ -819,3 +825,153 @@ def corrupt_y4m(data: bytes) -> bytes:
     if last <= 0:
         raise ValueError("corrupt_y4m: input has no FRAME marker")
     return data[: len(data) - max(1, (len(data) - last) // 4)]
+
+
+# ── TIFF writer (TIFF 6.0) ───────────────────────────────────────────────────
+# Independent of kernels/media.py's decoder like the writers above: the
+# IFD is assembled entry by entry (ascending tags, out-of-line values
+# appended after the strip data) and PackBits is a greedy COMPRESSOR
+# sharing no code shape with the kernel's expander. LZW strips reuse
+# tools.make_pdf.lzw_encode (MSB-first, early change 1 — TIFF 6.0 §13
+# and PDF LZWDecode share the algorithm).
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([(257 - run) & 0xFF, data[i]])
+            i += run
+            continue
+        lit = i
+        while lit < n and lit - i < 128:
+            if lit + 2 < n and data[lit] == data[lit + 1] == data[lit + 2]:
+                break
+            lit += 1
+        out += bytes([lit - i - 1]) + data[i:lit]
+        i = lit
+    return bytes(out)
+
+
+def make_tiff(
+    w: int, h: int, ch: int, pixels: bytes, *,
+    compression: str = "none", byte_order: str = "II",
+    rows_per_strip: int | None = None, white_is_zero: bool = False,
+) -> bytes:
+    """Encode 8-bit chunky pixels as a strip-organized baseline TIFF.
+    `white_is_zero` writes PhotometricInterpretation 0 with INVERTED
+    sample bytes (gray only) — a reader must invert back to recover
+    `pixels`."""
+    if ch not in (1, 3, 4) or len(pixels) != w * h * ch:
+        raise ValueError("make_tiff: bad geometry")
+    if white_is_zero and ch != 1:
+        raise ValueError("make_tiff: white_is_zero is gray-only")
+    fmt = {"II": "<", "MM": ">"}[byte_order]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if white_is_zero:
+        pixels = bytes(255 - b for b in pixels)
+    rps = rows_per_strip or h
+    row_bytes = w * ch
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = pixels[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+        if compression == "lzw":
+            from tools.make_pdf import lzw_encode
+
+            strips.append(lzw_encode(raw, early=1))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    magic = b"II*\x00" if byte_order == "II" else b"MM\x00*"
+    body = bytearray()  # strip data + out-of-line values; starts at 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(8 + len(body))
+        body += s
+    if len(body) & 1:
+        body += b"\x00"  # keep IFD word-aligned
+
+    entries = []  # (tag, ftype, count, packed-or-deferred values)
+
+    def add(tag, ftype, values):
+        entries.append((tag, ftype, values))
+
+    add(256, 3, [w])
+    add(257, 3, [h])
+    add(258, 3, [8] * ch)
+    add(259, 3, [comp_tag])
+    add(262, 3, [0 if white_is_zero else (1 if ch == 1 else 2)])
+    add(273, 4, strip_offsets)
+    add(277, 3, [ch])
+    add(278, 3, [min(rps, h)])
+    add(279, 4, [len(s) for s in strips])
+    entries.sort()
+    ifd_off = 8 + len(body)
+    code = {3: "H", 4: "I"}
+    size = {3: 2, 4: 4}
+    # out-of-line values land after the IFD
+    tail_off = ifd_off + 2 + 12 * len(entries) + 4
+    tail = bytearray()
+    ifd = bytearray(struct.pack(fmt + "H", len(entries)))
+    for tag, ftype, values in entries:
+        total = size[ftype] * len(values)
+        packed = struct.pack(fmt + code[ftype] * len(values), *values)
+        ent = struct.pack(fmt + "HHI", tag, ftype, len(values))
+        if total <= 4:
+            ent += packed + b"\x00" * (4 - total)
+        else:
+            ent += struct.pack(fmt + "I", tail_off + len(tail))
+            tail += packed
+        ifd += ent
+    ifd += struct.pack(fmt + "I", 0)  # no next IFD
+    return magic + struct.pack(fmt + "I", ifd_off) + bytes(body) + bytes(ifd) + bytes(tail)
+
+
+def media_tiff(i: int) -> tuple[bytes, int, int]:
+    """(tiff_bytes, w, h) for media_image's j%12∈{4,8} slice —
+    compression, byte order, strip layout, channels and WhiteIsZero
+    keyed by k=j//6 (on the slice j is determined mod 12, so any
+    function of j alone is frozen; k cycles freely — the i-keyed-
+    modulus lesson one level up, r6)."""
+    j = i // 3
+    k = j // 6
+    w, h = 9 + j % 11, 7 + j % 7
+    ch = [1, 3, 4, 1][k % 4]
+    px = pixels_for(i, w, h, ch)
+    return (
+        make_tiff(
+            w, h, ch, px,
+            compression=["none", "packbits", "lzw"][k % 3],
+            byte_order="MM" if k % 3 == 2 else "II",
+            rows_per_strip=[None, 3, 2][(k + 1) % 3],
+            white_is_zero=(ch == 1 and k % 2 == 0),
+        ),
+        w, h,
+    )
+
+
+def corrupt_image(data: bytes) -> bytes:
+    """Dispatch the synth corrupt slice by magic — media_image's
+    i%18==6 rows may now be PNG or TIFF (r6)."""
+    if data.startswith(b"\x89PNG"):
+        return corrupt_png(data)
+    if data[:2] in (b"II", b"MM"):
+        return corrupt_tiff(data)
+    raise ValueError("corrupt_image: unrecognized format")
+
+
+def corrupt_tiff(data: bytes) -> bytes:
+    """Zero the strip-offset table's tag type so the required strip
+    tables go missing: recognized-but-malformed → decode_failed."""
+    if data[:2] not in (b"II", b"MM"):
+        raise ValueError("corrupt_tiff: not a TIFF")
+    # truncating the last strip keeps the header/IFD intact and the
+    # decoder hits 'strip out of range' or 'short strip data'
+    if len(data) < 16:
+        raise ValueError("corrupt_tiff: too short")
+    return data[: len(data) - max(4, len(data) // 8)]
