@@ -28,9 +28,11 @@ Public specs implemented:
 * TIFF (baseline TIFF 6.0): both byte orders, first-IFD walk, strip
   organization, compression none/PackBits/LZW (the PDF kernel's
   MSB-first early-change LZW reused — §13 and PDF LZWDecode share the
-  algorithm), 8-bit chunky gray (WhiteIsZero inverted) / RGB / RGBA.
-  Tiles, planar config 2, sub-byte bilevel/palette TIFFs and
-  JPEG-in-TIFF are documented scope cuts (stub-path fallback).
+  algorithm), Predictor-2 horizontal differencing, 8-bit chunky gray
+  (WhiteIsZero inverted) / RGB / RGBA. Tiles, planar config 2,
+  sub-byte bilevel/palette TIFFs and JPEG-in-TIFF are documented
+  scope cuts that surface as countable decode_failed (same rule as
+  progressive JPEG — the magic is recognized).
 * WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned, 16-bit
   signed LE and 24-bit signed LE PCM (24-bit scaled into the 16-bit
   analysis domain), WAVE_FORMAT_EXTENSIBLE unwrapped when its
@@ -858,9 +860,13 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     (kernels/pdf.py _lzw_decode; TIFF 6.0 §13 and PDF LZWDecode share
     the algorithm) — 8 bits per sample, chunky planar config, gray
     (PhotometricInterpretation 1, or 0 inverted), RGB and RGBA.
-    Anything else raises MediaDecodeError (tiles, planar=2, sub-byte
-    bilevel/palette TIFFs and JPEG-in-TIFF are documented scope cuts —
-    such files fall back to the stub path)."""
+    LZW strips under Predictor 2 (horizontal differencing, what libtiff
+    pairs with LZW) integrate back per row. Anything else raises
+    MediaDecodeError — tiles, planar=2, sub-byte bilevel/palette TIFFs
+    and JPEG-in-TIFF are documented scope cuts that surface as the
+    countable decode_failed status, the same rule as progressive JPEG
+    (the TIFF magic is recognized, so the stub path is never reached;
+    r6 review aligned these docs with the dispatch reality)."""
     if len(data) < 8 or data[:4] not in TIFF_MAGICS:
         raise MediaDecodeError("not a TIFF")
     fmt = "<" if data[:2] == b"II" else ">"
@@ -888,7 +894,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         tags[tag] = list(struct.unpack_from(fmt + code * count, data, voff))
     def one(tag, default=None):
         v = tags.get(tag)
-        if v is None:
+        if not v:  # absent OR a crafted count=0 entry: both typed, not
+            # an IndexError escaping the kernel's error contract (r6
+            # review)
             if default is None:
                 raise MediaDecodeError(f"missing required TIFF tag {tag}")
             return default
@@ -908,6 +916,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         raise MediaDecodeError(f"unsupported photometric {photometric}")
     if one(284, 1) != 1:
         raise MediaDecodeError("planar TIFF unsupported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise MediaDecodeError(f"unsupported predictor {predictor}")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -931,7 +942,11 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
             from .pdf import _lzw_decode
 
             try:
-                strip = _lzw_decode(raw, early=1)
+                # cap the expansion at THIS strip's geometry (+ a row of
+                # writer padding) — without it one crafted strip could
+                # inflate to pdf.py's 256 MB stream cap, 16x the largest
+                # legal whole image, per strip (r6 review)
+                strip = _lzw_decode(raw, early=1, max_out=expected + row_bytes)
             except Exception as e:
                 raise MediaDecodeError(f"bad LZW strip: {e}") from None
         elif compression == 32773:
@@ -940,12 +955,23 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
             raise MediaDecodeError(f"unsupported compression {compression}")
         if len(strip) < expected:
             raise MediaDecodeError("short strip data")
-        out += strip[:expected]  # writers may pad the final strip
+        strip = strip[:expected]  # writers may pad the final strip
+        if predictor == 2:
+            # horizontal differencing (TIFF 6.0 §14): per row, each
+            # sample is the delta from the previous pixel's same channel
+            strip = bytearray(strip)
+            for r0 in range(0, expected, row_bytes):
+                for x in range(spp, row_bytes):
+                    strip[r0 + x] = (strip[r0 + x] + strip[r0 + x - spp]) & 0xFF
+        out += strip
     if len(out) != height * row_bytes:
         raise MediaDecodeError("assembled strips mismatch geometry")
     if photometric == 0:  # WhiteIsZero: invert into the common scale
-        out = bytearray(255 - b for b in out)
+        out = bytes(out).translate(_INVERT_TABLE)
     return width, height, spp, bytes(out)
+
+
+_INVERT_TABLE = bytes(255 - i for i in range(256))
 
 
 # ── Y4M (YUV4MPEG2) video decode ─────────────────────────────────────────────

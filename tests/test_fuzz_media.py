@@ -160,3 +160,34 @@ def test_mutated_y4m_fails_typed(junk, where, overwrite):
 @given(st.binary(min_size=0, max_size=200))
 def test_arbitrary_bytes_after_y4m_magic_fail_typed(tail):
     _try_y4m(b"YUV4MPEG2 " + tail)
+
+
+def _try_tiff(data: bytes):
+    from pdf_to_text_spark.kernels.media import decode_tiff
+
+    try:
+        w, h, ch, pixels = decode_tiff(data)
+        assert w > 0 and h > 0 and ch in (1, 3, 4)
+        assert len(pixels) == w * h * ch
+    except MediaDecodeError:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_tiff_fails_typed(junk, where, overwrite):
+    from tools.make_media import media_tiff
+
+    good = media_tiff(48)[0]
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_tiff(data)
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(min_size=0, max_size=200), st.booleans())
+def test_arbitrary_bytes_after_tiff_magic_fail_typed(tail, big_endian):
+    _try_tiff((b"MM\x00*" if big_endian else b"II*\x00") + tail)

@@ -914,3 +914,70 @@ def test_packbits_decode_edges():
         _packbits_decode(b"\xfe", 10)
     with pytest.raises(MediaDecodeError, match="cap"):
         _packbits_decode(b"\x81a" * 100, 50)
+
+
+def test_tiff_predictor2_horizontal_differencing():
+    """r6 review: LZW TIFFs with Predictor=2 (the libtiff pairing) used
+    to decode the raw differenced bytes as pixels with status 'ok' —
+    the only silent-wrong-output path in the codec set."""
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_tiff
+    from tools.make_media import make_tiff
+
+    for ch in (1, 3, 4):
+        for comp in ("none", "lzw", "packbits"):
+            px = pixels_for(11, 8, 6, ch)
+            data = make_tiff(8, 6, ch, px, compression=comp, predictor=2,
+                             rows_per_strip=2)
+            assert decode_tiff(data) == (8, 6, ch, px), (ch, comp)
+    # any OTHER predictor id is typed, never silently ignored
+    import struct as _s
+
+    good = make_tiff(4, 4, 1, pixels_for(0, 4, 4, 1), predictor=2)
+    at = good.find(_s.pack("<HH", 317, 3))
+    forged = bytearray(good)
+    _s.pack_into("<H", forged, at + 8, 3)  # floating-point predictor
+    with pytest.raises(MediaDecodeError, match="predictor"):
+        decode_tiff(bytes(forged))
+
+
+def test_tiff_zero_count_tag_is_typed():
+    """r6 review: a crafted count=0 entry for a required tag escaped as
+    an untyped IndexError."""
+    import struct as _s
+
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_tiff
+    from tools.make_media import make_tiff
+
+    good = make_tiff(4, 4, 1, pixels_for(0, 4, 4, 1))
+    at = good.find(_s.pack("<HH", 256, 3))  # ImageWidth entry
+    forged = bytearray(good)
+    _s.pack_into("<I", forged, at + 4, 0)  # count = 0
+    with pytest.raises(MediaDecodeError):
+        decode_tiff(bytes(forged))
+
+
+def test_tiff_lzw_strip_bomb_capped():
+    """r6 review: a strip whose LZW stream inflates far past its
+    declared geometry must stop at the strip cap, not pdf.py's 256 MB
+    stream cap."""
+    import struct as _s
+    import time
+
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_tiff
+    from tools.make_media import make_tiff
+    from tools.make_pdf import lzw_encode
+
+    bomb = lzw_encode(b"\x00" * 50_000_000, early=1)  # ~60 KB encoded
+    tiny = make_tiff(4, 2, 1, bytes(8), compression="lzw")
+    # splice the bomb in as the single strip's data
+    at = tiny.find(_s.pack("<HH", 279, 4))
+    # rebuild: easier to handcraft — reuse the writer then patch counts
+    # is brittle; instead append the bomb and point the tables at it
+    forged = bytearray(tiny + bomb)
+    _s.pack_into("<I", forged, at + 8, len(bomb))       # StripByteCounts
+    at_off = tiny.find(_s.pack("<HH", 273, 4))
+    _s.pack_into("<I", forged, at_off + 8, len(tiny))   # StripOffsets
+    t0 = time.perf_counter()
+    with pytest.raises(MediaDecodeError):
+        decode_tiff(bytes(forged))
+    assert time.perf_counter() - t0 < 2.0  # never inflated the 50 MB

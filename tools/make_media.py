@@ -372,10 +372,20 @@ def media_image(i: int) -> tuple[bytes, int, int]:
         )
         return make_png(w, h, 1, idx, palette=palette,
                         interlace=interlace), w, h
+    if sel == 0:
+        # depth-16 rows key ch and interlace by j//12 (on this slice
+        # i ≡ 0 mod 36, so i%4 is frozen to 0 — the i-keyed ch would
+        # pin every 16-bit row to gray and Adam7+16-bit would never
+        # appear in the gate, r6 review)
+        k = j // 12
+        ch = [1, 3, 4, 2][k % 4]
+        return make_png(
+            w, h, ch, pixels_for(i, w, h, ch),
+            interlace=interlace or k % 3 == 2, depth=16,
+        ), w, h
     ch = [1, 3, 4, 2][i % 4]
-    depth = 16 if sel == 0 else 8
     return make_png(w, h, ch, pixels_for(i, w, h, ch),
-                    interlace=interlace, depth=depth), w, h
+                    interlace=interlace), w, h
 
 
 def media_gif(i: int) -> tuple[bytes, int, int]:
@@ -861,21 +871,32 @@ def make_tiff(
     w: int, h: int, ch: int, pixels: bytes, *,
     compression: str = "none", byte_order: str = "II",
     rows_per_strip: int | None = None, white_is_zero: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Encode 8-bit chunky pixels as a strip-organized baseline TIFF.
     `white_is_zero` writes PhotometricInterpretation 0 with INVERTED
     sample bytes (gray only) — a reader must invert back to recover
-    `pixels`."""
+    `pixels`. `predictor=2` applies horizontal differencing before
+    compression (TIFF 6.0 §14, what libtiff pairs with LZW) — a reader
+    must integrate back."""
     if ch not in (1, 3, 4) or len(pixels) != w * h * ch:
         raise ValueError("make_tiff: bad geometry")
     if white_is_zero and ch != 1:
         raise ValueError("make_tiff: white_is_zero is gray-only")
+    if predictor not in (1, 2):
+        raise ValueError("make_tiff: predictor must be 1 or 2")
     fmt = {"II": "<", "MM": ">"}[byte_order]
     comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     if white_is_zero:
         pixels = bytes(255 - b for b in pixels)
-    rps = rows_per_strip or h
     row_bytes = w * ch
+    if predictor == 2:
+        diff = bytearray(pixels)
+        for r0 in range(0, len(diff), row_bytes):
+            for x in range(row_bytes - 1, ch - 1, -1):
+                diff[r0 + x] = (diff[r0 + x] - diff[r0 + x - ch]) & 0xFF
+        pixels = bytes(diff)
+    rps = rows_per_strip or h
     strips = []
     for y0 in range(0, h, rps):
         raw = pixels[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
@@ -910,6 +931,8 @@ def make_tiff(
     add(277, 3, [ch])
     add(278, 3, [min(rps, h)])
     add(279, 4, [len(s) for s in strips])
+    if predictor == 2:
+        add(317, 3, [2])
     entries.sort()
     ifd_off = 8 + len(body)
     code = {3: "H", 4: "I"}
@@ -943,13 +966,16 @@ def media_tiff(i: int) -> tuple[bytes, int, int]:
     w, h = 9 + j % 11, 7 + j % 7
     ch = [1, 3, 4, 1][k % 4]
     px = pixels_for(i, w, h, ch)
+    comp = ["none", "packbits", "lzw"][k % 3]
     return (
         make_tiff(
             w, h, ch, px,
-            compression=["none", "packbits", "lzw"][k % 3],
+            compression=comp,
             byte_order="MM" if k % 3 == 2 else "II",
             rows_per_strip=[None, 3, 2][(k + 1) % 3],
             white_is_zero=(ch == 1 and k % 2 == 0),
+            # libtiff pairs horizontal differencing with LZW — mirror it
+            predictor=2 if comp == "lzw" else 1,
         ),
         w, h,
     )
@@ -966,12 +992,16 @@ def corrupt_image(data: bytes) -> bytes:
 
 
 def corrupt_tiff(data: bytes) -> bytes:
-    """Zero the strip-offset table's tag type so the required strip
-    tables go missing: recognized-but-malformed → decode_failed."""
+    """Truncate the file tail. make_tiff places the IFD (and its
+    out-of-line values) AFTER the strip data, so the truncation lands
+    on the IFD/value area and the decoder hits the tag-bounds checks
+    ('truncated IFD' / 'tag N value out of range') — the recognized-
+    but-malformed class → decode_failed. (An earlier draft claimed this
+    exercised the strip-bounds errors; it cannot with this layout —
+    those are covered directly in test_tiff_failure_classes, r6
+    review.)"""
     if data[:2] not in (b"II", b"MM"):
         raise ValueError("corrupt_tiff: not a TIFF")
-    # truncating the last strip keeps the header/IFD intact and the
-    # decoder hits 'strip out of range' or 'short strip data'
     if len(data) < 16:
         raise ValueError("corrupt_tiff: too short")
     return data[: len(data) - max(4, len(data) // 8)]
