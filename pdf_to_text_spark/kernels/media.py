@@ -1136,23 +1136,62 @@ def bilinear_resize(
 
 # ── WAV decode ───────────────────────────────────────────────────────────────
 
+# G.711 expansion tables (ITU-T G.711): 8-bit companded code → 16-bit
+# linear. Built once at import; the formulas are the standard ones.
+
+
+def _build_ulaw_table() -> tuple:
+    out = []
+    for code in range(256):
+        b = ~code & 0xFF
+        exp = (b >> 4) & 7
+        mant = b & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        out.append(-x if b & 0x80 else x)
+    return tuple(out)
+
+
+def _build_alaw_table() -> tuple:
+    out = []
+    for code in range(256):
+        b = code ^ 0x55
+        exp = (b >> 4) & 7
+        mant = b & 0x0F
+        if exp == 0:
+            x = (mant << 4) + 8
+        else:
+            x = ((mant << 4) + 0x108) << (exp - 1)
+        # NB: in A-law the (xor-toggled) sign bit SET means POSITIVE —
+        # the opposite convention from µ-law
+        out.append(x if b & 0x80 else -x)
+    return tuple(out)
+
+
+_ULAW = _build_ulaw_table()
+_ALAW = _build_alaw_table()
+
 
 def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
-    """WAV bytes → (sample_rate, n_channels, bits, samples interleaved).
+    """WAV bytes → (sample_rate, n_channels, bits, samples interleaved)
+    — `bits` is the DECODED sample width (G.711's 8-bit codes report 16
+    because expansion lands them in the 16-bit linear domain).
 
-    PCM 8-bit (rebased to signed), 16-bit LE, and 24-bit LE (scaled
-    into the 16-bit analysis domain with an arithmetic >>8 — the
-    feature/resample contract is 16-bit full-range, and studio-depth
-    LSBs carry no analysis signal); other codecs raise MediaDecodeError.
-    WAVE_FORMAT_EXTENSIBLE (0xFFFE — what real recorders wrap 24-bit
-    and multichannel PCM in) is unwrapped when its SubFormat GUID names
-    PCM. The header rate field is u32, but a rate of 0 or beyond int32
-    is rejected (no real recorder produces one; it would silently wrap
-    the engine's int columns — r6 review #2)."""
+    PCM 8-bit (rebased to signed), 16-bit LE, 24-bit LE (scaled into
+    the 16-bit analysis domain with an arithmetic >>8 — the feature/
+    resample contract is 16-bit full-range, and studio-depth LSBs
+    carry no analysis signal), and G.711 µ-law/A-law (fmt tags 7/6 —
+    telephony crawl audio; 8-bit codes expand through the ITU-T G.711
+    tables, already 16-bit linear); other codecs raise
+    MediaDecodeError. WAVE_FORMAT_EXTENSIBLE (0xFFFE — what real
+    recorders wrap 24-bit and multichannel PCM in) is unwrapped when
+    its SubFormat GUID names PCM. The header rate field is u32, but a
+    rate of 0 or beyond int32 is rejected (no real recorder produces
+    one; it would silently wrap the engine's int columns — r6 review
+    #2)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaDecodeError("not a WAV")
     pos = 12
-    rate = nch = bits = None
+    rate = nch = bits = fmt_tag = None
     frames = b""
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -1169,6 +1208,9 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
                 # format tag is 1 (KSDATAFORMAT_SUBTYPE_PCM)
                 if len(body) < 40 or body[24:26] != b"\x01\x00":
                     raise MediaDecodeError("non-PCM extensible format")
+            elif fmt_tag in (6, 7):
+                if bits != 8:
+                    raise MediaDecodeError(f"G.711 with {bits}-bit codes")
             elif fmt_tag != 1:
                 raise MediaDecodeError(f"non-PCM format {fmt_tag}")
         elif cid == b"data":
@@ -1179,6 +1221,13 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, list[int]]:
         raise MediaDecodeError(f"implausible sample rate {rate}")
     if len(frames) > MAX_SAMPLES * {16: 2, 24: 3}.get(bits, 1):
         raise MediaDecodeError("data chunk exceeds sample cap")
+    if fmt_tag in (6, 7):  # G.711: codes expand to 16-bit linear
+        table = _ALAW if fmt_tag == 6 else _ULAW
+        # bits reports the DECODED sample domain (16), not the 8-bit
+        # code width: _resample_real's bits==8 branch rescales plain
+        # PCM by <<8, which would overflow the already-16-bit-linear
+        # G.711 samples into encode_wav failures (r6)
+        return rate, nch, 16, [table[b] for b in frames]
     if bits == 16:
         n = len(frames) // 2
         samples = list(struct.unpack(f"<{n}h", frames[: 2 * n]))

@@ -981,3 +981,35 @@ def test_tiff_lzw_strip_bomb_capped():
     with pytest.raises(MediaDecodeError):
         decode_tiff(bytes(forged))
     assert time.perf_counter() - t0 < 2.0  # never inflated the 50 MB
+
+
+def test_wav_g711_ulaw_alaw():
+    """G.711 (r6): fmt tags 7/6 expand 8-bit companded codes to 16-bit
+    linear through the ITU tables; known anchors pinned (µ-law 0xFF→0,
+    A-law 0x55→-8 / 0xD5→+8 — the A-law sign convention is the
+    OPPOSITE of µ-law's and a flipped table negates every sample)."""
+    from pdf_to_text_spark.kernels.media import (
+        _ALAW,
+        _ULAW,
+        MediaDecodeError,
+        decode_wav,
+    )
+    from tools.make_media import make_wav
+
+    assert _ULAW[0xFF] == 0 and _ALAW[0x55] == -8 and _ALAW[0xD5] == 8
+    codes = list(range(0, 256, 7))
+    for law, table in (("ulaw", _ULAW), ("alaw", _ALAW)):
+        rate, nch, got = decode_wav(
+            make_wav(8000, 1, codes, bits=8, g711=law)
+        )
+        assert (rate, nch) == (8000, 1)
+        assert got == [table[c] for c in codes]
+        assert all(-32768 <= s <= 32767 for s in got)
+    # G.711 claiming 16-bit codes is malformed, typed
+    bad = bytearray(make_wav(8000, 1, codes, bits=8, g711="ulaw"))
+    at = bad.find(b"fmt ") + 8 + 14
+    struct.pack_into("<H", bad, at, 16)
+    with pytest.raises(MediaDecodeError, match="G.711"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="out of range"):
+        make_wav(8000, 1, [300], bits=8, g711="ulaw")

@@ -117,12 +117,36 @@ def _gif_pixels(i: int) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def _g711_expand(code: int, law: str) -> int:
+    """ITU-T G.711 expansion, re-stated straight from the segment
+    arithmetic (the kernel builds 256-entry tables; this recomputes
+    each code from the piecewise formula — different code shape)."""
+    if law == "ulaw":
+        u = 255 - code  # one's complement
+        seg, mant, neg = (u >> 4) & 7, u & 15, bool(u & 0x80)
+        val = ((2 * mant + 33) << seg) * 4 - 132
+        return -val if neg else val
+    a = code ^ 0x55
+    seg, mant, pos = (a >> 4) & 7, a & 15, bool(a & 0x80)
+    if seg == 0:
+        val = 16 * mant + 8
+    else:
+        val = (16 * mant + 264) * (1 << (seg - 1))
+    return val if pos else -val
+
+
 def _audio_spec(i: int) -> tuple[int, list[int]]:
-    rate = [8000, 16000, 44100][(i // 3) % 3]  # i//3-keyed: see media_audio
+    j = i // 3
     n = 40 + (i * 13) % 160
+    if j % 7 == 6:  # G.711 slice: codes from the formula, expanded here
+        law = ["ulaw", "alaw"][j % 2]
+        return 8000, [
+            _g711_expand((j * 13 + k * 7) % 256, law) for k in range(n)
+        ]
+    rate = [8000, 16000, 44100][j % 3]  # j-keyed: see media_audio
     samples = [
-        (((j * 997 + i * 6151) % 4001) - 2000) * (8 if j % 2 else -8)
-        for j in range(n)
+        (((k * 997 + i * 6151) % 4001) - 2000) * (8 if k % 2 else -8)
+        for k in range(n)
     ]
     return rate, samples
 
@@ -475,7 +499,7 @@ def test_audio_resample_plan_matches_independent_recompute(spark):
             continue
         rate = (
             16000 if i % 17 == 5 or i % 45 == 13
-            else [8000, 16000, 44100][(i // 3) % 3]
+            else _audio_spec(i)[0]
         )
         mode = (
             "copy" if rate == 16000

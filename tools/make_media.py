@@ -197,11 +197,27 @@ def _filter_scanlines(
 
 def make_wav(
     rate: int, nch: int, samples: list[int], *, bits: int = 16,
-    extensible: bool = False,
+    extensible: bool = False, g711: str | None = None,
 ) -> bytes:
     """`extensible=True` wraps the fmt in WAVE_FORMAT_EXTENSIBLE with
     the PCM SubFormat GUID — the framing real recorders emit for 24-bit
-    and multichannel PCM."""
+    and multichannel PCM. `g711='ulaw'|'alaw'` writes fmt tag 7/6 with
+    `samples` taken as raw 8-bit companded CODES (0..255) — a reader
+    must expand them through the ITU-T G.711 tables."""
+    if g711 is not None:
+        if extensible or bits != 8:
+            raise ValueError("make_wav: G.711 is plain 8-bit framing")
+        bad = [s for s in samples if not 0 <= s <= 255]
+        if bad:
+            raise ValueError(f"G.711 codes out of range: {bad[:3]}…")
+        frames = bytes(samples)
+        tag = {"ulaw": 7, "alaw": 6}[g711]
+        fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * nch, nch, 8)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(frames)) + frames
+        if len(frames) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     if bits == 16:
         frames = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:
@@ -416,8 +432,18 @@ def media_audio(i: int) -> tuple[bytes, int]:
     — the old [..][i%3] pinned every row to 16000, so the gate's
     audio_resample (target 16000) only ever exercised 'copy' mode (the
     GIF-slice lesson again, r6)."""
-    rate = [8000, 16000, 44100][(i // 3) % 3]
+    j = i // 3
+    rate = [8000, 16000, 44100][j % 3]
     n = 40 + (i * 13) % 160
+    if j % 7 == 6:
+        # G.711 telephony slice (r6): raw companded codes, formula-
+        # driven so the independent test can expand them from the
+        # ITU-T tables it re-states (disjoint from the 24-bit slice:
+        # j≡6 mod 7 ∩ j≡4 mod 5 first meet at j=34, i=103)
+        codes = [(j * 13 + k * 7) % 256 for k in range(n)]
+        return make_wav(
+            8000, 1, codes, bits=8, g711=["ulaw", "alaw"][j % 2]
+        ), 8000
     samples = samples_for(i, n)
     if (i // 3) % 5 == 4:
         # 24-bit WAVE_FORMAT_EXTENSIBLE slice (r6): samples pre-scaled
