@@ -1,6 +1,7 @@
 """Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
 
-PNG, TIFF, GIF, baseline JPEG, WAV-PCM and Y4M raw video decode with
+PNG, TIFF, BMP, GIF, baseline JPEG, WAV-PCM (incl. G.711 telephony)
+and Y4M raw video decode with
 zero external dependencies (JPEG leans on numpy — baked into the
 runtime — for the IDCT), so `media_features` / `image_resize` /
 `frame_sample` compute over REAL pixels, samples and frames instead of the
@@ -33,6 +34,9 @@ Public specs implemented:
   sub-byte bilevel/palette TIFFs and JPEG-in-TIFF are documented
   scope cuts that surface as countable decode_failed (same rule as
   progressive JPEG — the magic is recognized).
+* BMP (BITMAPINFOHEADER, BI_RGB): 8-bpp palette, 24-bpp BGR and
+  32-bpp BGRA, bottom-up and top-down row orders, 4-byte row padding.
+  RLE and bitfields are scope cuts (countable decode_failed).
 * WAV (RIFF/WAVE, PCM): fmt/data chunk walk, 8-bit unsigned, 16-bit
   signed LE and 24-bit signed LE PCM (24-bit scaled into the 16-bit
   analysis domain), WAVE_FORMAT_EXTENSIBLE unwrapped when its
@@ -814,6 +818,83 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
+
+
+# ── BMP decode ───────────────────────────────────────────────────────────────
+
+BMP_MAGIC = b"BM"
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """BMP bytes → (width, height, channels, pixels row-major top-down).
+
+    BITMAPINFOHEADER (and the longer V4/V5 headers, which extend it
+    compatibly), uncompressed BI_RGB at 8 bpp (palette → RGB), 24 bpp
+    (BGR → RGB) and 32 bpp (BGRx → RGBA); bottom-up (positive height)
+    and top-down (negative) row orders; 4-byte row padding. RLE4/RLE8,
+    bitfields and sub-byte depths raise MediaDecodeError (documented
+    scope cuts — countable decode_failed, the recognized-magic rule)."""
+    if len(data) < 54 or data[:2] != BMP_MAGIC:
+        raise MediaDecodeError("not a BMP")
+    (px_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise MediaDecodeError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    top_down = height < 0
+    height = abs(height)
+    if planes != 1 or compression != 0:
+        raise MediaDecodeError(
+            f"unsupported BMP planes={planes} compression={compression}"
+        )
+    if bpp not in (8, 24, 32):
+        raise MediaDecodeError(f"unsupported BMP bit depth {bpp}")
+    if width <= 0 or height == 0 or width * height > MAX_PIXELS:
+        raise MediaDecodeError("dimension bomb")
+    stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    if px_off + stride * height > len(data):
+        raise MediaDecodeError("short BMP pixel data")
+    palette = b""
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > px_off:
+            raise MediaDecodeError("palette overruns pixel data")
+        palette = data[pal_off : pal_off + 4 * n_colors]
+    ch = {8: 3, 24: 3, 32: 4}[bpp]
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        src = px_off + (y if top_down else height - 1 - y) * stride
+        dst = y * width * ch
+        if bpp == 8:
+            for x in range(width):
+                q = data[src + x] * 4
+                if q + 3 > len(palette):
+                    raise MediaDecodeError("palette index out of range")
+                # palette quads are BGRx
+                out[dst : dst + 3] = (
+                    palette[q + 2], palette[q + 1], palette[q],
+                )
+                dst += 3
+        elif bpp == 24:
+            for x in range(width):
+                s = src + 3 * x
+                out[dst] = data[s + 2]      # BGR → RGB
+                out[dst + 1] = data[s + 1]
+                out[dst + 2] = data[s]
+                dst += 3
+        else:
+            for x in range(width):
+                s = src + 4 * x
+                out[dst] = data[s + 2]      # BGRA → RGBA
+                out[dst + 1] = data[s + 1]
+                out[dst + 2] = data[s]
+                out[dst + 3] = data[s + 3]
+                dst += 4
+    return width, height, ch, bytes(out)
 
 
 # ── TIFF decode ──────────────────────────────────────────────────────────────

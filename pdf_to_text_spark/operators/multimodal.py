@@ -109,6 +109,9 @@ def _decode_real(payload: bytes, kind: str):
     if payload[:4] in M.TIFF_MAGICS:
         w, h, ch, pixels = M.decode_tiff(payload)
         return M.image_features(w, h, ch, pixels), "ok"
+    if payload[:2] == M.BMP_MAGIC and len(payload) >= 54:
+        w, h, ch, pixels = M.decode_bmp(payload)
+        return M.image_features(w, h, ch, pixels), "ok"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, nch, samples = M.decode_wav(payload)
         return M.audio_features(rate, nch, samples), "ok"
@@ -265,6 +268,10 @@ def _resize_real(payload: bytes, w: int, h: int, tw: int, th: int):
         return M.encode_png(tw, th, ch, out), "ok"
     if payload[:4] in M.TIFF_MAGICS:
         dw, dh, ch, pixels = M.decode_tiff(payload)
+        out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
+        return M.encode_png(tw, th, ch, out), "ok"
+    if payload[:2] == M.BMP_MAGIC and len(payload) >= 54:
+        dw, dh, ch, pixels = M.decode_bmp(payload)
         out = M.bilinear_resize(pixels, dw, dh, ch, tw, th)
         return M.encode_png(tw, th, ch, out), "ok"
     return _resize_stub(payload, w, h, tw, th), "stub"

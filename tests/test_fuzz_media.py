@@ -191,3 +191,28 @@ def test_mutated_tiff_fails_typed(junk, where, overwrite):
 @given(st.binary(min_size=0, max_size=200), st.booleans())
 def test_arbitrary_bytes_after_tiff_magic_fail_typed(tail, big_endian):
     _try_tiff((b"MM\x00*" if big_endian else b"II*\x00") + tail)
+
+
+def _try_bmp(data: bytes):
+    from pdf_to_text_spark.kernels.media import decode_bmp
+
+    try:
+        w, h, ch, pixels = decode_bmp(data)
+        assert w > 0 and h > 0 and ch in (3, 4)
+        assert len(pixels) == w * h * ch
+    except MediaDecodeError:
+        pass
+
+
+@settings(max_examples=200, deadline=2000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_bmp_fails_typed(junk, where, overwrite):
+    from tools.make_media import media_bmp
+
+    good = media_bmp(18)[0]
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_bmp(data)

@@ -1013,3 +1013,51 @@ def test_wav_g711_ulaw_alaw():
         decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="out of range"):
         make_wav(8000, 1, [300], bits=8, g711="ulaw")
+
+
+# ── BMP (r6) ─────────────────────────────────────────────────────────────────
+
+
+def test_bmp_roundtrip_all_depths_and_orientations():
+    from pdf_to_text_spark.kernels.media import decode_bmp
+    from tools.make_media import make_bmp
+
+    for w, h in [(1, 1), (5, 3), (8, 6), (7, 5)]:
+        px3 = pixels_for(4, w, h, 3)
+        for td in (False, True):  # bottom-up AND top-down row orders
+            assert decode_bmp(make_bmp(w, h, px3, top_down=td)) == (
+                w, h, 3, px3,
+            )
+        px4 = pixels_for(4, w, h, 4)
+        assert decode_bmp(make_bmp(w, h, px4, bpp=32)) == (w, h, 4, px4)
+        pal = bytes((k * 7 + 3) % 256 for k in range(48))
+        idx = bytes(((x + y) % 16) for y in range(h) for x in range(w))
+        exp = b"".join(pal[3 * v : 3 * v + 3] for v in idx)
+        assert decode_bmp(make_bmp(w, h, idx, bpp=8, palette=pal)) == (
+            w, h, 3, exp,
+        )
+
+
+def test_bmp_failure_classes():
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_bmp
+    from tools.make_media import make_bmp
+
+    good = make_bmp(4, 4, pixels_for(0, 4, 4, 3))
+    cases = [
+        good[:-5],                       # short pixel data
+        b"BX" + good[2:],                # wrong magic
+        good[:30] + b"\x01" + good[31:],  # RLE compression
+    ]
+    for bad in cases:
+        with pytest.raises(MediaDecodeError):
+            decode_bmp(bad)
+    # 16-bpp bitfields are a scope cut, typed
+    forged = bytearray(good)
+    struct.pack_into("<H", forged, 28, 16)
+    with pytest.raises(MediaDecodeError, match="bit depth"):
+        decode_bmp(bytes(forged))
+    # dimension bomb via forged width/height
+    forged = bytearray(good)
+    struct.pack_into("<ii", forged, 18, 1_000_000, 1_000_000)
+    with pytest.raises(MediaDecodeError, match="dimension bomb"):
+        decode_bmp(bytes(forged))

@@ -90,6 +90,8 @@ def _image_pixels(i: int) -> tuple[int, bytes]:
         return 3, bytes(out)
     if sel in (4, 8):
         ch = [1, 3, 4, 1][(i // 3 // 6) % 4]
+    elif sel == 6 and (i // 3 // 12) % 2 == 0:
+        ch = 3  # BMP rows are 24 bpp
     elif sel == 0:
         # depth-16 rows: j//12-keyed (i%4 is frozen to 0 on this slice)
         ch = [1, 3, 4, 2][(i // 3 // 12) % 4]

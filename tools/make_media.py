@@ -371,6 +371,7 @@ def media_image(i: int) -> tuple[bytes, int, int]:
       j%12 in {4,8} → TIFF (media_tiff geometry — i=24/60 land on the
                       synth corrupt slice, so the gate holds both ok-
                       and corrupt-TIFF rows);
+      j%12 == 6, even j//12 → BMP (media_bmp, 24 bpp);
       j%12 == 0     → depth-16 PNG (high-byte reduction);
       j%12 == 10    → palette PNG;
       else          → plain depth-8 PNG;
@@ -379,6 +380,8 @@ def media_image(i: int) -> tuple[bytes, int, int]:
     sel = j % 12
     if sel in (4, 8):
         return media_tiff(i)
+    if sel == 6 and (j // 12) % 2 == 0:
+        return media_bmp(i)
     w, h = 8 + i % 17, 6 + i % 11
     interlace = i % 10 == 4
     if sel == 10:  # palette slice
@@ -1031,3 +1034,66 @@ def corrupt_tiff(data: bytes) -> bytes:
     if len(data) < 16:
         raise ValueError("corrupt_tiff: too short")
     return data[: len(data) - max(4, len(data) // 8)]
+
+
+# ── BMP writer ───────────────────────────────────────────────────────────────
+
+
+def make_bmp(
+    w: int, h: int, pixels: bytes, *, bpp: int = 24,
+    palette: bytes | None = None, top_down: bool = False,
+) -> bytes:
+    """Encode pixels as an uncompressed BITMAPINFOHEADER BMP. bpp=24
+    takes RGB triples (stored BGR), bpp=32 takes RGBA quads (stored
+    BGRA), bpp=8 takes index bytes with `palette` as RGB triples
+    (stored as BGRx quads). Bottom-up unless top_down."""
+    if bpp == 24:
+        ch, pal_quads = 3, b""
+    elif bpp == 32:
+        ch, pal_quads = 4, b""
+    elif bpp == 8:
+        if palette is None or len(palette) % 3:
+            raise ValueError("make_bmp: 8 bpp needs an RGB palette")
+        ch = 1
+        pal_quads = b"".join(
+            bytes((palette[3 * k + 2], palette[3 * k + 1], palette[3 * k], 0))
+            for k in range(len(palette) // 3)
+        )
+    else:
+        raise ValueError("make_bmp: bpp must be 8, 24 or 32")
+    if len(pixels) != w * h * ch:
+        raise ValueError("make_bmp: bad geometry")
+    stride = (w * bpp // 8 + 3) & ~3
+    rows = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        for x in range(w):
+            p = (y * w + x) * ch
+            if bpp == 8:
+                row.append(pixels[p])
+            elif bpp == 24:
+                row += bytes((pixels[p + 2], pixels[p + 1], pixels[p]))
+            else:
+                row += bytes((pixels[p + 2], pixels[p + 1], pixels[p],
+                              pixels[p + 3]))
+        rows += row + b"\x00" * (stride - len(row))
+    px_off = 14 + 40 + len(pal_quads)
+    n_colors = len(pal_quads) // 4
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        stride * h, 2835, 2835, n_colors, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", px_off + stride * h, 0, 0, px_off)
+    return hdr + dib + pal_quads + bytes(rows)
+
+
+def media_bmp(i: int) -> tuple[bytes, int, int]:
+    """(bmp_bytes, w, h) for media_image's BMP rows — 24 bpp from the
+    shared pixel formula; orientation varies by k."""
+    j = i // 3
+    w, h = 8 + i % 17, 6 + i % 11
+    return (
+        make_bmp(w, h, pixels_for(i, w, h, 3), top_down=(j // 12) % 4 >= 2),
+        w, h,
+    )
