@@ -1,7 +1,7 @@
 """Real stdlib-only media codecs (round 6 — VERDICT r5 #3).
 
-PNG, TIFF, BMP, GIF, baseline JPEG, WAV-PCM (incl. G.711 telephony)
-and Y4M raw video decode with
+PNG, TIFF, BMP, GIF, baseline JPEG, WAV-PCM (incl. G.711 telephony),
+Y4M raw video and MJPEG AVI decode with
 zero external dependencies (JPEG leans on numpy — baked into the
 runtime — for the IDCT), so `media_features` / `image_resize` /
 `frame_sample` compute over REAL pixels, samples and frames instead of the
@@ -41,6 +41,12 @@ Public specs implemented:
   signed LE and 24-bit signed LE PCM (24-bit scaled into the 16-bit
   analysis domain), WAVE_FORMAT_EXTENSIBLE unwrapped when its
   SubFormat GUID names PCM, any channel count.
+* AVI/MJPEG (RIFF AVI): chunk walk to the movi LIST, one baseline
+  JPEG per '##dc'/'##db' frame chunk decoded through this module's
+  JPEG decoder, BT.601 integer luma reduction, strided frame decode
+  (sampling skips the JPEG work entirely for unsampled frames).
+  Non-MJPEG AVIs are countable decode_failed; MP4/MKV are not RIFF
+  and stay on the declared stub path.
 * Y4M (YUV4MPEG2, mjpegtools yuv4mpeg(5)): ASCII stream header
   (W/H/F/I/A/C/X tags), FRAME markers with optional parameters, planar
   frames under C420(jpeg|mpeg2|paldv)/C422/C444/Cmono; the decode
@@ -1174,6 +1180,102 @@ def decode_y4m(
         n_frames += 1
         if n_frames > MAX_FRAMES:
             raise MediaDecodeError("frame count exceeds cap")
+    return w, h, n_frames, frames
+
+
+# ── AVI (MJPEG) video decode ─────────────────────────────────────────────────
+
+AVI_MAGIC = b"RIFF"  # + size + b"AVI " at offset 8
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _rgb_to_luma(pixels: bytes, ch: int) -> bytes:
+    """ITU-R BT.601 integer luma; gray passes through, alpha ignored."""
+    if ch == 1:
+        return pixels
+    out = bytearray(len(pixels) // ch)
+    for k in range(len(out)):
+        p = k * ch
+        out[k] = (
+            77 * pixels[p] + 150 * pixels[p + 1] + 29 * pixels[p + 2] + 128
+        ) >> 8
+    return bytes(out)
+
+
+def decode_avi_mjpeg(
+    data: bytes, stride: int = 1
+) -> tuple[int, int, int, list[bytes]]:
+    """MJPEG AVI bytes → (width, height, n_frames, luma_frames) — the
+    same surface as decode_y4m, so video features and frame sampling
+    treat raw and compressed containers uniformly.
+
+    RIFF walk to the 'movi' LIST, then every '##dc'/'##db' chunk is one
+    baseline JPEG decoded through this module's decoder (what old
+    cameras and OpenCV's MJPG writer emit); frames reduce to their
+    BT.601 luma plane. `stride` decodes only every stride-th frame —
+    JPEG decode is the expensive part, so sampling skips the others
+    entirely (framing still validated). All frames must share the first
+    frame's geometry. Non-MJPEG streams ('rec ' interleaves, other
+    fourccs) and malformed chunks raise MediaDecodeError (countable
+    decode_failed; MP4/MKV stay on the declared stub path — they are
+    not RIFF)."""
+    if not is_avi(data):
+        raise MediaDecodeError("not an AVI")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    # find the 'movi' LIST by walking top-level and nested chunks
+    movi = None
+    stack = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body_at = pos + 8
+            if body_at + length > len(data):
+                raise MediaDecodeError("truncated AVI chunk")
+            if cid == b"LIST":
+                ltype = data[body_at : body_at + 4]
+                if ltype == b"movi":
+                    movi = (body_at + 4, body_at + length)
+                    stack = []
+                    break
+                stack.append((body_at + 4, body_at + length))
+            pos = body_at + length + (length & 1)
+    if movi is None:
+        raise MediaDecodeError("AVI without a movi list")
+    w = h = None
+    frames: list[bytes] = []
+    n_frames = 0
+    pos, end = movi
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body_at = pos + 8
+        if body_at + length > len(data):
+            raise MediaDecodeError("truncated AVI frame chunk")
+        pos = body_at + length + (length & 1)
+        if cid[2:4] not in (b"dc", b"db"):
+            raise MediaDecodeError(f"unsupported movi chunk {cid!r}")
+        if n_frames % stride == 0:
+            fw, fh, ch, pixels = decode_jpeg(data[body_at : body_at + length])
+            if w is None:
+                w, h = fw, fh
+                if w * h > MAX_PIXELS:
+                    raise MediaDecodeError("frame exceeds pixel cap")
+            elif (fw, fh) != (w, h):
+                raise MediaDecodeError("AVI frames change geometry")
+            frames.append(_rgb_to_luma(pixels, ch))
+            if len(frames) * w * h > MAX_PIXELS:
+                raise MediaDecodeError("total decoded luma exceeds pixel cap")
+        n_frames += 1
+        if n_frames > MAX_FRAMES:
+            raise MediaDecodeError("frame count exceeds cap")
+    if w is None:
+        raise MediaDecodeError("AVI movi list holds no frames")
     return w, h, n_frames, frames
 
 

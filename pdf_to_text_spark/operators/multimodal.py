@@ -2,9 +2,10 @@
 
 The Spark-side machinery (schemas, Arrow batch shape, partition layout,
 byte-capped batching) is REAL and tested. Since round 6 the codecs are
-REAL too for PNG, TIFF, GIF, baseline JPEG, WAV-PCM and Y4M raw video
-(kernels/media.py, stdlib+numpy): features/resize/frame-sample compute
-over actual pixels, samples and frames. Formats whose decoders
+REAL too for PNG, TIFF, BMP, GIF, baseline JPEG, WAV-PCM (incl.
+G.711), Y4M raw video and MJPEG AVI (kernels/media.py, stdlib+numpy):
+features/resize/frame-sample compute over actual pixels, samples and
+frames. Formats whose decoders
 genuinely need external libraries (MP3, MP4/MKV compressed video) fall
 back to the deterministic stub, DECLARED via decode_status='stub'
 (task contract: "STUB the decode step … make the Spark-side plumbing
@@ -117,6 +118,9 @@ def _decode_real(payload: bytes, kind: str):
         return M.audio_features(rate, nch, samples), "ok"
     if payload.startswith(M.Y4M_MAGIC):
         w, h, _nf, frames = M.decode_y4m(payload)
+        return M.video_features(w, h, frames), "ok"
+    if M.is_avi(payload):
+        w, h, _nf, frames = M.decode_avi_mjpeg(payload)
         return M.video_features(w, h, frames), "ok"
     return _decode_stub(payload, kind), "stub"
 
@@ -561,7 +565,13 @@ def frame_sample(media: DataFrame, every_n: int = 10,
                         )
                         continue
                     p = bytes(payload)
-                    if not p.startswith(M.Y4M_MAGIC):
+                    if p.startswith(M.Y4M_MAGIC):
+                        decoder = M.decode_y4m
+                    elif M.is_avi(p):
+                        decoder = M.decode_avi_mjpeg
+                    else:
+                        decoder = None
+                    if decoder is None:
                         nf = None if pd.isna(nf_meta) else int(nf_meta)
                         if nf is None or nf < 1:
                             yield emit(
@@ -582,8 +592,8 @@ def frame_sample(media: DataFrame, every_n: int = 10,
                             )
                         continue
                     try:
-                        # stride: only the sampled planes are copied out
-                        w, h, nf, frames = M.decode_y4m(p, stride=every_n)
+                        # stride: only the sampled planes are decoded
+                        w, h, nf, frames = decoder(p, stride=every_n)
                     except Exception:
                         yield emit(
                             (mid, None, None, None, 0, None, None,
@@ -635,15 +645,19 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
     payloads, i%15==12 undecodable image bytes ('stub' fallback),
     i%18==6 corrupt PNG/TIFF ('decode_failed', magic-dispatched),
     i%45==13 non-WAV audio bytes ('stub'); video rows carry REAL Y4M
-    clips since round 6 (kernels/media.py decode_y4m — the one
-    container decodable stdlib-only), with i%21==8 opaque container
-    bytes ('stub' — the MP4-shaped class) and i%33==14 truncated clips
+    clips or MJPEG AVIs since round 6 (kernels/media.py decode_y4m /
+    decode_avi_mjpeg — raw and compressed containers; the AVI slice is
+    (i//3)%4==1 with (i//3)%16==5 truncated), with i%21==8 opaque
+    container bytes ('stub' — the MP4-shaped class, which shadows the
+    AVI slice where they overlap) and i%33==14 truncated Y4M clips
     ('decode_failed')."""
     from tools.make_media import (
+        corrupt_avi,
         corrupt_image,
         corrupt_jpeg,
         corrupt_y4m,
         media_audio,
+        media_avi,
         media_gif,
         media_image,
         media_jpeg,
@@ -688,6 +702,11 @@ def synth_media_rows(n: int = 60) -> list[tuple]:
         else:
             if i % 21 == 8:  # opaque container (MP4-shaped) → sanctioned stub
                 payload, meta = lattice, (None, None, None, 30 * (1 + i % 10))
+            elif (i // 3) % 4 == 1:  # MJPEG AVI slice (compressed, r6)
+                avi, w, h, nf = media_avi(i)
+                if (i // 3) % 16 == 5:  # truncated movi → decode_failed
+                    avi = corrupt_avi(avi)
+                payload, meta = avi, (w, h, None, nf)
             else:
                 y4m, w, h, nf = media_y4m(i)
                 if i % 33 == 14:  # truncated clip → decode_failed

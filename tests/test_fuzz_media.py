@@ -216,3 +216,27 @@ def test_mutated_bmp_fails_typed(junk, where, overwrite):
     else:
         data = good[:cut] + junk + good[cut:]
     _try_bmp(data)
+
+
+def _try_avi(data: bytes):
+    from pdf_to_text_spark.kernels.media import decode_avi_mjpeg
+
+    try:
+        w, h, nf, frames = decode_avi_mjpeg(data)
+        assert w > 0 and h > 0 and all(len(f) == w * h for f in frames)
+    except MediaDecodeError:
+        pass
+
+
+@settings(max_examples=150, deadline=4000)
+@given(st.binary(min_size=1, max_size=256), st.floats(0, 1), st.booleans())
+def test_mutated_avi_fails_typed(junk, where, overwrite):
+    from tools.make_media import media_avi
+
+    good = media_avi(17)[0]
+    cut = int(where * len(good))
+    if overwrite:
+        data = good[:cut] + junk + good[cut + len(junk):]
+    else:
+        data = good[:cut] + junk + good[cut:]
+    _try_avi(data)

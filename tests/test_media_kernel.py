@@ -1061,3 +1061,65 @@ def test_bmp_failure_classes():
     struct.pack_into("<ii", forged, 18, 1_000_000, 1_000_000)
     with pytest.raises(MediaDecodeError, match="dimension bomb"):
         decode_bmp(bytes(forged))
+
+
+# ── AVI / MJPEG (r6) ─────────────────────────────────────────────────────────
+
+
+def test_avi_mjpeg_roundtrip_and_stride():
+    from pdf_to_text_spark.kernels.media import decode_avi_mjpeg
+    from tools.make_media import media_avi
+
+    for i in (2, 5, 11, 17, 23):
+        data, w, h, nf = media_avi(i)
+        dw, dh, dnf, frames = decode_avi_mjpeg(data)
+        assert (dw, dh, dnf) == (w, h, nf)
+        assert all(len(f) == w * h for f in frames)
+        # strided: total count kept, only sampled frames decoded
+        _w, _h, dnf2, fr2 = decode_avi_mjpeg(data, stride=2)
+        assert dnf2 == nf and len(fr2) == (nf + 1) // 2
+        assert fr2[0] == frames[0]
+
+
+def test_avi_failure_classes():
+    from pdf_to_text_spark.kernels.media import MediaDecodeError, decode_avi_mjpeg
+    from tools.make_media import _riff_chunk, _riff_list, corrupt_avi, media_avi
+
+    good = media_avi(2)[0]
+    with pytest.raises(MediaDecodeError):
+        decode_avi_mjpeg(corrupt_avi(good))
+    with pytest.raises(MediaDecodeError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    # no movi list
+    empty = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    with pytest.raises(MediaDecodeError, match="movi"):
+        decode_avi_mjpeg(empty)
+    # movi with zero frames
+    movi = _riff_list(b"movi", b"")
+    body = b"AVI " + movi
+    with pytest.raises(MediaDecodeError, match="no frames"):
+        decode_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # a non-frame chunk inside movi is typed
+    movi = _riff_list(b"movi", _riff_chunk(b"ix00", b"\x00" * 8))
+    body = b"AVI " + movi
+    with pytest.raises(MediaDecodeError, match="unsupported movi chunk"):
+        decode_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # frames that change geometry are typed
+    from tools.make_media import make_avi, make_jpeg
+
+    f1 = make_jpeg(8, 8, 1, pixels_for(1, 8, 8, 1))
+    f2 = make_jpeg(16, 8, 1, pixels_for(2, 16, 8, 1))
+    with pytest.raises(MediaDecodeError, match="geometry"):
+        decode_avi_mjpeg(make_avi([f1, f2], 8, 8))
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(media_avi(2)[0], stride=0)
+
+
+def test_rgb_to_luma_bt601():
+    from pdf_to_text_spark.kernels.media import _rgb_to_luma
+
+    assert _rgb_to_luma(bytes([100, 50, 200]), 1) == bytes([100, 50, 200])
+    assert _rgb_to_luma(bytes([255, 255, 255]), 3) == bytes([255])
+    assert _rgb_to_luma(bytes([0, 0, 0, 9]), 4) == bytes([0])
+    # BT.601 integer weights: (77R + 150G + 29B + 128) >> 8
+    assert _rgb_to_luma(bytes([255, 0, 0]), 3) == bytes([(77 * 255 + 128) >> 8])

@@ -307,6 +307,13 @@ def _expected_features() -> set[tuple]:
         else:
             if i % 21 == 8:  # opaque container → sanctioned stub
                 p, feat, status = _lattice(i), _stub_feature(_lattice(i)), "stub"
+            elif (i // 3) % 4 == 1:  # MJPEG AVI slice (lossy)
+                if (i // 3) % 16 == 5:  # truncated movi
+                    from tools.make_media import corrupt_avi, media_avi
+
+                    p = corrupt_avi(media_avi(i)[0])
+                    out.add((i, kind, len(p), None, None, "decode_failed"))
+                continue  # ok AVI rows: envelope-checked in the body
             elif i % 33 == 14:  # truncated clip (r6)
                 from tools.make_media import corrupt_y4m, media_y4m
 
@@ -335,6 +342,42 @@ def _jpeg_ok_ids() -> set[int]:
     }
 
 
+def _avi_ok_ids() -> set[int]:
+    """Video rows carrying a decodable MJPEG AVI (lossy — envelope-
+    checked in test bodies instead of the exact sets)."""
+    return {
+        i for i in range(N)
+        if _kind(i) == "video" and i % 17 != 5 and i % 21 != 8
+        and (i // 3) % 4 == 1 and (i // 3) % 16 != 5
+    }
+
+
+def _avi_spec(i: int) -> tuple[int, int, list[bytes]]:
+    """SOURCE-side luma planes for AVI row i: the BT.601 reduction of
+    the pixel formula each JPEG frame was encoded from — re-stated, so
+    envelope checks compare against pre-compression truth."""
+    j = i // 3
+    w, h = 8 + 8 * (j % 2), 8
+    nf = 2 + j % 4
+    gray = j % 2 == 0
+    lumas = []
+    for k in range(nf):
+        ch = 1 if gray else 3
+        px = bytes(
+            (x * 7 + y * 13 + c * 41 + (i + 31 * k) * 29) % 256
+            for y in range(h) for x in range(w) for c in range(ch)
+        )
+        if gray:
+            lumas.append(px)
+        else:
+            lumas.append(bytes(
+                (77 * px[3 * t] + 150 * px[3 * t + 1]
+                 + 29 * px[3 * t + 2] + 128) >> 8
+                for t in range(w * h)
+            ))
+    return w, h, lumas
+
+
 def test_media_features_matches_independent_recompute(spark):
     got = {
         (
@@ -346,7 +389,24 @@ def test_media_features_matches_independent_recompute(spark):
     }
     jpeg_ids = _jpeg_ok_ids()
     got_jpeg = {t for t in got if t[0] in jpeg_ids}
-    assert (got - got_jpeg) == _expected_features()
+    avi_ids = _avi_ok_ids()
+    got_avi = {t for t in got if t[0] in avi_ids}
+    assert (got - got_jpeg - got_avi) == _expected_features()
+    # MJPEG AVI rows (lossy, like the JPEG slice): geometry dims exact,
+    # content dims within the quantization envelope of the SOURCE
+    # lumas' independently-computed video features
+    assert len(got_avi) == len(avi_ids)
+    from tools.make_media import media_avi
+
+    for mid, kind, nbytes, chash, feat, status in sorted(got_avi):
+        assert status == "ok" and kind == "video"
+        p = media_avi(mid)[0]
+        assert nbytes == len(p)
+        assert chash == hashlib.blake2b(p, digest_size=16).hexdigest()
+        w, h, lumas = _avi_spec(mid)
+        expect = _video_feat(w, h, lumas)
+        assert feat[:4] == tuple(_f32(v) for v in expect[:4])
+        assert all(abs(a - b) < 0.25 for a, b in zip(feat[4:], expect[4:]))
     # JPEG is lossy: geometry feature dims are lossless facts of a real
     # decode (exact), content dims must sit within the quantization
     # error envelope of the SOURCE pixels' independently-computed
@@ -583,10 +643,12 @@ def test_audio_resample_matches_independent_recompute(spark):
 
 def _video_meta_frames(i: int) -> int:
     """meta.n_frames for video row i per the synth spec: opaque/null
-    rows keep the fake 30*(1+i%10); real/corrupt Y4M rows carry the
-    writer's true frame count."""
+    rows keep the fake 30*(1+i%10); real/corrupt Y4M and AVI rows carry
+    the writer's true frame count."""
     if i % 17 == 5 or i % 21 == 8:
         return 30 * (1 + i % 10)
+    if (i // 3) % 4 == 1:  # MJPEG AVI slice
+        return 2 + (i // 3) % 4
     return 1 + (i // 3) % 5
 
 
@@ -606,14 +668,30 @@ def test_frame_sample_matches_independent_recompute(spark):
     formula — the engine must walk real frame framing to match), stub
     rows re-state the (payload, idx)-keyed blake2b, and the two
     terminal classes surface per-row."""
-    got = {
-        tuple(r)
-        for r in frame_sample(synth_media_df(spark, N), every_n=2).collect()
-    }
+    rows = frame_sample(synth_media_df(spark, N), every_n=2).collect()
+    avi_ids = _avi_ok_ids()
+    got = {tuple(r) for r in rows if r.media_id not in avi_ids}
+    # MJPEG AVI rows (lossy): indices/geometry exact, per-frame mean
+    # luma within the quantization envelope of the source formula
+    got_avi: dict = {}
+    for r in rows:
+        if r.media_id in avi_ids:
+            got_avi.setdefault(r.media_id, []).append(r)
+    assert set(got_avi) == avi_ids
+    for mid, frs in got_avi.items():
+        w, h, lumas = _avi_spec(mid)
+        assert {r.frame_idx for r in frs} == set(range(0, len(lumas), 2))
+        for r in frs:
+            src = lumas[r.frame_idx]
+            assert (r.width, r.height, r.frame_bytes) == (w, h, w * h)
+            assert r.frame_status == "ok" and len(r.frame_hash) == 32
+            assert abs(r.mean_luma - sum(src) / len(src)) < 8.0
     expect = set()
     for i in range(N):
-        if _kind(i) != "video":
+        if _kind(i) != "video" or i in avi_ids:
             continue
+        # branch order mirrors synth_media_rows: null, stub, AVI, Y4M
+        # (the stub slice shadows the AVI slice at e.g. i=29)
         if i % 17 == 5:
             expect.add((i, None, None, None, 0, None, None, "null_payload"))
         elif i % 21 == 8:
@@ -623,6 +701,8 @@ def test_frame_sample_matches_independent_recompute(spark):
                     pdig, digest_size=16, person=idx.to_bytes(8, "little")
                 ).hexdigest()
                 expect.add((i, idx, None, None, 0, dig, None, "stub"))
+        elif (i // 3) % 4 == 1:  # corrupt-AVI rows (ok ones handled above)
+            expect.add((i, None, None, None, 0, None, None, "decode_failed"))
         elif i % 33 == 14:
             expect.add((i, None, None, None, 0, None, None, "decode_failed"))
         else:
@@ -676,8 +756,11 @@ def _expected_statuses() -> dict[int, str]:
         elif kind == "audio":
             out[i] = "stub" if i % 45 == 13 else "ok"
         else:
+            j = i // 3
             out[i] = (
                 "stub" if i % 21 == 8
+                else ("decode_failed" if j % 16 == 5 else "ok")
+                if j % 4 == 1
                 else "decode_failed" if i % 33 == 14 else "ok"
             )
     return out

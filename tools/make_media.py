@@ -1097,3 +1097,74 @@ def media_bmp(i: int) -> tuple[bytes, int, int]:
         make_bmp(w, h, pixels_for(i, w, h, 3), top_down=(j // 12) % 4 >= 2),
         w, h,
     )
+
+
+# ── AVI (MJPEG) writer ───────────────────────────────────────────────────────
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def make_avi(jpeg_frames: list[bytes], w: int, h: int, fps: int = 15) -> bytes:
+    """Assemble an MJPEG AVI: RIFF('AVI ') → hdrl (avih + strl) → movi
+    with one '00dc' chunk per JPEG frame. The header LIST carries
+    plausible values (the engine's reader keys off the movi walk, but a
+    gutted header would make the fixture unrealistic)."""
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(jpeg_frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(jpeg_frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in jpeg_frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def media_avi(i: int) -> tuple[bytes, int, int, int]:
+    """(avi_bytes, w, h, n_frames) for synthetic MJPEG video row i —
+    frame count, geometry and gray-vs-color keyed by j=i//3 (the video
+    slice freezes i%3)."""
+    j = i // 3
+    w, h = 8 + 8 * (j % 2), 8  # JPEG MCU-friendly small frames
+    nf = 2 + j % 4
+    gray = j % 2 == 0
+    frames = [
+        make_jpeg(
+            w, h, 1 if gray else 3,
+            pixels_for(i + 31 * k, w, h, 1 if gray else 3),
+        )
+        for k in range(nf)
+    ]
+    return make_avi(frames, w, h), w, h, nf
+
+
+def corrupt_avi(data: bytes) -> bytes:
+    """Truncate inside the final frame chunk — the movi walk hits
+    'truncated AVI frame chunk' (or the JPEG scan runs dry):
+    decode_failed deterministically."""
+    last = data.rfind(b"00dc")
+    if last < 0:
+        raise ValueError("corrupt_avi: no frame chunks")
+    return data[: len(data) - max(4, (len(data) - last) // 3)]
