@@ -836,10 +836,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
 
     BITMAPINFOHEADER (and the longer V4/V5 headers, which extend it
     compatibly), uncompressed BI_RGB at 8 bpp (palette → RGB), 24 bpp
-    (BGR → RGB) and 32 bpp (BGRx → RGBA); bottom-up (positive height)
-    and top-down (negative) row orders; 4-byte row padding. RLE4/RLE8,
-    bitfields and sub-byte depths raise MediaDecodeError (documented
-    scope cuts — countable decode_failed, the recognized-magic rule)."""
+    (BGR → RGB) and 32 bpp (BGRx → RGB; the fourth byte is RESERVED
+    under BI_RGB, not alpha); bottom-up (positive height) and top-down
+    (negative) row orders; 4-byte row padding. RLE4/RLE8, bitfields
+    and sub-byte depths raise MediaDecodeError (documented scope cuts
+    — countable decode_failed, the recognized-magic rule)."""
     if len(data) < 54 or data[:2] != BMP_MAGIC:
         raise MediaDecodeError("not a BMP")
     (px_off,) = struct.unpack_from("<I", data, 10)
@@ -857,6 +858,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         )
     if bpp not in (8, 24, 32):
         raise MediaDecodeError(f"unsupported BMP bit depth {bpp}")
+    # BI_RGB 32-bpp: the 4th byte is RESERVED, not alpha (alpha needs
+    # BITFIELDS/V4+ headers) — real writers store 0 there, which an
+    # alpha interpretation would render fully transparent (r6 review,
+    # confirmed by execution). Decode as RGB, dropping the byte.
     if width <= 0 or height == 0 or width * height > MAX_PIXELS:
         raise MediaDecodeError("dimension bomb")
     stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
@@ -870,11 +875,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         if pal_off + 4 * n_colors > px_off:
             raise MediaDecodeError("palette overruns pixel data")
         palette = data[pal_off : pal_off + 4 * n_colors]
-    ch = {8: 3, 24: 3, 32: 4}[bpp]
-    out = bytearray(width * height * ch)
+    out = bytearray(width * height * 3)
     for y in range(height):
         src = px_off + (y if top_down else height - 1 - y) * stride
-        dst = y * width * ch
+        dst = y * width * 3
         if bpp == 8:
             for x in range(width):
                 q = data[src + x] * 4
@@ -885,22 +889,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                     palette[q + 2], palette[q + 1], palette[q],
                 )
                 dst += 3
-        elif bpp == 24:
+        else:
+            step = bpp // 8
             for x in range(width):
-                s = src + 3 * x
-                out[dst] = data[s + 2]      # BGR → RGB
+                s = src + step * x
+                out[dst] = data[s + 2]      # BGR(x) → RGB
                 out[dst + 1] = data[s + 1]
                 out[dst + 2] = data[s]
                 dst += 3
-        else:
-            for x in range(width):
-                s = src + 4 * x
-                out[dst] = data[s + 2]      # BGRA → RGBA
-                out[dst + 1] = data[s + 1]
-                out[dst + 2] = data[s]
-                out[dst + 3] = data[s + 3]
-                dst += 4
-    return width, height, ch, bytes(out)
+    return width, height, 3, bytes(out)
 
 
 # ── TIFF decode ──────────────────────────────────────────────────────────────
@@ -1226,8 +1223,12 @@ def decode_avi_mjpeg(
         raise MediaDecodeError("not an AVI")
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    # find the 'movi' LIST by walking top-level and nested chunks
+    # walk top-level and nested chunks: find the 'movi' LIST, and keep
+    # the avih header dims so a well-formed zero-frame AVI can return
+    # (w, h, 0, []) like decode_y4m does (r6 review — the two
+    # containers must classify the identical condition identically)
     movi = None
+    avih_dims = None
     stack = [(12, len(data))]
     while stack:
         pos, end = stack.pop()
@@ -1235,15 +1236,18 @@ def decode_avi_mjpeg(
             cid = data[pos : pos + 4]
             (length,) = struct.unpack_from("<I", data, pos + 4)
             body_at = pos + 8
-            if body_at + length > len(data):
+            if body_at + length > end:  # bound by the ENCLOSING chunk
                 raise MediaDecodeError("truncated AVI chunk")
             if cid == b"LIST":
                 ltype = data[body_at : body_at + 4]
                 if ltype == b"movi":
                     movi = (body_at + 4, body_at + length)
-                    stack = []
-                    break
-                stack.append((body_at + 4, body_at + length))
+                else:
+                    stack.append((body_at + 4, body_at + length))
+            elif cid == b"avih" and length >= 40:
+                aw, ah = struct.unpack_from("<ii", data, body_at + 32)
+                if aw > 0 and ah > 0:
+                    avih_dims = (aw, ah)
             pos = body_at + length + (length & 1)
     if movi is None:
         raise MediaDecodeError("AVI without a movi list")
@@ -1255,7 +1259,10 @@ def decode_avi_mjpeg(
         cid = data[pos : pos + 4]
         (length,) = struct.unpack_from("<I", data, pos + 4)
         body_at = pos + 8
-        if body_at + length > len(data):
+        # bound by the movi list's own end — checking len(data) would
+        # let a corrupted length swallow later frames as 'ok' (r6
+        # review, confirmed by execution)
+        if body_at + length > end:
             raise MediaDecodeError("truncated AVI frame chunk")
         pos = body_at + length + (length & 1)
         if cid[2:4] not in (b"dc", b"db"):
@@ -1275,6 +1282,10 @@ def decode_avi_mjpeg(
         if n_frames > MAX_FRAMES:
             raise MediaDecodeError("frame count exceeds cap")
     if w is None:
+        if n_frames == 0 and avih_dims is not None:
+            # well-formed zero-frame stream: same classification as a
+            # zero-frame Y4M ('empty', not decode_failed)
+            return avih_dims[0], avih_dims[1], 0, []
         raise MediaDecodeError("AVI movi list holds no frames")
     return w, h, n_frames, frames
 

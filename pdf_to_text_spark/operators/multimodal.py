@@ -91,7 +91,8 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 def _decode_real(payload: bytes, kind: str):
     """Default decode (round 6): REAL stdlib codecs for PNG, GIF,
-    baseline JPEG, TIFF, WAV and Y4M video, stub for everything else — returns
+    baseline JPEG, TIFF, BMP, WAV (incl. G.711), Y4M and MJPEG-AVI
+    video, stub for everything else — returns
     (features, status) where status 'ok' means real decoded content and
     'stub' declares the sanctioned fallback (observable in the driver
     gate, not silently green). A recognized-but-malformed payload
@@ -532,8 +533,10 @@ def frame_sample(media: DataFrame, every_n: int = 10,
                  batch_bytes: int | None = None) -> DataFrame:
     """EXECUTING frame sampler (r6): decodes every every_n-th frame of
     each video row for real — Y4M clips through kernels/media.decode_y4m
-    (per-frame luma plane: size, hash, mean) — and emits the declared
-    'stub' digest rows for containers whose codecs need external libs
+    and MJPEG AVIs through decode_avi_mjpeg (per-frame luma plane:
+    size, hash, mean; the stride skips unsampled JPEG work entirely) —
+    and emits the declared 'stub' digest rows for containers whose
+    codecs need external libs
     (same fan-out shape as frame_sample_plan, which stays the pure-JVM
     planning sibling). Statuses mirror the family contract plus two
     surfaces the plan silently drops (r3 review there): 'empty' (a

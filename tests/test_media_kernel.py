@@ -1028,8 +1028,10 @@ def test_bmp_roundtrip_all_depths_and_orientations():
             assert decode_bmp(make_bmp(w, h, px3, top_down=td)) == (
                 w, h, 3, px3,
             )
-        px4 = pixels_for(4, w, h, 4)
-        assert decode_bmp(make_bmp(w, h, px4, bpp=32)) == (w, h, 4, px4)
+        # 32-bpp BI_RGB: the 4th byte is RESERVED (zeroed by the
+        # writer) and the decoder returns RGB — treating it as alpha
+        # rendered every real 32-bpp BMP fully transparent (r6 review)
+        assert decode_bmp(make_bmp(w, h, px3, bpp=32)) == (w, h, 3, px3)
         pal = bytes((k * 7 + 3) % 256 for k in range(48))
         idx = bytes(((x + y) % 16) for y in range(h) for x in range(w))
         exp = b"".join(pal[3 * v : 3 * v + 3] for v in idx)

@@ -90,7 +90,9 @@ def _image_pixels(i: int) -> tuple[int, bytes]:
         return 3, bytes(out)
     if sel in (4, 8):
         ch = [1, 3, 4, 1][(i // 3 // 6) % 4]
-    elif sel == 6 and (i // 3 // 12) % 2 == 0:
+    elif (sel == 6 and (i // 3 // 12) % 2 == 0) or (
+        sel == 2 and (i // 3 // 12) % 2 == 1
+    ):
         ch = 3  # BMP rows are 24 bpp
     elif sel == 0:
         # depth-16 rows: j//12-keyed (i%4 is frozen to 0 on this slice)
@@ -355,11 +357,12 @@ def _avi_ok_ids() -> set[int]:
 def _avi_spec(i: int) -> tuple[int, int, list[bytes]]:
     """SOURCE-side luma planes for AVI row i: the BT.601 reduction of
     the pixel formula each JPEG frame was encoded from — re-stated, so
-    envelope checks compare against pre-compression truth."""
-    j = i // 3
-    w, h = 8 + 8 * (j % 2), 8
-    nf = 2 + j % 4
-    gray = j % 2 == 0
+    envelope checks compare against pre-compression truth. Keyed by
+    k=j//4 like media_avi (the slice freezes j%4)."""
+    k = i // 3 // 4
+    w, h = 8 + 8 * (k % 2), 8
+    nf = 2 + k % 4
+    gray = k % 2 == 0
     lumas = []
     for k in range(nf):
         ch = 1 if gray else 3
@@ -647,8 +650,8 @@ def _video_meta_frames(i: int) -> int:
     the writer's true frame count."""
     if i % 17 == 5 or i % 21 == 8:
         return 30 * (1 + i % 10)
-    if (i // 3) % 4 == 1:  # MJPEG AVI slice
-        return 2 + (i // 3) % 4
+    if (i // 3) % 4 == 1:  # MJPEG AVI slice (k=j//4-keyed)
+        return 2 + (i // 3 // 4) % 4
     return 1 + (i // 3) % 5
 
 

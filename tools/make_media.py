@@ -372,6 +372,10 @@ def media_image(i: int) -> tuple[bytes, int, int]:
                       synth corrupt slice, so the gate holds both ok-
                       and corrupt-TIFF rows);
       j%12 == 6, even j//12 → BMP (media_bmp, 24 bpp);
+      j%12 == 2, odd j//12  → BMP too (these land on the synth corrupt
+                      slice at N=90 — i=42 — so the gate holds a
+                      corrupt-BMP row; top-down/8-bpp/32-bpp BMPs stay
+                      pytest-covered, documented);
       j%12 == 0     → depth-16 PNG (high-byte reduction);
       j%12 == 10    → palette PNG;
       else          → plain depth-8 PNG;
@@ -380,7 +384,7 @@ def media_image(i: int) -> tuple[bytes, int, int]:
     sel = j % 12
     if sel in (4, 8):
         return media_tiff(i)
-    if sel == 6 and (j // 12) % 2 == 0:
+    if (sel == 6 and (j // 12) % 2 == 0) or (sel == 2 and (j // 12) % 2 == 1):
         return media_bmp(i)
     w, h = 8 + i % 17, 6 + i % 11
     interlace = i % 10 == 4
@@ -848,7 +852,10 @@ def media_y4m(i: int) -> tuple[bytes, int, int, int]:
             w, h, lumas,
             colorspace=cs,
             fps=[(25, 1), (30, 1), (30000, 1001)][j % 3],
-            interlace="p" if j % 4 == 1 else None,
+            # j%4==3, NOT 1: the synth AVI slice took j%4==1, which
+            # would have removed every interlace-tagged Y4M row from
+            # the corpus (r6 review)
+            interlace="p" if j % 4 == 3 else None,
             xparam=f"clip{i}" if j % 5 == 2 else None,
             frame_params=j % 7 == 3,
         ),
@@ -1012,11 +1019,15 @@ def media_tiff(i: int) -> tuple[bytes, int, int]:
 
 def corrupt_image(data: bytes) -> bytes:
     """Dispatch the synth corrupt slice by magic — media_image's
-    i%18==6 rows may now be PNG or TIFF (r6)."""
+    i%18==6 rows may now be PNG, TIFF or BMP (r6)."""
     if data.startswith(b"\x89PNG"):
         return corrupt_png(data)
     if data[:2] in (b"II", b"MM"):
         return corrupt_tiff(data)
+    if data[:2] == b"BM":
+        # truncate the pixel area: header stays intact, the decoder
+        # hits 'short BMP pixel data'
+        return data[: len(data) - max(4, len(data) // 6)]
     raise ValueError("corrupt_image: unrecognized format")
 
 
@@ -1044,13 +1055,12 @@ def make_bmp(
     palette: bytes | None = None, top_down: bool = False,
 ) -> bytes:
     """Encode pixels as an uncompressed BITMAPINFOHEADER BMP. bpp=24
-    takes RGB triples (stored BGR), bpp=32 takes RGBA quads (stored
-    BGRA), bpp=8 takes index bytes with `palette` as RGB triples
-    (stored as BGRx quads). Bottom-up unless top_down."""
-    if bpp == 24:
+    and bpp=32 take RGB triples (stored BGR / BGR0 — the 32-bpp fourth
+    byte is RESERVED under BI_RGB and real writers zero it), bpp=8
+    takes index bytes with `palette` as RGB triples (stored as BGRx
+    quads). Bottom-up unless top_down."""
+    if bpp in (24, 32):
         ch, pal_quads = 3, b""
-    elif bpp == 32:
-        ch, pal_quads = 4, b""
     elif bpp == 8:
         if palette is None or len(palette) % 3:
             raise ValueError("make_bmp: 8 bpp needs an RGB palette")
@@ -1074,9 +1084,8 @@ def make_bmp(
                 row.append(pixels[p])
             elif bpp == 24:
                 row += bytes((pixels[p + 2], pixels[p + 1], pixels[p]))
-            else:
-                row += bytes((pixels[p + 2], pixels[p + 1], pixels[p],
-                              pixels[p + 3]))
+            else:  # 32-bpp BI_RGB: BGR + zeroed reserved byte
+                row += bytes((pixels[p + 2], pixels[p + 1], pixels[p], 0))
         rows += row + b"\x00" * (stride - len(row))
     px_off = 14 + 40 + len(pal_quads)
     n_colors = len(pal_quads) // 4
@@ -1144,20 +1153,23 @@ def make_avi(jpeg_frames: list[bytes], w: int, h: int, fps: int = 15) -> bytes:
 
 def media_avi(i: int) -> tuple[bytes, int, int, int]:
     """(avi_bytes, w, h, n_frames) for synthetic MJPEG video row i —
-    frame count, geometry and gray-vs-color keyed by j=i//3 (the video
-    slice freezes i%3)."""
+    frame count, geometry and gray-vs-color keyed by k=j//4: the corpus
+    slice is (i//3)%4==1, under which any function of j%4 (or j%2) is
+    CONSTANT — the first cut froze every synth AVI to one 3-frame 16x8
+    color shape (r6 review; the GIF-slice lesson at the next level)."""
     j = i // 3
-    w, h = 8 + 8 * (j % 2), 8  # JPEG MCU-friendly small frames
-    nf = 2 + j % 4
-    gray = j % 2 == 0
+    k = j // 4
+    w, h = 8 + 8 * (k % 2), 8  # JPEG MCU-friendly small frames
+    nf = 2 + k % 4
+    gray = k % 2 == 0
     frames = [
         make_jpeg(
             w, h, 1 if gray else 3,
-            pixels_for(i + 31 * k, w, h, 1 if gray else 3),
+            pixels_for(i + 31 * n, w, h, 1 if gray else 3),
         )
-        for k in range(nf)
+        for n in range(nf)
     ]
-    return make_avi(frames, w, h), w, h, nf
+    return make_avi(frames, w, h, fps=[15, 24, 30][k % 3]), w, h, nf
 
 
 def corrupt_avi(data: bytes) -> bytes:
