@@ -37,6 +37,20 @@ HTML_DROP_TAGS = frozenset("script style noscript template svg iframe".split())
 N_BUCKETS = int(os.environ.get("PTS_N_BUCKETS", "32"))
 # salt modulus for skew-flattening repartition of mega-documents
 SKEW_SALT = int(os.environ.get("PTS_SKEW_SALT", "8"))
+# ── adaptive small-scan spreading (plans/layout.spread_small_scan) ──────────
+# Relations between MIN and MAX estimated bytes are round-robin
+# repartitioned before CPU-heavy map stages (single-row-group parquet
+# scans as ONE task regardless of split config). Below MIN the shuffle
+# costs more than it recovers (r6 measurement at 5k docs); above MAX the
+# scan is already parallel and re-shuffling would be a payload shuffle —
+# at 100 TB the helper is a structural no-op. One partition per TARGET
+# bytes of source (est.), floor 8, cap 2x defaultParallelism. Production
+# clusters tune via env: MIN scales with (per-task scheduling cost x
+# cluster size), MAX with what a one-off shuffle of the whole relation
+# may cost there; the defaults fit a 32-core single box.
+SPREAD_MIN_BYTES = int(os.environ.get("PTS_SPREAD_MIN_BYTES", str(2 << 20)))
+SPREAD_MAX_BYTES = int(os.environ.get("PTS_SPREAD_MAX_BYTES", str(1 << 30)))
+SPREAD_TARGET_BYTES = int(os.environ.get("PTS_SPREAD_TARGET_BYTES", str(96 << 10)))
 # Arrow batch budget: rows are megabyte-scale, so cap batch *bytes*, not rows.
 ARROW_MAX_BATCH_BYTES = int(os.environ.get("PTS_ARROW_MAX_BATCH_BYTES", str(32 << 20)))
 ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("PTS_ARROW_MAX_RECORDS", "256"))

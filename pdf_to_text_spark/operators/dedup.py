@@ -52,8 +52,11 @@ def fingerprint_col(text_col: str = "text"):
 
 def dedup_exact_groups(documents: DataFrame) -> DataFrame:
     """Fingerprint → group size + representative (min doc_id)."""
+    from ..plans.layout import spread_small_scan
+
+    base = spread_small_scan(documents.select("doc_id", "text"))
     return (
-        documents.select("doc_id", fingerprint_col().alias("fingerprint"))
+        base.select("doc_id", fingerprint_col().alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
@@ -96,7 +99,10 @@ def minhash_signatures(documents: DataFrame, n_perm: int = 64, n_bands: int = 16
                 {"doc_id": b["doc_id"], "sig": sigs, "bands": bands}
             )
 
-    return documents.select("doc_id", "text").mapInPandas(gen, schema=_SIG_SCHEMA)
+    from ..plans.layout import spread_small_scan
+
+    base = spread_small_scan(documents.select("doc_id", "text"))
+    return base.mapInPandas(gen, schema=_SIG_SCHEMA)
 
 
 # Hot-bucket guard for every LSH band self-join (VERDICT r2 "what's
@@ -307,7 +313,9 @@ def strip_duplicate_lines(documents: DataFrame, min_words: int = 5) -> DataFrame
 
     One shuffle keyed on the line text (the dedup window) + one on
     doc_id (reassembly) — both carry line-sized rows, never documents²."""
-    lines = documents.select(
+    from ..plans.layout import spread_small_scan
+
+    lines = spread_small_scan(documents.select("doc_id", "text")).select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
     from .text_analysis import _WS_RE  # pinned [ \t\n\f\r]+ — engines
@@ -485,8 +493,11 @@ def minhash_signatures_sql(
     # distinct gram hashes as ONE array column per doc — the n_perm mins
     # are then array_min(transform(...)) projections over it: map-only,
     # whole-stage-codegen, no explode/exchange/hash-aggregate machinery
+    from ..plans.layout import spread_small_scan
+
+    base = spread_small_scan(documents.select("doc_id", "text"))
     hashed = (
-        documents.select("doc_id", wh.alias("_wh"))
+        base.select("doc_id", wh.alias("_wh"))
         .where(F.size("_wh") > 0)  # empty normalized text -> no row
         .select(
             "doc_id",
@@ -549,9 +560,10 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
-        gen, schema="doc_id long, simhash long"
-    )
+    from ..plans.layout import spread_small_scan
+
+    base = spread_small_scan(documents.select("doc_id", "text"))
+    return base.mapInPandas(gen, schema="doc_id long, simhash long")
 
 
 def simhash_band_bucket_stats(
@@ -645,7 +657,10 @@ def ngram_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    return documents.select(
+    from ..plans.layout import spread_small_scan
+
+    base = spread_small_scan(documents.select("doc_id", "text"))
+    return base.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     ).where(F.length("shingle") > 0)
 
@@ -851,10 +866,12 @@ def strip_duplicate_substrings(documents: DataFrame, k: int = 20) -> DataFrame:
     byte-exact verification — the oracle cross-checks against real
     text at gate scale.
     """
+    from ..plans.layout import spread_small_scan
     from .text_analysis import _WS_RE  # pinned class, same as the oracle
 
     words = F.split(F.trim(F.col("text")), _WS_RE)
-    toks = documents.select(
+    base = spread_small_scan(documents.select("doc_id", "text"))
+    toks = base.select(
         "doc_id", F.posexplode(words).alias("pos", "word")
     ).where(F.length("word") > 0)
     # shingle hash at every start position with a full k-token window
@@ -871,7 +888,7 @@ def strip_duplicate_substrings(documents: DataFrame, k: int = 20) -> DataFrame:
         )
 
     grams = (
-        documents.where(n_words >= k)
+        base.where(n_words >= k)
         .select(
             "doc_id",
             F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),

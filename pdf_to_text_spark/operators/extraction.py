@@ -278,7 +278,10 @@ def wrap_documents_as_pages(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text", "lang").mapInPandas(
+    from ..plans.layout import spread_small_scan
+
+    base = spread_small_scan(documents.select("doc_id", "text", "lang"))
+    return base.mapInPandas(
         gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
     )
 

@@ -101,7 +101,9 @@ def word_chunk_reassembly(documents: DataFrame, chunk_size: int = 10) -> DataFra
     Deliberately the same plan shape as records.chunks_df so the DuckDB
     oracle pins the semantics of the production operator.
     """
-    words = documents.select(
+    from ..plans.layout import spread_small_scan
+
+    words = spread_small_scan(documents.select("doc_id", "text")).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     )
     chunked = words.withColumn("chunk_id", (F.col("pos") / chunk_size).cast("int"))

@@ -79,7 +79,9 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     queries: (query_id, qv array<double|float>). Ties broken by vec_id so
     results are total-order deterministic (and oracle-comparable).
     """
-    corpus = embeddings.select(
+    from ..plans.layout import spread_small_scan
+
+    corpus = spread_small_scan(embeddings.select("vec_id", "embedding")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = queries.select("query_id", F.col("qv").cast("array<double>").alias("qv"))
@@ -164,6 +166,11 @@ def lsh_signatures(
             buckets = (bits * weights).sum(axis=2).reshape(-1)  # row-major: vec-major
             yield pd.DataFrame({id_col: ids, "table": tables, "bucket": buckets})
 
+    # NO spread_small_scan here (unlike brute_force_topk): this kernel is
+    # batch-vectorized numpy (~ns/vector), so even a parallelism-1 scan
+    # finishes in well under the cost of the extra exchange — measured
+    # r7: spreading REGRESSED knn_lsh 0.9 s → 1.5 s at the 20k-vector
+    # bench scale. The downstream bucket join is shuffle-parallel anyway.
     return embeddings.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} long, table int, bucket long"
     )

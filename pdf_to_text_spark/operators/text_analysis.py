@@ -79,9 +79,19 @@ def _quality_expr(words, alpha, digit, punct, stop):
     return F.floor(score * 10000) / 10000
 
 
+def _spread_doc_text(documents: DataFrame, cols=("doc_id", "text")) -> DataFrame:
+    """Shared adaptive-parallelism projection for the map-heavy operators
+    here: project to the needed columns, then spread_small_scan (see
+    plans/layout.py — single-row-group parquet scans as ONE task, which
+    starved every regex/fold-heavy projection below of parallelism)."""
+    from ..plans.layout import spread_small_scan
+
+    return spread_small_scan(documents.select(*cols))
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish tokens + char count per document."""
-    return documents.select(
+    return _spread_doc_text(documents).select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), _WS_RE)).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
@@ -94,7 +104,7 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     words, alpha chars, digit chars, punct chars, stopword hits,
     max word length. The composite score lives in quality_score()."""
     words = F.split(F.lower(F.trim(F.col("text"))), _WS_RE)
-    return documents.select(
+    return _spread_doc_text(documents).select(
         "doc_id",
         F.size(words).alias("words"),
         F.regexp_count("text", F.lit(r"[A-Za-z]")).alias("alpha_chars"),
@@ -130,7 +140,7 @@ def language_id(documents: DataFrame) -> DataFrame:
     fixed profile order en>es>de>fr (pinned; the SQL oracle mirrors it).
     """
     words = F.split(F.lower(F.trim(F.col("text"))), _WS_RE)
-    df = documents.select("doc_id", words.alias("_w"))
+    df = _spread_doc_text(documents).select("doc_id", words.alias("_w"))
     for lang, sw in LANG_PROFILES.items():
         df = df.withColumn(f"{lang}_hits", _vocab_hits(F.col("_w"), sw))
     return df.select(
@@ -166,7 +176,7 @@ def text_profile(documents: DataFrame) -> DataFrame:
     """
     # stage 1: materialize the word array once (CollapseProject keeps a
     # non-cheap alias referenced many times from being re-inlined)
-    base = documents.select(
+    base = _spread_doc_text(documents).select(
         "doc_id",
         "text",
         F.split(F.lower(F.trim(F.col("text"))), _WS_RE).alias("_w"),
@@ -230,7 +240,9 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"{kind}_hits"))
         redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
-    return documents.select("doc_id", *counts, redacted.alias("redacted_text"))
+    return _spread_doc_text(documents).select(
+        "doc_id", *counts, redacted.alias("redacted_text")
+    )
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:
@@ -245,8 +257,9 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     '' so the doc keeps a row (explode(NULL) would silently drop it —
     the no-vanishing rule every other operator here follows)."""
     words = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), _WS_RE)
+    base = _spread_doc_text(documents)
     wc = (
-        documents.select("doc_id", F.explode(words).alias("w"))
+        base.select("doc_id", F.explode(words).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -264,7 +277,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     bc = (
-        documents.select("doc_id", F.explode(bigrams).alias("b"))
+        base.select("doc_id", F.explode(bigrams).alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -342,7 +355,9 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     """
     from .dedup import fingerprint_col
 
-    return documents.select("doc_id", fingerprint_col().alias("fingerprint"))
+    return _spread_doc_text(documents).select(
+        "doc_id", fingerprint_col().alias("fingerprint")
+    )
 
 
 # ── winnowing fingerprint (pandas UDF — non-SQL-expressible) ────────────────
@@ -357,7 +372,7 @@ def winnow_udf(texts: pd.Series) -> pd.Series:
 
 def winnow_fingerprints(documents: DataFrame) -> DataFrame:
     """Winnowing (rolling k-gram min) fingerprints — robust near-dup keys."""
-    return documents.select(
+    return _spread_doc_text(documents).select(
         "doc_id",
         winnow_udf(F.col("text")).alias("winnow"),
     ).select("doc_id", F.size("winnow").alias("n_grams"), "winnow")

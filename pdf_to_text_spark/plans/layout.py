@@ -121,6 +121,56 @@ def salted_repartition(
     return df.repartition(num_partitions, F.col("bucket"), salt)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism fix for CPU-heavy map stages over SMALL scans
+    (optimization guide §2: derive partitioning from input size, never a
+    constant tuned for one corpus).
+
+    A single-row-group parquet file scans as ONE task no matter how low
+    maxPartitionBytes goes (Spark assigns a row group to the split holding
+    its midpoint), so every kernel/regex-heavy map stage downstream runs
+    at parallelism ~1 while 31 cores idle — measured 6-9 s per query at
+    the 50k-doc bench scale where the same work takes <0.5 s spread out.
+    The fix is a round-robin repartition, applied ONLY when it is provably
+    cheap and useful:
+
+      * skip when the relation is tiny (< SPREAD_MIN_BYTES): scheduling
+        extra tasks costs more than they recover (measured r6: a blanket
+        repartition(128) was SLOWER for every dedup query at sf0.1);
+      * skip when the relation is large (> SPREAD_MAX_BYTES): a big table
+        is many files/row groups, the scan is already parallel, and
+        re-shuffling it would be the payload-shuffle anti-pattern this
+        repo bans — at 100 TB this helper is a structural no-op;
+      * skip when the scan already has >= defaultParallelism input files
+        (each file is at least one task).
+
+    Partition count scales with estimated input bytes (one partition per
+    SPREAD_TARGET_BYTES of source data, floored at 8, capped at 2x
+    defaultParallelism). Estimates come from the optimizer's relation
+    stats (file sizes for parquet, actual bytes for local relations) —
+    when stats are unavailable the input is returned unchanged. Callers
+    pass the PROJECTED relation (id + text, never payloads) so the
+    shuffle carries only the columns the kernel needs (guide §2.3)."""
+    from ..config import SPREAD_MAX_BYTES, SPREAD_MIN_BYTES, SPREAD_TARGET_BYTES
+
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return df
+    if size < SPREAD_MIN_BYTES or size > SPREAD_MAX_BYTES:
+        return df
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:
+        pass
+    n = min(2 * par, max(8, -(-size // SPREAD_TARGET_BYTES)))
+    return df.repartition(n)
+
+
 def with_lineage(df: DataFrame) -> DataFrame:
     """Per-partition lineage columns for the metrics table (north_rule)."""
     return df.withColumn("partition_id", F.spark_partition_id()).withColumn(

@@ -182,6 +182,64 @@ def test_relational_agg_plan_shape(spark):
     assert plan.index("partial_sum") < plan.index("hashpartitioning")
 
 
+def test_spread_small_scan_is_adaptive(spark, monkeypatch, tmp_path):
+    """spread_small_scan (r7): repartitions ONLY mid-size relations with
+    KNOWN size — tiny inputs keep their plan (scheduling-bound, r6
+    measurement), huge inputs keep theirs (the scan is already parallel;
+    re-shuffling would be a payload shuffle), and unknown-stats plans
+    (LogicalRDD reports Long.MaxValue) are never touched. The decision
+    is driven by optimizer stats, steered here via config thresholds."""
+    import pdf_to_text_spark.config as cfg
+    from pdf_to_text_spark.plans.layout import spread_small_scan
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "word " * 50) for i in range(200)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    def n_shuffles(df):
+        return _plan(df).count("Exchange")
+
+    # default thresholds: this file is tiny -> untouched
+    assert n_shuffles(spread_small_scan(docs)) == 0
+    # lower MIN below the relation size -> spread fires (the formatted
+    # plan names each node twice — tree + details — so assert presence)
+    monkeypatch.setattr(cfg, "SPREAD_MIN_BYTES", 1)
+    assert n_shuffles(spread_small_scan(docs)) >= 1
+    # MAX below the relation size -> "already parallel at scale" no-op
+    monkeypatch.setattr(cfg, "SPREAD_MAX_BYTES", 2)
+    assert n_shuffles(spread_small_scan(docs)) == 0
+    # unknown stats (createDataFrame -> LogicalRDD, MaxValue) -> no-op
+    monkeypatch.setattr(cfg, "SPREAD_MAX_BYTES", 1 << 62)
+    local = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert n_shuffles(spread_small_scan(local)) == 0
+
+
+def test_spread_small_scan_preserves_results(spark, monkeypatch, tmp_path):
+    """Operators that adopted spread_small_scan must return identical
+    rows with the spread forced on vs off (the r7 A/B identity gate,
+    run at sf1.0 across all 21 touched operators; pinned here at test
+    scale on a representative JVM path and a kernel path)."""
+    import pdf_to_text_spark.config as cfg
+    from pdf_to_text_spark.operators.dedup import minhash_dedup_pairs
+    from pdf_to_text_spark.operators.text_analysis import text_profile
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} common tail words here") for i in range(300)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    for fn in (text_profile, lambda d: minhash_dedup_pairs(d, threshold=0.2)):
+        monkeypatch.setattr(cfg, "SPREAD_MIN_BYTES", 1 << 60)
+        off = sorted(map(tuple, fn(docs).collect()))
+        monkeypatch.setattr(cfg, "SPREAD_MIN_BYTES", 1)
+        spark.catalog.clearCache()
+        on = sorted(map(tuple, fn(docs).collect()))
+        assert on == off
+
+
 def test_merged_profile_queries_stay_single_pass(spark):
     """The round-3 merged driver queries must keep the one-pass shapes
     they were merged FOR: corpus_stats = one scan + one keyed Exchange
