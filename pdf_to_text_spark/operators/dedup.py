@@ -174,7 +174,12 @@ def minhash_candidate_pairs(
     bands = signatures.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket)
+    # persist the capped band relation: it is a plan fan-out point (both
+    # self-join sides), and without the cache each side re-runs the
+    # explode + window-count cap — the broadcast side cannot reuse the
+    # probe side's exchange (r7; same persist-at-fan-out rule as the
+    # signature/shingle relations). Rows are (id, idx, hash) — tiny.
+    bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -617,30 +622,37 @@ def simhash_near_pairs(
     # the band self-join references the signature subtree twice (a/b
     # aliases): persist so the text scan + kernel run once per doc
     sigs = simhash_signatures(documents).persist()
+    # persisted for the same both-join-sides fan-out reason as the
+    # minhash band relation (minhash_candidate_pairs, r7)
     banded = _cap_buckets(
         _simhash_banded(sigs), ["band_idx", "band_val"], max_bucket
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
     )
+    # hamming filter BEFORE the distinct (r7, guide §2.3 "shuffle fewer
+    # bytes"): on a near-dup-heavy corpus identical simhashes co-bucket
+    # in all 4 bands, so the band join emits ~16M candidate rows at the
+    # 50k-doc bench scale while <0.1% survive hamming ≤ 3 — filtering is
+    # a map-side XOR+popcount in the join stage, and the dedup exchange
+    # then carries only survivors. Identical results: hamming is a
+    # function of the pair (one signature per doc), so filter and
+    # distinct commute.
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

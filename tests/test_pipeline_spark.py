@@ -419,3 +419,39 @@ def test_dedup_auto_no_dups_is_pure_map(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Window" not in plan
     assert out.count() == 2
+
+
+def test_html_roundtrip_fused_matches_unfused(spark):
+    """The r7 fused html_roundtrip_extract (wrap + extract in ONE Python
+    stage) must equal the unfused wrap_documents_as_pages →
+    run_extraction composition row-for-row, including the edge rows the
+    wrap/escape/url-recovery rules exist for: markup chars, entities,
+    NULL and empty text, and a negative doc_id (which the unfused path
+    maps to a NULL doc_id via its url regexp)."""
+    from pdf_to_text_spark.operators.extraction import (
+        html_roundtrip_extract,
+        run_extraction,
+        wrap_documents_as_pages,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain words only here today", "en"),
+            (2, "markup <b>bold</b> & entities &amp; kept", "en"),
+            (3, None, "en"),
+            (4, "", "en"),
+            (5, "multi\nline\ntext with  double  spaces", "de"),
+            (-6, "negative id row", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    fused = {
+        r["doc_id"]: r["extracted_text"]
+        for r in html_roundtrip_extract(docs).collect()
+    }
+    unfused_df = run_extraction(wrap_documents_as_pages(docs), dedup=False).select(
+        F.regexp_extract("url", r"/(\d+)\.html$", 1).try_cast("long").alias("doc_id"),
+        "extracted_text",
+    )
+    unfused = {r["doc_id"]: r["extracted_text"] for r in unfused_df.collect()}
+    assert fused == unfused
