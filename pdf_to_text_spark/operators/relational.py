@@ -95,30 +95,43 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
 
 
 def word_chunk_reassembly(documents: DataFrame, chunk_size: int = 10) -> DataFrame:
-    """The chunk-id window + ordered reassembly pattern (§2 #8) over
-    documents.text: words → posexplode → chunk_id → ordered collect_list.
+    """Fixed-size word chunking (§2 #8) over documents.text.
 
-    Deliberately the same plan shape as records.chunks_df so the DuckDB
-    oracle pins the semantics of the production operator.
+    r7 (guide §2.4 "remove shuffles outright"): chunks are SLICED from
+    the per-row word array (transform + slice + array_join) instead of
+    posexplode → chunk_id → groupBy/collect_list reassembly — splitting
+    a row and reassembling the pieces by key is a round-trip through an
+    Exchange that a per-row array operation does for free. The old and
+    new forms are row-identical on a unique-doc_id table (every table
+    this runs on; the oracle pins it): chunk i holds words
+    [i·k, (i+1)·k), joined by ' ', with n_words = its element count —
+    exactly what the sorted collect_list rebuilt. NULL text produced no
+    rows before (posexplode of a NULL array) and produces none now
+    (explode of the NULL-guarded chunk array). The map-only form removes
+    the one full-table shuffle this query had at 100 TB.
     """
     from ..plans.layout import spread_small_scan
 
-    words = spread_small_scan(documents.select("doc_id", "text")).select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    chunks = F.when(
+        F.col("text").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / chunk_size)),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.array_join(
+                    F.slice(words, (i * chunk_size + 1).cast("int"), chunk_size), " "
+                ).alias("chunk_text"),
+                F.least(F.lit(chunk_size).cast("long"), n - i * chunk_size)
+                .cast("long")
+                .alias("n_words"),
+            ),
+        ),
     )
-    chunked = words.withColumn("chunk_id", (F.col("pos") / chunk_size).cast("int"))
-    return (
-        chunked.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("chunk_text"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
+    base = spread_small_scan(documents.select("doc_id", "text"))
+    return base.select("doc_id", F.explode(chunks).alias("_c")).select(
+        "doc_id", "_c.chunk_id", "_c.chunk_text", "_c.n_words"
     )
 
 
