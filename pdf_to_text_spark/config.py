@@ -51,6 +51,10 @@ SKEW_SALT = int(os.environ.get("PTS_SKEW_SALT", "8"))
 SPREAD_MIN_BYTES = int(os.environ.get("PTS_SPREAD_MIN_BYTES", str(2 << 20)))
 SPREAD_MAX_BYTES = int(os.environ.get("PTS_SPREAD_MAX_BYTES", str(1 << 30)))
 SPREAD_TARGET_BYTES = int(os.environ.get("PTS_SPREAD_TARGET_BYTES", str(96 << 10)))
+# stats gate for persisting plan-fan-out band relations (operators/dedup
+# _persist_if_large): below this estimated size the cache barrier costs
+# more than recomputing both fan-out branches (measured r7 at 5k docs)
+BAND_PERSIST_MIN_BYTES = int(os.environ.get("PTS_BAND_PERSIST_MIN_BYTES", str(1 << 20)))
 # Arrow batch budget: rows are megabyte-scale, so cap batch *bytes*, not rows.
 ARROW_MAX_BATCH_BYTES = int(os.environ.get("PTS_ARROW_MAX_BATCH_BYTES", str(32 << 20)))
 ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("PTS_ARROW_MAX_RECORDS", "256"))

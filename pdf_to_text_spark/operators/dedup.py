@@ -118,6 +118,28 @@ def minhash_signatures(documents: DataFrame, n_perm: int = 64, n_bands: int = 16
 DEFAULT_MAX_BUCKET = 4096
 
 
+def _persist_if_large(df: DataFrame) -> DataFrame:
+    """Persist a plan-fan-out relation ONLY when the optimizer estimates
+    it big enough that recomputing both fan-out branches costs more than
+    the cache materialization barrier (r7; measured on the capped band
+    relation: persist saved ~1.5 s at the 50k-doc scale where both
+    self-join sides re-ran the explode + window cap, but COST ~0.25 s at
+    5k docs where the relation is trivial). Unknown stats (LogicalRDD)
+    persist — the conservative choice for opaque sources. Threshold via
+    config.BAND_PERSIST_MIN_BYTES (est. bytes, mapInPandas plans inherit
+    their scan's estimate)."""
+    from ..config import BAND_PERSIST_MIN_BYTES
+
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return df.persist()
+    if size < BAND_PERSIST_MIN_BYTES:
+        return df
+    return df.persist()
+
+
 def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     """Filter band-exploded rows to buckets with ≤ max_bucket members.
 
@@ -174,12 +196,16 @@ def minhash_candidate_pairs(
     bands = signatures.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    # persist the capped band relation: it is a plan fan-out point (both
-    # self-join sides), and without the cache each side re-runs the
-    # explode + window-count cap — the broadcast side cannot reuse the
-    # probe side's exchange (r7; same persist-at-fan-out rule as the
-    # signature/shingle relations). Rows are (id, idx, hash) — tiny.
-    bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket).persist()
+    # persist the capped band relation when large: it is a plan fan-out
+    # point (both self-join sides), and without the cache each side
+    # re-runs the explode + window-count cap — the broadcast side cannot
+    # reuse the probe side's exchange (r7; same persist-at-fan-out rule
+    # as the signature/shingle relations, but stats-gated because the
+    # materialization barrier costs more than the recompute on tiny
+    # corpora — _persist_if_large). Rows are (id, idx, hash) — tiny.
+    bands = _persist_if_large(
+        _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -622,11 +648,11 @@ def simhash_near_pairs(
     # the band self-join references the signature subtree twice (a/b
     # aliases): persist so the text scan + kernel run once per doc
     sigs = simhash_signatures(documents).persist()
-    # persisted for the same both-join-sides fan-out reason as the
-    # minhash band relation (minhash_candidate_pairs, r7)
-    banded = _cap_buckets(
-        _simhash_banded(sigs), ["band_idx", "band_val"], max_bucket
-    ).persist()
+    # persisted (stats-gated) for the same both-join-sides fan-out
+    # reason as the minhash band relation (minhash_candidate_pairs, r7)
+    banded = _persist_if_large(
+        _cap_buckets(_simhash_banded(sigs), ["band_idx", "band_val"], max_bucket)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,

@@ -216,6 +216,25 @@ def test_spread_small_scan_is_adaptive(spark, monkeypatch, tmp_path):
     assert n_shuffles(spread_small_scan(local)) == 0
 
 
+def test_band_persist_is_stats_gated(spark, monkeypatch, tmp_path):
+    """dedup._persist_if_large (r7): persists a fan-out relation only
+    above the BAND_PERSIST_MIN_BYTES estimate — the cache barrier costs
+    more than the recompute on tiny corpora (measured at 5k docs)."""
+    import pdf_to_text_spark.config as cfg
+    from pdf_to_text_spark.operators.dedup import _persist_if_large
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "text " * 20) for i in range(100)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert not _persist_if_large(df).storageLevel.useMemory  # tiny -> no
+    monkeypatch.setattr(cfg, "BAND_PERSIST_MIN_BYTES", 1)
+    out = _persist_if_large(df)
+    assert out.storageLevel.useMemory  # above gate -> persisted
+    out.unpersist()
+
+
 def test_spread_small_scan_preserves_results(spark, monkeypatch, tmp_path):
     """Operators that adopted spread_small_scan must return identical
     rows with the spread forced on vs off (the r7 A/B identity gate,
