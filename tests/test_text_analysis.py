@@ -343,3 +343,48 @@ def test_bpe_tokens_use_the_pinned_whitespace_class(spark):
            text_analysis.token_counts(df).collect()}
     assert out[0] == 2   # a, b — \f is whitespace, not a symbol
     assert out[1] == 3   # a, \x0b, b
+
+
+def test_packed_vocab_fold_and_bpe_decomposition_match_reference(spark):
+    """r7 fold/regex rewrites are pure speedups: the packed PAIR fold
+    (_vocab_hits_pair) must equal two separate _vocab_hits folds for
+    every vocabulary pair incl. overlapping words, and the decomposed
+    BPE count (letter runs + digit runs + translate punct) must equal
+    regexp_count(BPE_TOKEN_RE) — on adversarial rows (shared stopwords
+    across vocabs, digit/symbol runs, empty, whitespace-only, CJK)."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_spark.operators.text_analysis import (
+        _WS_RE,
+        BPE_TOKEN_RE,
+        LANG_PROFILES,
+        _bpe_token_count,
+        _char_class_counts,
+        _vocab_hits,
+        _vocab_hits_pair,
+    )
+
+    rows = [
+        (1, "the de la of the en un and sich von"),  # cross-vocab overlaps
+        (2, ""),
+        (3, "   \t\n  "),
+        (4, "abc123!!! 42 x9y 7.5% #tag"),
+        (5, "的 了 和 mixed cjk 文本 with latin"),
+        (6, "des des des une une pour"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = F.split(F.lower(F.trim(F.col("text"))), _WS_RE)
+    en, es = LANG_PROFILES["en"], LANG_PROFILES["es"]
+    p_en, p_es = _vocab_hits_pair(words, en, es)
+    _, _, punct = _char_class_counts()
+    out = df.select(
+        p_en.alias("p_en"),
+        p_es.alias("p_es"),
+        _vocab_hits(words, en).alias("r_en"),
+        _vocab_hits(words, es).alias("r_es"),
+        _bpe_token_count(punct).alias("bpe_new"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_RE)).alias("bpe_ref"),
+    ).collect()
+    for r in out:
+        assert r["p_en"] == r["r_en"] and r["p_es"] == r["r_es"], r
+        assert r["bpe_new"] == r["bpe_ref"], r
