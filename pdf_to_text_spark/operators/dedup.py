@@ -84,25 +84,51 @@ _SIG_SCHEMA = T.StructType(
 
 
 def minhash_signatures(documents: DataFrame, n_perm: int = 64, n_bands: int = 16) -> DataFrame:
-    """doc_id → minhash signature + LSH band keys (Arrow-batched)."""
+    """doc_id → minhash signature + LSH band keys (Arrow-native batches).
+
+    r7: mapInArrow instead of mapInPandas — the signatures land in one
+    (n × n_perm) int64 matrix per batch and become Arrow ListArrays via
+    offsets over the flat buffer (guide §4.2: re-slice, don't build
+    per-row Python lists), skipping the pandas object-column round-trip
+    that cost ~15% of the stage. Values are bit-identical (signed store
+    x−2^63 == flip the top bit and reinterpret; digest-verified)."""
 
     def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
         from ..kernels.textstats import minhash_bands, minhash_signature
 
-        for b in batches:
-            sigs, bands = [], []
-            for t in b["text"]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            ids = rb.column(rb.schema.get_field_index("doc_id"))
+            sig_mat = np.empty((n, n_perm), dtype=np.int64)
+            band_mat = np.empty((n, n_bands), dtype=np.int64)
+            for i, t in enumerate(texts):
                 s = minhash_signature(t or "", n_perm=n_perm)
-                sigs.append([int(x) - (1 << 63) for x in s.tolist()])  # store as signed
-                bands.append(minhash_bands(s, n_bands=n_bands))
-            yield pd.DataFrame(
-                {"doc_id": b["doc_id"], "sig": sigs, "bands": bands}
+                # store as signed: x - 2^63 == top-bit flip reinterpreted
+                sig_mat[i] = (s ^ np.uint64(1 << 63)).view(np.int64)
+                band_mat[i] = minhash_bands(s, n_bands=n_bands)
+
+            def list_arr(mat, width):
+                vals = pa.array(mat.reshape(-1), type=pa.int64())
+                offs = pa.array(
+                    np.arange(0, (n + 1) * width, width, dtype=np.int32)
+                )
+                return pa.ListArray.from_arrays(offs, vals)
+
+            yield pa.RecordBatch.from_arrays(
+                [ids, list_arr(sig_mat, n_perm), list_arr(band_mat, n_bands)],
+                ["doc_id", "sig", "bands"],
             )
 
     from ..plans.layout import spread_small_scan
 
     base = spread_small_scan(documents.select("doc_id", "text"))
-    return base.mapInPandas(gen, schema=_SIG_SCHEMA)
+    return base.mapInArrow(gen, schema=_SIG_SCHEMA)
 
 
 # Hot-bucket guard for every LSH band self-join (VERDICT r2 "what's
