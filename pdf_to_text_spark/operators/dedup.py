@@ -4,7 +4,7 @@ Six dedup families, each with the scale-path layout a 100 TB run needs:
 
   * exact            — md5(normalized text) groupBy; one shuffle keyed by
                        fingerprint, map-side partial agg
-  * minhash_lsh      — signature (pandas UDF, vectorized) → explode LSH
+  * minhash_lsh      — signature (Arrow batch kernel, vectorized) → explode LSH
                        bands → bucket-join candidates → signature-estimate
                        verify; pair space is per-bucket, never global
   * simhash          — 64-bit simhash, hamming≤k via the 4-band exact-match
@@ -28,7 +28,6 @@ similarity.py.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -606,21 +605,33 @@ def minhash_dedup_pairs_sql(
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
+    # mapInArrow like minhash_signatures (r7): the scalar signature
+    # column is built as one int64 numpy array per batch — no pandas
+    # round-trip. Same signed store (x - 2^63), bit-identical.
     def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
         from ..kernels.textstats import simhash64
 
-        for b in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "simhash": [simhash64(t or "") - (1 << 63) for t in b["text"]],
-                }
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            ids = rb.column(rb.schema.get_field_index("doc_id"))
+            sh = np.fromiter(
+                (simhash64(t or "") - (1 << 63) for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sh, type=pa.int64())], ["doc_id", "simhash"]
             )
 
     from ..plans.layout import spread_small_scan
 
     base = spread_small_scan(documents.select("doc_id", "text"))
-    return base.mapInPandas(gen, schema="doc_id long, simhash long")
+    return base.mapInArrow(gen, schema="doc_id long, simhash long")
 
 
 def simhash_band_bucket_stats(
