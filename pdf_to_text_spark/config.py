@@ -41,14 +41,19 @@ SKEW_SALT = int(os.environ.get("PTS_SKEW_SALT", "8"))
 # Relations between MIN and MAX estimated bytes are round-robin
 # repartitioned before CPU-heavy map stages (single-row-group parquet
 # scans as ONE task regardless of split config). Below MIN the shuffle
-# costs more than it recovers (r6 measurement at 5k docs); above MAX the
-# scan is already parallel and re-shuffling would be a payload shuffle —
-# at 100 TB the helper is a structural no-op. One partition per TARGET
-# bytes of source (est.), floor 8, cap 2x defaultParallelism. Production
-# clusters tune via env: MIN scales with (per-task scheduling cost x
-# cluster size), MAX with what a one-off shuffle of the whole relation
-# may cost there; the defaults fit a 32-core single box.
-SPREAD_MIN_BYTES = int(os.environ.get("PTS_SPREAD_MIN_BYTES", str(2 << 20)))
+# costs more than it recovers; above MAX the scan is already parallel
+# and re-shuffling would be a payload shuffle — at 100 TB the helper is
+# a structural no-op. One partition per TARGET bytes of source (est.),
+# floor 8, cap 2x defaultParallelism. MIN is 128 KB (r7 re-measure:
+# with the floor-8 partition count every kernel/fold-heavy query wins
+# ~2x even at the 5k-doc scale — r6's "repartition slower at sf0.1"
+# finding was about a blanket repartition(128); only the md5-cheap
+# fingerprint paths lose, and those simply don't call the helper).
+# The gate SFs (0.001/0.01, ~28 KB est.) stay below MIN → gate plans
+# unchanged. Production clusters tune via env: MIN scales with
+# (per-task scheduling cost x cluster size), MAX with what a one-off
+# shuffle of the whole relation may cost there.
+SPREAD_MIN_BYTES = int(os.environ.get("PTS_SPREAD_MIN_BYTES", str(128 << 10)))
 SPREAD_MAX_BYTES = int(os.environ.get("PTS_SPREAD_MAX_BYTES", str(1 << 30)))
 SPREAD_TARGET_BYTES = int(os.environ.get("PTS_SPREAD_TARGET_BYTES", str(96 << 10)))
 # stats gate for persisting plan-fan-out band relations (operators/dedup

@@ -50,12 +50,14 @@ def fingerprint_col(text_col: str = "text"):
 
 
 def dedup_exact_groups(documents: DataFrame) -> DataFrame:
-    """Fingerprint → group size + representative (min doc_id)."""
-    from ..plans.layout import spread_small_scan
+    """Fingerprint → group size + representative (min doc_id).
 
-    base = spread_small_scan(documents.select("doc_id", "text"))
+    Deliberately NOT spread_small_scan'd (r7): the md5+normalize map
+    side is too cheap for the extra exchange to pay for itself
+    (measured 0.18 s → 0.28 s at 5k docs, flat at 50k — the groupBy's
+    own shuffle already parallelizes everything downstream)."""
     return (
-        base.select("doc_id", fingerprint_col().alias("fingerprint"))
+        documents.select("doc_id", fingerprint_col().alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),

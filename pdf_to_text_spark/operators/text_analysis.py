@@ -442,9 +442,8 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     """
     from .dedup import fingerprint_col
 
-    return _spread_doc_text(documents).select(
-        "doc_id", fingerprint_col().alias("fingerprint")
-    )
+    # not spread: md5-cheap map side, same rationale as dedup_exact_groups
+    return documents.select("doc_id", fingerprint_col().alias("fingerprint"))
 
 
 # ── winnowing fingerprint (pandas UDF — non-SQL-expressible) ────────────────
