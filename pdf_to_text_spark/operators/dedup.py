@@ -106,6 +106,8 @@ def minhash_signatures(documents: DataFrame, n_perm: int = 64, n_bands: int = 16
                 continue
             texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
             ids = rb.column(rb.schema.get_field_index("doc_id"))
+            if ids.type != pa.int64():  # widen int32 etc. like the old
+                ids = ids.cast(pa.int64())  # pandas path silently did
             sig_mat = np.empty((n, n_perm), dtype=np.int64)
             band_mat = np.empty((n, n_bands), dtype=np.int64)
             for i, t in enumerate(texts):
@@ -156,13 +158,10 @@ def _persist_if_large(df: DataFrame) -> DataFrame:
     config.BAND_PERSIST_MIN_BYTES (est. bytes, mapInPandas plans inherit
     their scan's estimate)."""
     from ..config import BAND_PERSIST_MIN_BYTES
+    from ..plans.layout import estimated_size_bytes
 
-    try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = raw if isinstance(raw, int) else int(raw.toString())
-    except Exception:
-        return df.persist()
-    if size < BAND_PERSIST_MIN_BYTES:
+    size = estimated_size_bytes(df)
+    if size is not None and size < BAND_PERSIST_MIN_BYTES:
         return df
     return df.persist()
 
@@ -621,6 +620,8 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
                 continue
             texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
             ids = rb.column(rb.schema.get_field_index("doc_id"))
+            if ids.type != pa.int64():  # widen like the old pandas path
+                ids = ids.cast(pa.int64())
             sh = np.fromiter(
                 (simhash64(t or "") - (1 << 63) for t in texts),
                 dtype=np.int64,

@@ -9,6 +9,8 @@ Catalyst expressions (pushdown/pruning-friendly).
 
 from __future__ import annotations
 
+import html as _html
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -248,8 +250,6 @@ def _roundtrip_wrap_one(text: str | None) -> bytes:
     otherwise open a bogus tag the extractor cannot recover
     byte-identically, and a NULL text would render as the literal
     'None'."""
-    import html as _html
-
     return (
         "<!DOCTYPE html><html><head><title>d</title>"
         "<style>p{margin:0}</style><script>var x=1;</script></head>"

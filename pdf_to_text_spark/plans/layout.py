@@ -153,22 +153,58 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     shuffle carries only the columns the kernel needs (guide §2.3)."""
     from ..config import SPREAD_MAX_BYTES, SPREAD_MIN_BYTES, SPREAD_TARGET_BYTES
 
-    try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = raw if isinstance(raw, int) else int(raw.toString())
-    except Exception:
+    size = estimated_size_bytes(df)
+    if size is None or size < SPREAD_MIN_BYTES or size > SPREAD_MAX_BYTES:
         return df
-    if size < SPREAD_MIN_BYTES or size > SPREAD_MAX_BYTES:
-        return df
-    sc = df.sparkSession.sparkContext
-    par = sc.defaultParallelism
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= par:
-            return df
+        n_files = len(df.inputFiles())
     except Exception:
-        pass
+        n_files = 0
+    if n_files:
+        # approximate Spark's FilePartition bin-packing (each file is
+        # charged openCostInBytes when packed into maxPartitionBytes
+        # splits) — comparing the raw FILE count to the core count is
+        # wrong for many tiny files, which pack ~32-to-a-split and
+        # still scan at parallelism 2-3 (r7 review)
+        try:
+            max_pb = _parse_bytes_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+        except Exception:
+            max_pb = 128 << 20
+        est_splits = min(n_files, -(-(size + 4 * (1 << 20) * n_files) // max_pb))
+        if est_splits >= par:
+            return df  # the scan alone already fills the cluster
     n = min(2 * par, max(8, -(-size // SPREAD_TARGET_BYTES)))
     return df.repartition(n)
+
+
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """Spark byte-size conf string → bytes ('64m', '128mb', '134217728')."""
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(s[:-1]) * _BYTE_SUFFIX[s[-1]]
+    return int(s)
+
+
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated relation size in bytes (file sizes for
+    parquet scans scaled by projection width, actual bytes for local
+    relations, Long.MaxValue for opaque LogicalRDDs), or None when the
+    lookup fails. THE single copy of the py4j dance — the return shape
+    differs across py4j versions (plain int vs BigInt JavaObject), and
+    both spread_small_scan and dedup._persist_if_large must treat it
+    identically (r7 review)."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return None
 
 
 def with_lineage(df: DataFrame) -> DataFrame:
