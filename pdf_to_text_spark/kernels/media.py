@@ -1598,7 +1598,7 @@ def video_features(w: int, h: int, frames: list[bytes]) -> list[float]:
             hist[b >> 6] += 1
     # temporal variance of per-frame means from the exact integer sums:
     # E[m^2] - E[m]^2 with m_i = fsums[i]/n
-    tm = sum(fsums) / nf / n
+    tm = s / nf / n  # s IS sum(fsums) — reuse it (ADVICE r6 #3)
     tm2 = sum(fs * fs for fs in fsums) / nf / (n * n)
     tvar = max(0.0, tm2 - tm * tm)
     return base + [
