@@ -387,9 +387,12 @@ def strip_duplicate_lines(documents: DataFrame, min_words: int = 5) -> DataFrame
     # semantics in two stages — first-within-salt (the wide, salted
     # window), then first-among-the-≤64-salt-winners (a window whose
     # per-key input is capped at 64 rows, skew-proof by construction).
-    salted = lines.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(64))
-    ).persist()  # both branches below read it; one scan+explode, not two
+    salted = _persist_if_large(  # both branches below read it: one
+        # scan+explode, not two — stats-gated like the band relations
+        # (r7: the barrier is ~the recompute at gate scale; at real
+        # scale the recompute is a full second text scan)
+        lines.withColumn("_salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(64)))
+    )
     short = salted.where(n_words < min_words).select("doc_id", "pos", "line")
     w1 = Window.partitionBy("line", "_salt").orderBy("doc_id", "pos")
     w2 = Window.partitionBy("line").orderBy("doc_id", "pos")
